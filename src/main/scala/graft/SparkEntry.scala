@@ -1,13 +1,67 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.{Events, Oracle, Relational, TextSim}
+
+/** Driver contract — see SURVEY.md §7 + the builder prompt.
+  *
+  * Forty declared operators (SURVEY.md §2, the contract), each a pure
+  * `(SparkSession, sfDir) => DataFrame` with a matching DuckDB oracle in
+  * [[graft.ops.Oracle]]. Builders live in graft.ops by family.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * q38: the full 7-table star denormalization (6000 rows at sf0.001). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q38StarDenorm(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_filter_project" -> Relational.q01ScanFilterProject _,
+    "q02_pred_complex"        -> Relational.q02PredComplex _,
+    "q03_agg_pricing"         -> Relational.q03AggPricing _,
+    "q04_agg_distinct"        -> Relational.q04AggDistinct _,
+    "q05_agg_rollup"          -> Relational.q05AggRollup _,
+    "q06_agg_cube"            -> Relational.q06AggCube _,
+    "q07_agg_grouping_sets"   -> Relational.q07AggGroupingSets _,
+    "q08_join_inner"          -> Relational.q08JoinInner _,
+    "q09_join_multiway_topn"  -> Relational.q09JoinMultiwayTopn _,
+    "q10_join_left_outer"     -> Relational.q10JoinLeftOuter _,
+    "q11_join_full_outer"     -> Relational.q11JoinFullOuter _,
+    "q12_join_semi"           -> Relational.q12JoinSemi _,
+    "q13_join_anti"           -> Relational.q13JoinAnti _,
+    "q14_join_cross"          -> Relational.q14JoinCross _,
+    "q15_join_range_theta"    -> Events.q15JoinRangeTheta _,
+    "q16_join_asof"           -> Events.q16JoinAsof _,
+    "q17_win_rank"            -> Relational.q17WinRank _,
+    "q18_win_running"         -> Events.q18WinRunning _,
+    "q19_win_lead_lag"        -> Events.q19WinLeadLag _,
+    "q20_win_range_frame"     -> Events.q20WinRangeFrame _,
+    "q21_sort_topk"           -> Relational.q21SortTopk _,
+    "q22_union"               -> Relational.q22Union _,
+    "q23_intersect_except"    -> Relational.q23IntersectExcept _,
+    "q24_string_funcs"        -> Relational.q24StringFuncs _,
+    "q25_date_funcs"          -> Relational.q25DateFuncs _,
+    "q26_math_funcs"          -> Relational.q26MathFuncs _,
+    "q27_case_null"           -> Relational.q27CaseNull _,
+    "q28_json_extract"        -> TextSim.q28JsonExtract _,
+    "q29_array_ops"           -> TextSim.q29ArrayOps _,
+    "q30_tumbling_window"     -> Events.q30TumblingWindow _,
+    "q31_sliding_window"      -> Events.q31SlidingWindow _,
+    "q32_session_window"      -> Events.q32SessionWindow _,
+    "q33_dedup_keep_first"    -> Events.q33DedupKeepFirst _,
+    "q34_dedup_exact_text"    -> TextSim.q34DedupExactText _,
+    "q35_jaccard_neardup"     -> TextSim.q35JaccardNeardup _,
+    "q36_cosine_topk"         -> TextSim.q36CosineTopk _,
+    "q37_tfidf_top_term"      -> TextSim.q37TfidfTopTerm _,
+    "q38_star_denorm"         -> Relational.q38StarDenorm _,
+    "q39_wordcount_topn"      -> TextSim.q39WordcountTopn _,
+    "q40_histogram"           -> Events.q40Histogram _
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Oracle.sql
 }

@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.ts is timestamp[ns] parquet, unreadable by Spark natively:
+      // read as Long ns (Tables.events converts back to TimestampType).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // µs timestamps in dumps — what DuckDB/pyarrow compare against.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

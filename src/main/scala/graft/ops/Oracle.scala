@@ -1,0 +1,310 @@
+package graft.ops
+
+/** DuckDB 1.0.0 oracle SQL for every declared query — validated against
+  * the testdata at all three scale factors (SURVEY.md Appendix A; tables
+  * referenced by bare name per the driver contract, which registers each
+  * parquet file under its table name).
+  */
+object Oracle {
+
+  val sql: Map[String, String] = Map(
+    "q01_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice * (1 - l_discount), 2) AS net
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_returnflag = 'R' AND l_quantity > 25
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q02_pred_complex" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE (c_mktsegment IN ('BUILDING','AUTOMOBILE') OR c_acctbal BETWEEN 1000 AND 2000)
+        |  AND c_name LIKE 'Customer%' AND c_nationkey IS NOT NULL AND NOT (c_acctbal < 0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q03_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity),2) AS sum_qty,
+        |  round(sum(l_extendedprice),2) AS sum_base,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc,
+        |  round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        |  round(avg(l_quantity),4) AS avg_qty,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q04_agg_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
+        |       count(DISTINCT o_orderpriority) AS n_prio, count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q05_agg_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal),2) AS bal
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q06_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice),2) AS tp
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q07_agg_grouping_sets" ->
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin,
+
+    "q08_join_inner" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q09_join_multiway_topn" ->
+      """SELECT o.o_orderkey, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, o.o_orderdate
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-06-15'
+        |  AND l.l_shipdate > TIMESTAMP '1998-06-15'
+        |GROUP BY o.o_orderkey, o.o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q10_join_left_outer" ->
+      """SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+        |       round(coalesce(sum(o.o_totalprice), 0), 2) AS spent
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
+
+    "q11_join_full_outer" ->
+      """WITH cn AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+        |     sn AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT coalesce(cn.nk, sn.nk) AS nationkey, coalesce(n_cust,0) AS n_cust, coalesce(n_supp,0) AS n_supp
+        |FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk ORDER BY nationkey""".stripMargin,
+
+    "q12_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q13_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q14_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q15_join_range_theta" ->
+      """SELECT e1.user_id, count(*) AS conversions
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id
+        | AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 30 MINUTE
+        |WHERE e1.event_type = 'click' AND e2.event_type = 'purchase'
+        |GROUP BY e1.user_id ORDER BY e1.user_id""".stripMargin,
+
+    "q16_join_asof" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS last_click_id
+        |FROM (SELECT * FROM events WHERE event_type='purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin,
+
+    "q17_win_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    rank()        OVER w AS rnk,
+        |    dense_rank()  OVER w AS drnk,
+        |    row_number()  OVER w AS rn,
+        |    ntile(4)      OVER w AS quartile
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+        |) t WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q18_win_running" ->
+      """SELECT user_id, event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_value
+        |FROM events WHERE user_id < 20 ORDER BY user_id, event_id""".stripMargin,
+
+    "q19_win_lead_lag" ->
+      """SELECT user_id, event_id,
+        |  lag(event_type)  OVER w AS prev_type,
+        |  lead(event_type) OVER w AS next_type,
+        |  round(value - lag(value, 1, 0.0) OVER w, 2) AS delta
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q20_win_range_frame" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts
+        |     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_last_hour
+        |FROM events WHERE user_id < 20 ORDER BY user_id, event_id""".stripMargin,
+
+    "q21_sort_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+
+    "q22_union" ->
+      """SELECT nk, kind FROM (
+        |  SELECT DISTINCT c_nationkey AS nk, 'cust' AS kind FROM customer
+        |  UNION ALL
+        |  SELECT DISTINCT s_nationkey AS nk, 'supp' AS kind FROM supplier
+        |) u ORDER BY nk, kind""".stripMargin,
+
+    "q23_intersect_except" ->
+      """SELECT nk, 'both' AS tag FROM
+        |  (SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier) a
+        |UNION ALL
+        |SELECT nk, 'cust_only' AS tag FROM
+        |  (SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier) b
+        |ORDER BY tag, nk""".stripMargin,
+
+    "q24_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS u, lower(p_type) AS l,
+        |  substr(p_name, 1, 8) AS pre,
+        |  replace(p_type, ' ', '_') AS rep,
+        |  length(p_name) AS len,
+        |  concat(p_brand, ':', p_type) AS cat,
+        |  trim('  ' || p_brand || ' ') AS trimmed,
+        |  CASE WHEN p_type LIKE '%PROMO%' THEN 1 ELSE 0 END AS is_brass
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q25_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(dayofmonth(o_orderdate) AS INT) AS dom,
+        |  date_trunc('month', o_orderdate) AS mstart,
+        |  o_orderdate + INTERVAL 30 DAY AS due,
+        |  CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS age_days
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q26_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice, 1) AS r1, CAST(abs(l_discount - 0.05) AS DECIMAL(8,4)) AS ab,
+        |  ceil(l_quantity) AS c, floor(l_quantity) AS f,
+        |  round(sqrt(l_extendedprice), 4) AS sq,
+        |  round(ln(l_extendedprice + 1), 6) AS lg,
+        |  round(pow(1 + l_discount, 2), 6) AS pw,
+        |  CAST(l_orderkey % 7 AS BIGINT) AS md
+        |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin,
+
+    "q27_case_null" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bucket,
+        |  coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q28_json_extract" ->
+      """SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q29_array_ops" ->
+      """SELECT label, count(*) AS n,
+        |  round(avg(round(embedding[1], 6)), 6) AS avg_first,
+        |  max(len(embedding)) AS dim
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "q30_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win, event_type, count(*) AS n, round(sum(value),2) AS sv
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q31_sliding_window" ->
+      """SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS win_start,
+        |       count(*) AS n, round(sum(value), 2) AS sv
+        |FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) ks
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q32_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        | sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n_events,
+        |       min(ts) AS sess_start, max(ts) AS sess_end, round(sum(value),2) AS sv
+        |FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+
+    "q33_dedup_keep_first" ->
+      """SELECT user_id, event_type, event_id, ts FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q34_dedup_exact_text" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, min(n_chars) AS n_chars
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q35_jaccard_neardup" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        | probe AS (SELECT * FROM tok WHERE doc_id < 100),
+        | sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+        | inter AS (
+        |  SELECT p.doc_id AS a, t.doc_id AS b, count(*) AS i
+        |  FROM probe p JOIN tok t ON p.w = t.w AND p.doc_id < t.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+        |ORDER BY a, b""".stripMargin,
+
+    "q36_cosine_topk" ->
+      """WITH probes AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 10),
+        | sims AS (
+        |  SELECT pid, vec_id AS nid,
+        |    round(list_cosine_similarity(pe, embedding), 4) AS sim
+        |  FROM probes CROSS JOIN embeddings e WHERE vec_id <> pid)
+        |SELECT pid, nid, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY pid ORDER BY sim DESC, nid) AS rn FROM sims) t
+        |WHERE rn <= 5 ORDER BY pid, rn""".stripMargin,
+
+    "q37_tfidf_top_term" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        | tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        | df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        | n AS (SELECT count(DISTINCT doc_id) AS n FROM tok)
+        |SELECT doc_id, w AS top_term, score FROM (
+        |  SELECT tf.doc_id, tf.w,
+        |    round(tf.tf * ln((SELECT n FROM n) / df.df), 6) AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id ORDER BY round(tf.tf * ln((SELECT n FROM n) / df.df), 6) DESC, tf.w) AS rn
+        |  FROM tf JOIN df ON tf.w = df.w) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q38_star_denorm" ->
+      """SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, o.o_orderstatus,
+        |  c.c_name, c.c_mktsegment, n.n_name AS cust_nation, r.r_name AS cust_region,
+        |  p.p_name, p.p_brand, s.s_name,
+        |  round(l.l_extendedprice * (1 - l.l_discount), 2) AS net
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+
+    "q39_wordcount_topn" ->
+      """SELECT w, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |WHERE w <> '' GROUP BY w ORDER BY n DESC, w LIMIT 20""".stripMargin,
+
+    "q40_histogram" ->
+      """SELECT CAST(floor(value / 5) AS BIGINT) AS bucket, count(*) AS n,
+        |       round(avg(value), 4) AS avg_v
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Determinism._
+import Tables._
+
+/** LLM-data-pipeline operator family: JSON extraction, array ops, exact
+  * and near deduplication, vector similarity search, tf-idf, token
+  * frequency (SURVEY.md §2.8, §2.10).
+  *
+  * Everything stays inside codegen'd builtin expressions — no UDFs. The
+  * declared queries are the exact formulations; their approximate
+  * 100 TB-scale twins (MinHashLSH near-dup, LSH-bucketed ANN) live in
+  * graft.operators.Approx since an exact quadratic join stops being the
+  * right plan beyond memory scale.
+  */
+object TextSim {
+
+  /** q28: JSON field extraction + aggregate. `get_json_object` is lighter
+    * than `from_json` for a single path and stays codegen-friendly. */
+  def q28JsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(dround(avg(get_json_object(col("props"), "$.k").cast("int")), 4).as("avg_k"),
+           count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** q29: array element access (1-based on both engines), length, avg of
+    * first coordinate. Inner round stays in FLOAT (DuckDB keeps float32
+    * through round); len → LONG for parity. */
+  def q29ArrayOps(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+           dround(avg(round(element_at(col("embedding"), 1), 6)), 6).as("avg_first"),
+           max(size(col("embedding"))).cast("long").as("dim"))
+      .orderBy("label")
+
+  /** q34: exact dedup on content — group by full text, emit keeper id and
+    * copy count only (never re-materialize the text). At 100 TB the same
+    * plan shuffles hash(text) once; a sha2(text) pre-hash would shrink
+    * shuffle bytes without changing semantics. */
+  def q34DedupExactText(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("keep_id"),
+           count(lit(1)).as("n_copies"),
+           min(col("n_chars")).as("n_chars"))
+      .select("keep_id", "n_copies", "n_chars")
+      .orderBy("keep_id")
+
+  /** q35: exact n-gram (token-set) Jaccard near-dup — probe docs
+    * (doc_id < 100) against all. tokenize→explode→distinct, self-join on
+    * token with the probe filter pushed below the explode, count
+    * intersections, join sizes, exact-ratio filter (the ≥0.8 filter uses
+    * the unrounded ratio — integer-derived, so cross-engine safe).
+    * Production twin at scale: MinHashLSH (Approx.minHashNearDup). */
+  def q35JaccardNeardup(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+    val probe = tok.filter(col("doc_id") < 100)
+      .select(col("doc_id").as("a"), col("w"))
+    val other = tok.select(col("doc_id").as("b"), col("w").as("w2"))
+    val inter = probe.join(other, col("w") === col("w2") && col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("i"))
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val ratio = col("i").cast("double") / (col("sa") + col("sb") - col("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("ka"), col("sz").as("sa")), col("a") === col("ka"))
+      .join(sizes.select(col("doc_id").as("kb"), col("sz").as("sb")), col("b") === col("kb"))
+      .filter(ratio >= 0.8)
+      .select(col("a"), col("b"), dround(ratio, 4).as("jaccard"))
+      .orderBy("a", "b")
+  }
+
+  /** Naive left-fold float32 dot product via builtin HOFs — replicates
+    * DuckDB's `list_cosine_similarity` float accumulation exactly
+    * (verified element-order-sequential on both engines). */
+  private def fdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0f), (acc, x) => acc + x)
+
+  /** q36: vector similarity top-k — 10 probe vectors × top-5 neighbors by
+    * cosine. Probe side broadcasts (NLJ over the corpus, embarrassingly
+    * parallel at scale); full cosine formula (÷ norms) for robustness even
+    * though vectors are unit-norm. All accumulation in float32 to match
+    * the oracle bit-for-bit; sim is rounded to 4dp BEFORE the rank with
+    * nid tie-break (SURVEY.md §2.12 rule 3). Scale twin: Approx.annLsh. */
+  def q36CosineTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    val sim = (fdot(col("pe"), col("embedding")) /
+               (sqrt(fdot(col("pe"), col("pe"))).cast("float") *
+                sqrt(fdot(col("embedding"), col("embedding"))).cast("float")))
+      .cast("float")
+    val w = Window.partitionBy("pid").orderBy(col("sim").desc, col("nid"))
+    broadcast(probes).crossJoin(emb)
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id").as("nid"), round(sim, 4).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy("pid", "rn")
+      .select("pid", "nid", "sim")
+  }
+
+  /** q37: tf-idf top term per document. Score is rounded to 6dp BEFORE
+    * the per-doc rank — equal-in-reals scores from different (tf, df)
+    * pairs would otherwise order nondeterministically across engines. */
+  def q37TfidfTopTerm(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+    val n = tok.agg(countDistinct(col("doc_id")).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w"))
+    tf.join(dfreq.withColumnRenamed("w", "w2"), col("w") === col("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("w"),
+              dround(col("tf") * log(col("n") / col("df")), 6).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("w").as("top_term"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  /** q39: global token frequency top-N — explode → count → top-k heap. */
+  def q39WordcountTopn(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(20)
+}

@@ -1,0 +1,67 @@
+package graft
+
+/** Golden regression pins (SURVEY.md §5.5): every declared query's result
+  * cardinality at sf0.01 — the t2 correctness scale — as DuckDB-validated
+  * by the survey session (SURVEY.md §2 tables). A count drift means a
+  * semantics change, caught before the driver runs.
+  */
+class GoldenCountsSpec extends SparkSpec {
+
+  val expected: Map[String, Long] = Map(
+    "q01_scan_filter_project" -> 1486,
+    "q02_pred_complex" -> 644,
+    "q03_agg_pricing" -> 6,
+    "q04_agg_distinct" -> 3,
+    "q05_agg_rollup" -> 31,
+    "q06_agg_cube" -> 24,
+    "q07_agg_grouping_sets" -> 31,
+    "q08_join_inner" -> 5,
+    "q09_join_multiway_topn" -> 10,
+    "q10_join_left_outer" -> 1500,
+    "q11_join_full_outer" -> 25,
+    "q12_join_semi" -> 1298,
+    "q13_join_anti" -> 538,
+    "q14_join_cross" -> 125,
+    "q15_join_range_theta" -> 22,
+    "q16_join_asof" -> 1981,
+    "q17_win_rank" -> 15,
+    "q18_win_running" -> 1391,
+    "q19_win_lead_lag" -> 10000,
+    "q20_win_range_frame" -> 1391,
+    "q21_sort_topk" -> 25,
+    "q22_union" -> 50,
+    "q23_intersect_except" -> 25,
+    "q24_string_funcs" -> 2000,
+    "q25_date_funcs" -> 15000,
+    "q26_math_funcs" -> 8590,
+    "q27_case_null" -> 1500,
+    "q28_json_extract" -> 5,
+    "q29_array_ops" -> 10,
+    "q30_tumbling_window" -> 3385,
+    "q31_sliding_window" -> 2883,
+    "q32_session_window" -> 9549,
+    "q33_dedup_keep_first" -> 750,
+    "q34_dedup_exact_text" -> 500,
+    "q35_jaccard_neardup" -> 9661,
+    "q36_cosine_topk" -> 50,
+    "q37_tfidf_top_term" -> 500,
+    "q38_star_denorm" -> 60000,
+    "q39_wordcount_topn" -> 20,
+    "q40_histogram" -> 71
+  )
+
+  test("queries/oracleSql keys line up") {
+    assert(SparkEntry.queries.keySet === expected.keySet)
+    assert(SparkEntry.oracleSql.keySet === expected.keySet)
+  }
+
+  expected.toSeq.sortBy(_._1).foreach { case (name, rows) =>
+    test(s"$name has $rows rows at sf0.01") {
+      assert(SparkEntry.queries(name)(spark, sf001).count() === rows)
+    }
+  }
+
+  test("entry flagship returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() === 6000)
+  }
+}

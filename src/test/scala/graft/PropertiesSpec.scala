@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Events, Relational, TextSim}
+
+/** Operator-family invariants (SURVEY.md §5.3), run at sf0.001 for speed.
+  * These hold for ANY data, so they guard semantics rather than values.
+  */
+class PropertiesSpec extends SparkSpec {
+
+  test("dedup is idempotent: q33 output has unique (user_id, event_type)") {
+    val out = Events.q33DedupKeepFirst(spark, sf0001)
+    assert(out.count() === out.select("user_id", "event_type").distinct().count())
+  }
+
+  test("semi ⊎ anti partitions customers (different thresholds aside, same threshold partitions)") {
+    val c = spark.read.parquet(s"$sf0001/customer.parquet")
+    val semi = Relational.q12JoinSemi(spark, sf0001).count()
+    val o450 = spark.read.parquet(s"$sf0001/orders.parquet").filter(col("o_totalprice") > 450000)
+    val semi450 = c.join(o450, col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val anti450 = Relational.q13JoinAnti(spark, sf0001).count()
+    assert(semi450 + anti450 === c.count())
+    assert(semi >= semi450) // looser threshold admits at least as many
+  }
+
+  test("session windows partition events: per-user event counts are preserved") {
+    val sess = Events.q32SessionWindow(spark, sf0001)
+    val perUserFromSessions = sess.groupBy("user_id").agg(sum("n_events").as("n"))
+    val perUserRaw = graft.ops.Tables.events(spark, sf0001).groupBy("user_id").count()
+    val joined = perUserFromSessions.join(perUserRaw, "user_id")
+      .filter(col("n") =!= col("count"))
+    assert(joined.count() === 0)
+  }
+
+  test("session gap property: consecutive sessions of a user are > 30 min apart") {
+    val sess = Events.q32SessionWindow(spark, sf0001)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("sess_id")
+    val bad = sess
+      .withColumn("prev_end", lag(col("sess_end"), 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        unix_micros(col("sess_start").cast("timestamp")) - unix_micros(col("prev_end").cast("timestamp")) <= 1800L * 1000000L)
+    assert(bad.count() === 0)
+  }
+
+  test("asof result: every purchase appears exactly once") {
+    val out = Events.q16JoinAsof(spark, sf0001)
+    val purchases = graft.ops.Tables.events(spark, sf0001).filter(col("event_type") === "purchase")
+    assert(out.count() === purchases.count())
+    assert(out.select("purchase_id").distinct().count() === out.count())
+  }
+
+  test("jaccard bounds: all declared pairs in (0.8, 1.0]") {
+    val out = TextSim.q35JaccardNeardup(spark, sf0001)
+    assert(out.filter(col("jaccard") < 0.8 || col("jaccard") > 1.0).count() === 0)
+  }
+
+  test("cosine self-similarity of unit vectors is ~1") {
+    val emb = graft.ops.Tables.embeddings(spark, sf0001).limit(20)
+    val selfSim = emb.select(
+      round(aggregate(zip_with(col("embedding"), col("embedding"), (x, y) => x * y),
+        lit(0.0f), (acc, x) => acc + x), 3).as("s"))
+    assert(selfSim.filter(col("s") =!= 1.0f).count() === 0)
+  }
+
+  test("sliding window counts = 4 × total events (each event in exactly 4 windows)") {
+    val total = graft.ops.Tables.events(spark, sf0001).count()
+    val windowed = Events.q31SlidingWindow(spark, sf0001).agg(sum("n")).head.getLong(0)
+    assert(windowed === 4 * total)
+  }
+
+  test("union/intersect/except cardinality: |both| + |cust_only| = |distinct cust nations|") {
+    val out = Relational.q23IntersectExcept(spark, sf0001)
+    val distinctCust = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select("c_nationkey").distinct().count()
+    assert(out.count() === distinctCust)
+  }
+
+  test("rollup row count = detail + nations... (Σ grouping combos)") {
+    // rollup(r,n) rows = |r,n groups| + |r groups| + 1
+    val df = Relational.q05AggRollup(spark, sf0001)
+    val detail = df.filter(col("r_name").isNotNull && col("n_name").isNotNull).count()
+    val mid = df.filter(col("r_name").isNotNull && col("n_name").isNull).count()
+    val top = df.filter(col("r_name").isNull).count()
+    assert(df.count() === detail + mid + top)
+    assert(top === 1)
+  }
+}
