@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column library for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting (SURVEY.md
+  * §2.10 / the north-star LLM-pipeline surface).
+  *
+  * Everything is built from codegen'd builtin expressions (no UDFs), so
+  * each helper composes into any DataFrame plan and stays inside
+  * whole-stage codegen — the property that matters when the `documents`
+  * table is 100 TB instead of 500 rows.
+  */
+object TextFunctions {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), w => w =!= ""))
+
+  /** BPE-ish subword count: word-ish runs + digits + punctuation counted
+    * separately (a cheap deterministic proxy for a real tokenizer's token
+    * count — the standard pre-filter statistic). */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=[a-zA-Z])(?=[^a-zA-Z])|(?<=[^a-zA-Z])(?=[a-zA-Z])|\\s+"),
+      w => w =!= ""))
+
+  /** Mean token length — long tokens suggest code/garbage, very short
+    * suggest boilerplate. */
+  def meanTokenLen(text: Column): Column =
+    (length(regexp_replace(text, "\\s+", "")).cast("double") /
+      greatest(tokenCount(text), lit(1)))
+
+  /** Ratio of alphabetic characters (quality heuristic). */
+  def alphaRatio(text: Column): Column =
+    (length(regexp_replace(text, "[^a-zA-Za-яА-Яçáéíóúäöüßàèìòùâêîôû]", ""))
+      .cast("double") / greatest(length(text), lit(1)))
+
+  /** Ratio of punctuation characters. */
+  def punctRatio(text: Column): Column =
+    (length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}-]", "")).cast("double") /
+      greatest(length(text), lit(1)))
+
+  /** English stopword hit ratio over tokens — the classic cheap
+    * language/quality signal. */
+  def stopwordRatio(text: Column): Column = {
+    val stops = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
+      "are", "was", "on", "for", "with", "by", "at", "as", "it", "this", "that")
+    val toks = filter(split(lower(text), "\\s+"), w => w =!= "")
+    (size(filter(toks, w => w.isin(stops.map(lit(_)): _*))).cast("double") /
+      greatest(size(toks), lit(1)))
+  }
+
+  /** n-gram-heuristic language ID over a closed candidate set: scores
+    * per-language marker words/characters and takes the argmax. Real
+    * systems use fastText/CLD3; this is the deterministic, dependency-free
+    * engine shape (scored entirely in one codegen'd expression). */
+  def langIdHeuristic(text: Column): Column = {
+    val lowered = lower(text)
+    def hits(markers: Seq[String]): Column =
+      markers.map(m => when(lowered.contains(s" $m "), 1).otherwise(0))
+        .reduce(_ + _)
+    val scores = Seq(
+      "en" -> hits(Seq("the", "and", "of", "is", "to", "with")),
+      "de" -> (hits(Seq("der", "die", "das", "und", "ist", "mit")) +
+        when(lowered.rlike("[äöüß]"), 2).otherwise(0)),
+      "es" -> (hits(Seq("el", "la", "los", "es", "con", "por")) +
+        when(lowered.rlike("[ñ¿¡]"), 2).otherwise(0)),
+      "fr" -> (hits(Seq("le", "la", "les", "est", "avec", "pour")) +
+        when(lowered.rlike("[àâçèêîôû]"), 2).otherwise(0)),
+      "zh" -> when(lowered.rlike("[\\u4e00-\\u9fff]"), 10).otherwise(0)
+    )
+    // argmax via chained when on pairwise comparisons (closed set of 5)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("unknown")) { case ((langName, score), acc) =>
+      when(score === best && best > 0, langName).otherwise(acc)
+    }
+  }
+
+  /** Composite quality score in [0,1] from length/punct/stopword ratios —
+    * the standard pre-training text filter shape. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val alpha = alphaRatio(text)
+    val stop = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val punctPenalty = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    round((lenScore + alpha + stop + punctPenalty) / 4.0, 4)
+  }
+
+  /** 64-bit rolling (polynomial) content fingerprint via the built-in
+    * xxhash64 — stable across partitions/engines, the cheap exact-dup
+    * pre-filter: equal fingerprints → candidate duplicates, so the
+    * 100 TB exact dedup shuffles 8-byte keys instead of full texts. */
+  def fingerprint(text: Column): Column = xxhash64(text)
+
+  /** SimHash-64 over whitespace tokens: per-token xxhash64, bitwise
+    * majority vote — near-identical texts differ in few bits (Hamming
+    * distance ≤ 3 is the classic near-dup criterion). */
+  def simhash64(text: Column): Column = {
+    val toks = filter(split(text, "\\s+"), w => w =!= "")
+    val hashes = transform(toks, t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Full per-document profile — one pass over the documents table. */
+  def profile(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      tokenCount(col("text")).as("n_tokens"),
+      subwordCount(col("text")).as("n_subwords"),
+      round(meanTokenLen(col("text")), 4).as("mean_tok_len"),
+      round(alphaRatio(col("text")), 4).as("alpha_ratio"),
+      round(punctRatio(col("text")), 4).as("punct_ratio"),
+      round(stopwordRatio(col("text")), 4).as("stopword_ratio"),
+      langIdHeuristic(col("text")).as("lang_pred"),
+      qualityScore(col("text")).as("quality"),
+      fingerprint(col("text")).as("fp64"),
+      simhash64(col("text")).as("simhash"))
+}

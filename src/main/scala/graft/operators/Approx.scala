@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate / sublinear twins of the exact operators — the shapes that
+  * keep working when the data is 100 TB and an exact quadratic join or an
+  * exact distinct is no longer the right plan (SURVEY.md §2.4, §2.10
+  * capability rows).
+  */
+object Approx {
+
+  /** HyperLogLog++ distinct counts — replaces `count(DISTINCT x)` when an
+    * exact expand + two-phase agg would shuffle too much. rsd 0.05 default.
+    * Not oracle-comparable (different sketch than DuckDB); CapabilitySpec
+    * asserts |approx − exact|/exact < 0.05. */
+  def approxDistinctUsers(events: DataFrame, rsd: Double = 0.05): DataFrame =
+    events.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+      .orderBy("event_type")
+
+  /** MinHash-LSH near-duplicate join over document token sets — the
+    * production twin of q35's exact Jaccard, in the standard two-phase
+    * shape: (1) candidate generation via `approxSimilarityJoin` at a
+    * RELAXED threshold (2× the target distance — the MinHash distance is
+    * an estimate, so cutting at the exact target loses the boundary
+    * pairs), then (2) exact Jaccard re-scoring on candidates only. The
+    * candidate join is bucketed-shuffle — linear-ish in candidates
+    * instead of quadratic in docs, which is what survives 100 TB.
+    * CapabilitySpec asserts recall ≥ 0.9 against the exact q35 pairs
+    * (measured 1.0 at sf0.01 with the 2× slack). */
+  def minHashNearDup(spark: SparkSession, docs: DataFrame,
+                     minJaccard: Double = 0.8, numHashTables: Int = 8): DataFrame = {
+    val tokens = docs.select(col("doc_id"),
+      array_distinct(filter(split(col("text"), " "), w => w =!= "")).as("toks"))
+    val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val featured = tf.transform(tokens).filter(size(col("toks")) > 0)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numHashTables).setSeed(42L)
+    val model = lsh.fit(featured)
+    val candidateDist = math.min(1.0, 2.0 * (1.0 - minJaccard))
+    val cands = model.approxSimilarityJoin(featured, featured, candidateDist, "dist")
+      .select(col("datasetA.doc_id").as("a"), col("datasetA.toks").as("ta"),
+              col("datasetB.doc_id").as("b"), col("datasetB.toks").as("tb"))
+      .filter(col("a") < col("b"))
+    val exactJ = size(array_intersect(col("ta"), col("tb"))).cast("double") /
+      size(array_union(col("ta"), col("tb")))
+    cands.select(col("a"), col("b"), round(exactJ, 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** LSH-bucketed approximate nearest neighbours: random-hyperplane
+    * (SimHash) bucket signatures, candidates generated within a bucket,
+    * exact cosine re-scoring on candidates only. `nPlanes` controls the
+    * bucket fan-out (2^nPlanes buckets): the corpus-side shuffle is by
+    * bucket, so at 100 TB each executor scores only its bucket's
+    * candidates instead of the whole corpus. Recall is tunable by probing
+    * neighbouring buckets (here: exact-bucket only — the scale skeleton). */
+  def annLshCosine(emb: DataFrame, probes: DataFrame, k: Int = 5,
+                   nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val dim = 64
+    val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    def signature(v: org.apache.spark.sql.Column) = {
+      val bits = planes.zipWithIndex.map { case (p, i) =>
+        val dot = aggregate(zip_with(v, lit(p), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+        when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _)
+    }
+    val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      .withColumn("bucket", signature(col("ne")))
+    val probed = probes.select(col("vec_id").as("pid"), col("embedding").as("pe"))
+      .withColumn("bucket", signature(col("pe")))
+    val dotCol = aggregate(zip_with(col("pe"), col("ne"), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+    val w = Window.partitionBy("pid").orderBy(col("sim").desc, col("nid"))
+    probed.join(corpus, "bucket")
+      .filter(col("pid") =!= col("nid"))
+      .select(col("pid"), col("nid"), round(dotCol, 4).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("pid", "nid", "sim")
+  }
+
+  /** Exact embedding-cosine near-duplicate pairs (threshold form of q36):
+    * all pairs with cosine ≥ minSim, probe side bounded. */
+  def cosineNearDup(emb: DataFrame, minSim: Double, maxProbeId: Long = 100): DataFrame = {
+    val probes = emb.filter(col("vec_id") < maxProbeId)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    val dotCol = aggregate(zip_with(col("pe"), col("embedding"), (x, y) => x * y),
+      lit(0.0), (a, x) => a + x)
+    broadcast(probes).crossJoin(emb)
+      .filter(col("vec_id") > col("pid"))
+      .select(col("pid"), col("vec_id").as("nid"), round(dotCol, 4).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface beyond the parquet testdata (SURVEY.md §2.1
+  * capability rows): CSV/JSON/text readers with explicit schemas,
+  * record-oriented text parsing (the reference's XML-dump shape), the
+  * partitioned parquet sink, and the JDBC (RDBMS) sink — the north-star
+  * "ETL to RDBMS" output path.
+  */
+object Sources {
+
+  /** CSV with an explicit schema — schema-on-read, no inference pass
+    * (an inference pass would read the data twice; at 100 TB that is the
+    * difference between one scan and two). */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(path)
+
+  /** JSON-lines with an explicit schema. */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Raw text lines (one row per line). */
+  def textLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** Record-oriented extraction from semi-structured text — the Spark
+    * shape of the reference's XML-record parsing (spark-xml is not on the
+    * classpath): read lines, filter record boundaries, extract fields
+    * with regexp_extract. `fields` maps output column -> regex with one
+    * capture group. Stays fully parallel: each task parses its split. */
+  def extractRecords(lines: DataFrame, recordFilter: String,
+                     fields: Map[String, String]): DataFrame = {
+    val base = lines.filter(col("value").rlike(recordFilter))
+    fields.foldLeft(base) { case (df, (name, pattern)) =>
+      df.withColumn(name, regexp_extract(col("value"), pattern, 1))
+    }.drop("value")
+  }
+
+  /** Partitioned parquet sink — the 100 TB layout: partition by a
+    * low-cardinality derived key (e.g. event month) so downstream scans
+    * prune partitions, with `maxRecordsPerFile` bounding file sizes. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       maxRecordsPerFile: Long = 5000000L): Unit =
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** JDBC sink writer, configured for bulk RDBMS loads: `numPartitions`
+    * bounds concurrent connections, `batchsize` amortizes round-trips,
+    * and writes should target an idempotent staging table that a final
+    * transactional rename promotes (SURVEY.md §7.5). No DB server exists
+    * in the sandbox, so this returns the configured writer; `.save()` is
+    * the caller's side effect. */
+  def jdbcWriter(df: DataFrame, url: String, table: String,
+                 user: String, password: String,
+                 numPartitions: Int = 8, batchSize: Int = 10000): DataFrameWriter[Row] =
+    df.repartition(numPartitions)
+      .write.mode("append").format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("user", user)
+      .option("password", password)
+      .option("numPartitions", numPartitions.toString)
+      .option("batchsize", batchSize.toString)
+      .option("isolationLevel", "READ_COMMITTED")
+}

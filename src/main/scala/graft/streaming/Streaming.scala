@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Determinism._
+
+/** Structured-Streaming twins of the declared event-time operators
+  * (SURVEY.md §2.9 capability row).
+  *
+  * Each transform is a pure DataFrame → DataFrame function that works on
+  * BOTH a batch DataFrame and a `readStream` DataFrame — Spark defines
+  * event-time windows identically in both modes, which is the
+  * batch–stream equivalence guarantee CapabilitySpec asserts (a
+  * MemoryStream fed the same rows must produce the batch answer).
+  *
+  * At production scale these run with `readStream.format("kafka"|"parquet")`
+  * sources, checkpointed sinks, and the watermark bounding state size:
+  * state per key is O(open windows), late rows beyond the watermark are
+  * dropped instead of accumulating unbounded state across 1000 executors.
+  */
+object Streaming {
+
+  /** Tumbling 1h counts/sums per event type with a 10-minute watermark —
+    * the streaming twin of q30. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsumRound(col("value"), 2).as("sv"))
+      .select(col("window.start").as("win"), col("event_type"), col("n"), col("sv"))
+
+  /** Sliding 1h/15min totals — streaming twin of q31. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), dsumRound(col("value"), 2).as("sv"))
+      .select(col("window.start").as("win_start"), col("n"), col("sv"))
+
+  /** Session windows with a 30-minute gap per user — streaming twin of
+    * q32 via the native `session_window` operator (labels differ from the
+    * batch-declared lag/cumsum formulation; window extents are identical). */
+  def sessionAggregates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsumRound(col("value"), 2).as("sv"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"),
+              col("session_window.end").as("sess_end"), col("n_events"), col("sv"))
+
+  /** Streaming keep-first dedup — twin of q33. In batch mode
+    * `dropDuplicates` on the key set; in streaming the watermark variant
+    * bounds the dedup state. */
+  def streamingDedup(events: DataFrame, withinWatermark: Boolean): DataFrame = {
+    val keys = Seq("user_id", "event_type")
+    if (withinWatermark)
+      events.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+    else events.dropDuplicates(keys)
+  }
+}
