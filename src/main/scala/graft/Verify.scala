@@ -17,6 +17,7 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // µs timestamps in dumps — what DuckDB/pyarrow compare against.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -2,20 +2,71 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types._
 
 /** Typed readers for the ten testdata tables (schemas: FIXTURES.md).
   *
   * Load pattern is the harness contract: `spark.read.parquet(s"$sfDir/<t>.parquet")`
-  * (TESTDATA.md, SparkEntry). Parquet embeds the schema, so scans get the
-  * vectorized reader + pushdown/pruning for free. At 100 TB the same
-  * readers work unchanged against a partitioned directory layout
-  * (`partitionBy(month)` on write — SURVEY.md §7.5); nothing here assumes
-  * a single file.
+  * (TESTDATA.md, SparkEntry). Schemas are passed EXPLICITLY: the tables'
+  * shapes are externally fixed, and skipping Spark's footer-inference
+  * pass removes a driver-side job per read (~80ms each here; at 100 TB,
+  * inference over a large file listing is a full extra metadata pass).
+  * Scans still get the vectorized reader + pushdown/pruning. Nothing
+  * here assumes a single file — the same readers work against a
+  * `partitionBy` directory layout (SURVEY.md §7.5).
   */
 object Tables {
+
+  // Timestamps in the source parquet are NAIVE (no UTC adjustment), so
+  // they surface as TIMESTAMP_NTZ — matching how DuckDB reads them.
+  private val ntz = TimestampNTZType
+
+  val schemas: Map[String, StructType] = Map(
+    "region" -> StructType(Seq(
+      StructField("r_regionkey", IntegerType), StructField("r_name", StringType))),
+    "nation" -> StructType(Seq(
+      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType))),
+    "customer" -> StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType))),
+    "supplier" -> StructType(Seq(
+      StructField("s_suppkey", LongType), StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType), StructField("s_acctbal", DoubleType))),
+    "part" -> StructType(Seq(
+      StructField("p_partkey", LongType), StructField("p_name", StringType),
+      StructField("p_brand", StringType), StructField("p_type", StringType),
+      StructField("p_size", IntegerType), StructField("p_retailprice", DoubleType))),
+    "orders" -> StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", ntz), StructField("o_orderpriority", StringType))),
+    "lineitem" -> StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType), StructField("l_tax", DoubleType),
+      StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
+      StructField("l_shipdate", ntz))),
+    // ts is parquet timestamp[ns]: with spark.sql.legacy.parquet.nanosAsLong
+    // (required — set by Verify/Bench/test sessions) it reads as Long ns.
+    "events" -> StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType))),
+    "documents" -> StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType))),
+    "embeddings" -> StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+  )
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
@@ -24,26 +75,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
-  /** `events.ts` is parquet timestamp[ns], which Spark's vectorized
-    * reader rejects. With `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (set by Verify/Bench/Graft sessions) it arrives as LongType ns —
-    * convert to a µs TimestampType. The data's jitter is µs-scale
-    * (FIXTURES.md: ns%1000 == 0), so the division is lossless. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = t(s, d, "events")
-    raw.schema("ts").dataType match {
-      case LongType =>
-        // timestamp_ntz: naive wall-clock semantics, matching how both
-        // engines see the source data — written back without UTC
-        // adjustment, as the oracle compare expects.
-        // `div` = integral division: `/` would go through DOUBLE, which
-        // cannot represent epoch-ns exactly (2^53 < 1.7e18) and yields
-        // ±1µs errors.
-        raw.withColumn("ts",
-          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-      case _ => raw
-    }
-  }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** `events.ts` arrives as Long epoch-ns (see schema note) — convert to
+    * a naive µs timestamp. `div` = integral division: `/` would go
+    * through DOUBLE, which cannot represent epoch-ns exactly
+    * (2^53 < 1.7e18) and yields ±1µs errors. The data's jitter is
+    * µs-scale (FIXTURES.md: ns%1000 == 0), so truncation is lossless. */
+  def events(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events").withColumn("ts",
+      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
 }

@@ -52,27 +52,34 @@ object TextSim {
       .select("keep_id", "n_copies", "n_chars")
       .orderBy("keep_id")
 
-  /** q35: exact n-gram (token-set) Jaccard near-dup — probe docs
-    * (doc_id < 100) against all. tokenize→explode→distinct, self-join on
-    * token with the probe filter pushed below the explode, count
-    * intersections, join sizes, exact-ratio filter (the ≥0.8 filter uses
-    * the unrounded ratio — integer-derived, so cross-engine safe).
+  /** q35: exact token-set Jaccard near-dup — probe docs (doc_id < 100)
+    * against all. Token-SET formulation: each doc becomes its distinct
+    * token array once (one scan, no explode), the bounded probe side
+    * broadcasts, and intersection/union sizes come from `array_intersect`
+    * per candidate pair. Identical semantics to the oracle's
+    * explode→self-join→count formulation, but it moves |docs| array rows
+    * instead of |docs|·|tokens| exploded rows — and a token self-join
+    * here would hash-shuffle on a ~31-word vocabulary (pathological key
+    * skew at any scale). The ≥0.8 filter uses the unrounded ratio
+    * (integer-derived — cross-engine safe).
     * Production twin at scale: MinHashLSH (Approx.minHashNearDup). */
   def q35JaccardNeardup(s: SparkSession, d: String): DataFrame = {
-    val tok = documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .distinct()
-    val probe = tok.filter(col("doc_id") < 100)
-      .select(col("doc_id").as("a"), col("w"))
-    val other = tok.select(col("doc_id").as("b"), col("w").as("w2"))
-    val inter = probe.join(other, col("w") === col("w2") && col("a") < col("b"))
-      .groupBy("a", "b")
-      .agg(count(lit(1)).as("i"))
-    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val toks = documents(s, d)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val probe = toks.filter(col("doc_id") < 100)
+      .select(col("doc_id").as("a"), col("toks").as("ta"))
+    // The testdata corpus is one small parquet file = one input split, so
+    // without a repartition the whole pair loop would run on one core; at
+    // real scale the input already has many splits and this exchange is
+    // noise relative to the pair work.
+    val corpus = toks.select(col("doc_id").as("b"), col("toks").as("tb"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val i = size(array_intersect(col("ta"), col("tb"))).cast("long")
     val ratio = col("i").cast("double") / (col("sa") + col("sb") - col("i"))
-    inter
-      .join(sizes.select(col("doc_id").as("ka"), col("sz").as("sa")), col("a") === col("ka"))
-      .join(sizes.select(col("doc_id").as("kb"), col("sz").as("sb")), col("b") === col("kb"))
+    broadcast(probe).crossJoin(corpus)
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), i.as("i"),
+              size(col("ta")).cast("long").as("sa"), size(col("tb")).cast("long").as("sb"))
       .filter(ratio >= 0.8)
       .select(col("a"), col("b"), dround(ratio, 4).as("jaccard"))
       .orderBy("a", "b")
@@ -92,16 +99,23 @@ object TextSim {
     * nid tie-break (SURVEY.md §2.12 rule 3). Scale twin: Approx.annLsh. */
   def q36CosineTopk(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
+    // Norms are precomputed per side BEFORE the pair join — computing
+    // them inside the pair expression would redo an O(dim) fold per pair
+    // (n·k times) instead of once per vector.
     val probes = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
-    val sim = (fdot(col("pe"), col("embedding")) /
-               (sqrt(fdot(col("pe"), col("pe"))).cast("float") *
-                sqrt(fdot(col("embedding"), col("embedding"))).cast("float")))
-      .cast("float")
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+              sqrt(fdot(col("embedding"), col("embedding"))).cast("float").as("pnorm"))
+    // single-file input = single split: spread the NLJ stream side across
+    // cores (see q35 note).
+    val corpus = emb
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+              sqrt(fdot(col("embedding"), col("embedding"))).cast("float").as("nnorm"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val sim = (fdot(col("pe"), col("ne")) / (col("pnorm") * col("nnorm"))).cast("float")
     val w = Window.partitionBy("pid").orderBy(col("sim").desc, col("nid"))
-    broadcast(probes).crossJoin(emb)
-      .filter(col("vec_id") =!= col("pid"))
-      .select(col("pid"), col("vec_id").as("nid"), round(sim, 4).as("sim"))
+    broadcast(probes).crossJoin(corpus)
+      .filter(col("nid") =!= col("pid"))
+      .select(col("pid"), col("nid"), round(sim, 4).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .orderBy("pid", "rn")
@@ -118,7 +132,9 @@ object TextSim {
     val dfreq = tok.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
     val n = tok.agg(countDistinct(col("doc_id")).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w"))
-    tf.join(dfreq.withColumnRenamed("w", "w2"), col("w") === col("w2"))
+    // df has one row per vocabulary word (~31) — broadcast, never shuffle
+    // tf on a 31-key join.
+    tf.join(broadcast(dfreq.withColumnRenamed("w", "w2")), col("w") === col("w2"))
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("w"),
               dround(col("tf") * log(col("n") / col("df")), 6).as("score"))
