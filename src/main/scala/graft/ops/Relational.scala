@@ -27,8 +27,8 @@ object Relational {
     * skip at scale); only 6 of 11 lineitem columns are read. */
   def q01ScanFilterProject(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
-      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
-              col("l_shipdate") <  lit("1998-01-01").cast("timestamp") &&
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp_ntz") &&
               col("l_returnflag") === "R" && col("l_quantity") > 25)
       .select(col("l_orderkey"), col("l_linenumber"),
               dround(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net"))
@@ -49,7 +49,7 @@ object Relational {
     * for order-independence (Determinism.dsum). */
   def q03AggPricing(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
-      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         dsumRound(col("l_quantity"), 2).as("sum_qty"),
@@ -111,8 +111,8 @@ object Relational {
     * below the joins; TakeOrderedAndProject avoids a full global sort. */
   def q09JoinMultiwayTopn(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-    val o = orders(s, d).filter(col("o_orderdate") < lit("1998-06-15").cast("timestamp"))
-    val l = lineitem(s, d).filter(col("l_shipdate") > lit("1998-06-15").cast("timestamp"))
+    val o = orders(s, d).filter(col("o_orderdate") < lit("1998-06-15").cast("timestamp_ntz"))
+    val l = lineitem(s, d).filter(col("l_shipdate") > lit("1998-06-15").cast("timestamp_ntz"))
     c.join(o, col("c_custkey") === col("o_custkey"))
       .join(l, col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderkey", "o_orderdate")
