@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.Determinism
+
+/** Generator-based invariants (SURVEY.md §5.3) over small in-memory
+  * DataFrames — these hold for ANY data, independent of the testdata.
+  * Sampling is seed-pinned so failures reproduce.
+  */
+class GeneratedPropertiesSpec extends SparkSpec {
+
+  import scala.jdk.CollectionConverters._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def mkDf(rows: Seq[(Long, Long, Double)]) = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType), StructField("k", LongType),
+      StructField("v", DoubleType)))
+    spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)).asJava, schema)
+  }
+
+  private val rowsGen: Gen[List[(Long, Long, Double)]] =
+    Gen.listOfN(40, for {
+      id <- Gen.choose(0L, 1000L)
+      k <- Gen.choose(0L, 5L)
+      v <- Gen.choose(-1000.0, 1000.0)
+    } yield (id, k, v))
+
+  test("dround matches DuckDB's floor(x*p+0.5)/p on arbitrary doubles") {
+    val xsSamples = samples(Gen.listOfN(50, Gen.choose(-100000.0, 100000.0)), 4)
+    for ((xs, s) <- xsSamples.zip(Seq(0, 2, 4, 6)) if xs.nonEmpty) {
+      import org.apache.spark.sql.types._
+      val df = spark.createDataFrame(
+        xs.map(x => org.apache.spark.sql.Row(x)).asJava,
+        StructType(Seq(StructField("x", DoubleType))))
+      val got = df.select(Determinism.dround(col("x"), s).as("r"))
+        .collect().map(_.getDouble(0))
+      val want = xs.map { x =>
+        val p = math.pow(10, s)
+        val scaled = x * p
+        (if (scaled >= 0) math.floor(scaled + 0.5) else -math.floor(-scaled + 0.5)) / p
+      }
+      assert(got.toSeq === want, s"scale $s")
+    }
+  }
+
+  test("decimal sum is invariant under repartitioning (order independence)") {
+    for (rows <- samples(rowsGen, 5) if rows.nonEmpty) {
+      val df = mkDf(rows)
+      val a = df.agg(Determinism.dsumRound(col("v"), 2)).head.getDouble(0)
+      val b = df.repartition(7).agg(Determinism.dsumRound(col("v"), 2)).head.getDouble(0)
+      val c = df.repartition(1).agg(Determinism.dsumRound(col("v"), 2)).head.getDouble(0)
+      assert(a === b && b === c)
+    }
+  }
+
+  test("keep-first dedup is idempotent and keeps min id per key") {
+    for (rows <- samples(rowsGen, 5) if rows.nonEmpty) {
+      val df = mkDf(rows)
+      val w = Window.partitionBy("k").orderBy("id", "v")
+      def dedup(in: org.apache.spark.sql.DataFrame) =
+        in.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      val once = dedup(df)
+      val twice = dedup(once)
+      assert(once.exceptAll(twice).count() === 0 && twice.exceptAll(once).count() === 0)
+      val minIds = df.groupBy("k").agg(min("id").as("mid")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      once.collect().foreach { r => assert(r.getLong(0) === minIds(r.getLong(1))) }
+    }
+  }
+
+  test("semi ⊎ anti partitions the left side for any predicate threshold") {
+    val thrs = samples(Gen.choose(-500.0, 500.0), 5)
+    for ((rows, thr) <- samples(rowsGen, 5).zip(thrs) if rows.nonEmpty) {
+      val left = mkDf(rows).select(col("id")).distinct()
+      val right = mkDf(rows).filter(col("v") > thr).select(col("id").as("rid"))
+      val semi = left.join(right, col("id") === col("rid"), "left_semi").count()
+      val anti = left.join(right, col("id") === col("rid"), "left_anti").count()
+      assert(semi + anti === left.count())
+    }
+  }
+
+  test("union cardinality laws: unionAll adds; intersect+except partition A") {
+    val pairs = samples(rowsGen, 6).grouped(2).collect { case Seq(a, b) => (a, b) }.toSeq
+    for ((ra, rb) <- pairs) {
+      val a = mkDf(ra).select("k").distinct()
+      val b = mkDf(rb).select("k").distinct()
+      assert(a.unionAll(b).count() === a.count() + b.count())
+      assert(a.intersect(b).count() <= math.min(a.count(), b.count()))
+      assert(a.intersect(b).count() + a.except(b).count() === a.count())
+    }
+  }
+
+  test("running sum over full partition equals group total") {
+    for (rows <- samples(rowsGen, 5).map(_.distinctBy(r => (r._1, r._2))) if rows.nonEmpty) {
+      val df = mkDf(rows)
+      val w = Window.partitionBy("k").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lastRunning = df.withColumn("run", sum("v").over(w))
+        .withColumn("rn", row_number().over(Window.partitionBy("k").orderBy(col("id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("k"), round(col("run"), 6).as("run"))
+      val totals = df.groupBy("k").agg(round(sum("v"), 6).as("tot"))
+      val joined = lastRunning.join(totals, "k")
+        .filter(abs(col("run") - col("tot")) > 1e-6)
+      assert(joined.count() === 0)
+    }
+  }
+}

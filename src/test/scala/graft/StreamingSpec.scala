@@ -1,0 +1,109 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Events, Tables}
+import graft.streaming.Streaming
+
+/** Structured Streaming behavior beyond the tumbling-equivalence test in
+  * CapabilitySpec: sliding-window equivalence, watermark late-data
+  * dropping, and streaming session windows (SURVEY.md §2.9, §5.4).
+  * All tests use MemoryStream + processAllAvailable — no wall-clock waits.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private type Ev = (Long, Timestamp, Long, String, Double)
+
+  private def eventRows(sf: String): Array[Ev] = {
+    import spark.implicits._
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Ev].collect().sortBy(_._2.getTime)
+  }
+
+  private def runToMemory(name: String, out: org.apache.spark.sql.DataFrame,
+                          mode: String = "complete")(feed: => Unit): Unit = {
+    val q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try { feed; q.processAllAvailable() } finally q.stop()
+  }
+
+  test("streaming sliding window == batch q31") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    runToMemory("sliding_t",
+      Streaming.slidingCounts(stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))) {
+      stream.addData(eventRows(sf0001).toSeq)
+    }
+    val streamed = spark.table("sliding_t")
+      .select(col("win_start").cast("timestamp"), col("n"), col("sv"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Events.q31SlidingWindow(spark, sf0001)
+      .select(col("win_start").cast("timestamp"), col("n"), col("sv"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === batch)
+  }
+
+  test("streaming session windows cover every event exactly once") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    runToMemory("session_t",
+      Streaming.sessionAggregates(stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))) {
+      stream.addData(eventRows(sf0001).toSeq)
+    }
+    val out = spark.table("session_t")
+    val nEvents = out.agg(sum("n_events")).head.getLong(0)
+    assert(nEvents === Tables.events(spark, sf0001).count())
+    // session windows of one user never overlap
+    val sessions = out.select("user_id", "sess_start", "sess_end")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+      .groupBy(_._1)
+    sessions.values.foreach { ss =>
+      val sorted = ss.sortBy(_._2.getTime)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(!b._2.before(a._3), s"overlap: $a / $b")
+        case _ =>
+      }
+    }
+  }
+
+  test("watermark drops late data in update mode") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val q = Streaming.tumblingCounts(
+      stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("late_t").outputMode("append").start()
+    try {
+      // batch 1: events up to 11:30 → watermark advances to 11:20
+      stream.addData(Seq[Ev]((1L, ts(0), 1L, "click", 1.0), (2L, ts(30), 1L, "click", 1.0)))
+      q.processAllAvailable()
+      stream.addData(Seq[Ev]((3L, Timestamp.valueOf("2024-01-01 11:30:00"), 1L, "click", 1.0)))
+      q.processAllAvailable()
+      // batch 3: an event from 10:0x — far behind the watermark → dropped
+      stream.addData(Seq[Ev]((4L, ts(5), 1L, "click", 9.0)))
+      q.processAllAvailable()
+      stream.addData(Seq[Ev]((5L, Timestamp.valueOf("2024-01-01 13:00:00"), 1L, "click", 1.0)))
+      q.processAllAvailable()
+      val lastProgress = q.recentProgress.map(_.stateOperators.headOption.map(_.numRowsDroppedByWatermark).getOrElse(0L)).sum
+      assert(lastProgress >= 1L, s"expected the 10:05 event to be dropped by the watermark, got $lastProgress")
+    } finally q.stop()
+  }
+
+  test("Graft facade: registerTables + SQL + named operator") {
+    Graft.registerTables(spark, sf0001)
+    val viaSql = spark.sql(
+      "SELECT c_mktsegment, count(*) AS n FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1")
+    assert(viaSql.count() === 5)
+    assert(Graft.operators.size === 40)
+    assert(Graft.query("q21_sort_topk")(spark, sf0001).count() === 25)
+    // SQL over the events view (ns-timestamp table) works too
+    assert(spark.sql("SELECT count(*) FROM events WHERE user_id < 5").head.getLong(0) > 0)
+  }
+}
