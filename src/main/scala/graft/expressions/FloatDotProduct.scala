@@ -1,0 +1,94 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType}
+
+/** Native Catalyst expression: naive sequential float32 dot product of two
+  * FLOAT arrays — the hot loop of cosine similarity (q36, ANN).
+  *
+  * Preference order for extending Spark is builtin functions > native
+  * `Expression` with codegen > UDF (SURVEY.md §4): the builtin HOF
+  * formulation (`aggregate(zip_with(...))`) is interpreted per element
+  * with boxed lambda calls, while this generates a tight primitive loop
+  * inside whole-stage codegen. Accumulation is float32 left-to-right —
+  * bit-identical to both the HOF formulation and DuckDB's
+  * `list_cosine_similarity` (the oracle), so swapping it in cannot change
+  * any rounded result.
+  *
+  * Arrays are assumed non-null-elemented (embedding vectors); length
+  * mismatch folds over the shorter prefix like `zip_with`-with-null-drop.
+  */
+case class FloatDotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType == ArrayType(FloatType))
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"float_dot expects two array<float> args, got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+  override def dataType: DataType = FloatType
+  override def prettyName: String = "float_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0f
+    var i = 0
+    while (i < n) { acc += x.getFloat(i) * y.getFloat(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |float $acc = 0.0f;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $x.getFloat($i) * $y.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration for the engine's native functions — either imperatively
+  * (`GraftFunctions.register(spark)`) or through the standard plugin path
+  * (`spark.sql.extensions=graft.expressions.GraftExtensions`). */
+object GraftFunctions {
+  val info = new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot")
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("float_dot"), info,
+      (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1)))
+
+  /** SQL-callable after register: `float_dot(<colA>, <colB>)` — column
+    * references by (possibly qualified) name, resolved by the analyzer. */
+  def floatDot(spark: SparkSession, a: String, b: String): Column = {
+    register(spark)
+    expr(s"float_dot($a, $b)")
+  }
+}
+
+/** `SparkSessionExtensions` plugin: injects the engine's native functions
+  * into every session built with
+  * `--conf spark.sql.extensions=graft.expressions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(
+      (FunctionIdentifier("float_dot"), GraftFunctions.info,
+        (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1))))
+}

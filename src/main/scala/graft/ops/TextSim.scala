@@ -87,7 +87,9 @@ object TextSim {
 
   /** Naive left-fold float32 dot product via builtin HOFs — replicates
     * DuckDB's `list_cosine_similarity` float accumulation exactly
-    * (verified element-order-sequential on both engines). */
+    * (verified element-order-sequential on both engines). Kept as the
+    * extension-free formulation; q36 uses the codegen'd native
+    * [[graft.expressions.FloatDotProduct]], which is bit-identical. */
   private def fdot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0f), (acc, x) => acc + x)
 
@@ -99,19 +101,23 @@ object TextSim {
     * nid tie-break (SURVEY.md §2.12 rule 3). Scale twin: Approx.annLsh. */
   def q36CosineTopk(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
+    // The dot product runs as the native codegen'd FloatDotProduct
+    // expression (tight primitive loop, same float32 left-fold as the
+    // builtin-HOF fdot and as DuckDB's list_cosine_similarity).
+    val dot = (a: String, b: String) => graft.expressions.GraftFunctions.floatDot(s, a, b)
     // Norms are precomputed per side BEFORE the pair join — computing
     // them inside the pair expression would redo an O(dim) fold per pair
     // (n·k times) instead of once per vector.
     val probes = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("pid"), col("embedding").as("pe"),
-              sqrt(fdot(col("embedding"), col("embedding"))).cast("float").as("pnorm"))
+              sqrt(dot("embedding", "embedding")).cast("float").as("pnorm"))
     // single-file input = single split: spread the NLJ stream side across
     // cores (see q35 note).
     val corpus = emb
       .select(col("vec_id").as("nid"), col("embedding").as("ne"),
-              sqrt(fdot(col("embedding"), col("embedding"))).cast("float").as("nnorm"))
+              sqrt(dot("embedding", "embedding")).cast("float").as("nnorm"))
       .repartition(s.sparkContext.defaultParallelism)
-    val sim = (fdot(col("pe"), col("ne")) / (col("pnorm") * col("nnorm"))).cast("float")
+    val sim = (dot("pe", "ne") / (col("pnorm") * col("nnorm"))).cast("float")
     val w = Window.partitionBy("pid").orderBy(col("sim").desc, col("nid"))
     broadcast(probes).crossJoin(corpus)
       .filter(col("nid") =!= col("pid"))
