@@ -1,0 +1,59 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Custom typed aggregators (SURVEY.md §2.4 capability row) — the
+  * `Aggregator[IN, BUF, OUT]` extension point for aggregation semantics
+  * the builtins lack. Registered per-call via `udaf(...)`; state merges
+  * associatively, so partial aggregation and AQE work as for builtins.
+  */
+object Aggregators {
+
+  /** Exact weighted percentile: the smallest value v such that the
+    * cumulative weight of inputs ≤ v reaches p of the total weight.
+    * Exact ⇒ per-group state holds the group's (value, weight) pairs —
+    * fine for dimension-sized groups; for heavy groups at 100 TB use the
+    * builtin sketch `percentile_approx` instead (documented trade, not a
+    * limitation of the extension point). */
+  class WeightedPercentile(p: Double) extends Aggregator[(Double, Double), ArrayBuffer[(Double, Double)], Double] {
+    require(p > 0 && p <= 1, s"percentile must be in (0,1], got $p")
+    def zero: ArrayBuffer[(Double, Double)] = ArrayBuffer.empty
+    def reduce(b: ArrayBuffer[(Double, Double)], a: (Double, Double)): ArrayBuffer[(Double, Double)] = { b += a; b }
+    def merge(x: ArrayBuffer[(Double, Double)], y: ArrayBuffer[(Double, Double)]): ArrayBuffer[(Double, Double)] = { x ++= y; x }
+    def finish(b: ArrayBuffer[(Double, Double)]): Double = {
+      if (b.isEmpty) return Double.NaN
+      val sorted = b.sortBy(_._1)
+      val total = sorted.iterator.map(_._2).sum
+      val target = p * total
+      var cum = 0.0
+      for ((v, w) <- sorted) { cum += w; if (cum >= target) return v }
+      sorted.last._1
+    }
+    def bufferEncoder: Encoder[ArrayBuffer[(Double, Double)]] = Encoders.kryo
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Column-level weighted percentile over (value, weight). */
+  def weightedPercentile(p: Double)(value: Column, weight: Column): Column =
+    udaf(new WeightedPercentile(p), Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
+      .apply(value, weight)
+
+  /** Geometric mean — multiplicative aggregate with an additive log-space
+    * buffer (fixed-size state: scales to any group size). */
+  class GeometricMean extends Aggregator[Double, (Double, Long), Double] {
+    def zero: (Double, Long) = (0.0, 0L)
+    def reduce(b: (Double, Long), a: Double): (Double, Long) =
+      if (a > 0) (b._1 + math.log(a), b._2 + 1) else b
+    def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) = (x._1 + y._1, x._2 + y._2)
+    def finish(b: (Double, Long)): Double = if (b._2 == 0) Double.NaN else math.exp(b._1 / b._2)
+    def bufferEncoder: Encoder[(Double, Long)] = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  def geometricMean(value: Column): Column =
+    udaf(new GeometricMean, Encoders.scalaDouble).apply(value)
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Aggregators
+import graft.ops.Tables
+import graft.sources.Sources
+
+/** RDBMS sink smoke (the north-star "ETL to RDBMS" path, against the
+  * embedded Derby that ships on the classpath) and custom-UDAF checks.
+  */
+class SinkAndUdafSpec extends SparkSpec {
+
+  test("JDBC sink round-trips the nation table through embedded Derby") {
+    val db = java.nio.file.Files.createTempDirectory("graft_derby").toString + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    val nation = Tables.nation(spark, sf0001)
+    Sources.jdbcWriter(nation, url, "nation_sink", "app", "app", numPartitions = 2).save()
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "nation_sink").load()
+    assert(back.count() === 25)
+    assert(back.columns.sorted === nation.columns.sorted)
+    // appending again doubles the rows — append semantics, no silent replace
+    Sources.jdbcWriter(nation, url, "nation_sink", "app", "app", numPartitions = 2).save()
+    assert(spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "nation_sink").load().count() === 50)
+  }
+
+  test("weighted percentile UDAF: p50 of known weights") {
+    import spark.implicits._
+    // values 1..4; weight concentrated on 3 → weighted p50 = 3
+    val df = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 10.0), (4.0, 1.0)).toDF("v", "w")
+    val p50 = df.agg(Aggregators.weightedPercentile(0.5)(col("v"), col("w"))).head.getDouble(0)
+    assert(p50 === 3.0)
+    // uniform weights → ordinary median-ish (2.0 = first value reaching half)
+    val dfu = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 1.0)).toDF("v", "w")
+    val p50u = dfu.agg(Aggregators.weightedPercentile(0.5)(col("v"), col("w"))).head.getDouble(0)
+    assert(p50u === 2.0)
+  }
+
+  test("weighted percentile distributes: same answer under repartitioning") {
+    val events = Tables.events(spark, sf0001).select(col("value"), lit(1.0).as("w"))
+    val a = events.agg(Aggregators.weightedPercentile(0.9)(col("value"), col("w"))).head.getDouble(0)
+    val b = events.repartition(13)
+      .agg(Aggregators.weightedPercentile(0.9)(col("value"), col("w"))).head.getDouble(0)
+    assert(a === b)
+  }
+
+  test("geometric mean UDAF matches exp(avg(ln)) and groups correctly") {
+    val events = Tables.events(spark, sf0001).filter(col("value") > 0)
+    val viaUdaf = events.groupBy("event_type")
+      .agg(Aggregators.geometricMean(col("value")).as("gm"))
+    val viaExpr = events.groupBy("event_type")
+      .agg(exp(avg(log(col("value")))).as("gm2"))
+    val joined = viaUdaf.join(viaExpr, "event_type")
+      .filter(abs(col("gm") - col("gm2")) > 1e-9)
+    assert(joined.count() === 0)
+  }
+}
