@@ -85,6 +85,53 @@ object Approx {
       .select("pid", "nid", "sim")
   }
 
+  /** SimHash near-duplicate detection: 64-bit SimHash per doc, banded
+    * into 4×16-bit keys for candidate generation — by pigeonhole, any
+    * pair within Hamming distance 3 shares at least one exact band, so
+    * the band-bucket self-join finds ALL such pairs without a quadratic
+    * scan; candidates are then exactly filtered by `bit_count(a XOR b)`.
+    * The band join shuffles on band values (2^16 per band — no hot-key
+    * skew), which is the shape that survives 100 TB. */
+  def simHashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 bands of 16 bits guarantee recall only up to Hamming 3")
+    val sh = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.simhash64(col("text")).as("sh"))
+    val banded = sh.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
+    val a = banded.select(col("doc_id").as("a"), col("sh").as("sha"), col("band"), col("key"))
+    val b = banded.select(col("doc_id").as("b"), col("sh").as("shb"), col("band").as("band2"), col("key").as("key2"))
+    a.join(b, col("band") === col("band2") && col("key") === col("key2") && col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact word-n-gram (shingle) Jaccard near-dup: contiguous n-token
+    * shingles instead of single tokens — order-sensitive, the standard
+    * content-overlap measure for near-dup text. Probe side bounded and
+    * broadcast (same skew reasoning as q35). */
+  def ngramJaccardNearDup(docs: DataFrame, n: Int = 3,
+                          minJaccard: Double = 0.5, maxProbeId: Long = 100): DataFrame = {
+    val toks = filter(split(col("text"), "\\s+"), w => w =!= "")
+    val shingles = array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    val sh = docs.select(col("doc_id"), shingles.as("sh")).filter(size(col("sh")) > 0)
+    val probe = sh.filter(col("doc_id") < maxProbeId)
+      .select(col("doc_id").as("a"), col("sh").as("sa"))
+    val corpus = sh.select(col("doc_id").as("b"), col("sh").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val union = (size(col("sa")) + size(col("sb"))).cast("double") - inter
+    broadcast(probe).crossJoin(corpus)
+      .filter(col("a") < col("b"))
+      .withColumn("jaccard", round(inter / union, 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("a", "b", "jaccard")
+  }
+
   /** Exact embedding-cosine near-duplicate pairs (threshold form of q36):
     * all pairs with cosine ≥ minSim, probe side bounded. */
   def cosineNearDup(emb: DataFrame, minSim: Double, maxProbeId: Long = 100): DataFrame = {

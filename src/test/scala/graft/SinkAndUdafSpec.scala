@@ -46,6 +46,27 @@ class SinkAndUdafSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("SimHash near-dup finds exact duplicates, respects Hamming bound") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).limit(100)
+      .unionByName(Tables.documents(spark, sf0001).limit(5)
+        .withColumn("doc_id", col("doc_id") + 10000)) // planted exact dups
+    val pairs = graft.operators.Approx.simHashNearDup(docs)
+    // each planted dup (id, id+10000) must be found at hamming 0
+    val planted = pairs.filter(col("b") === col("a") + 10000 && col("hamming") === 0)
+    assert(planted.count() === 5)
+    assert(pairs.filter(col("hamming") > 3).count() === 0)
+  }
+
+  test("n-gram Jaccard near-dup: identical docs score 1.0, is symmetric-bounded") {
+    val docs = Tables.documents(spark, sf0001).limit(50)
+      .unionByName(Tables.documents(spark, sf0001).limit(3)
+        .withColumn("doc_id", col("doc_id") + 10000))
+    val out = graft.operators.Approx.ngramJaccardNearDup(docs, n = 3, minJaccard = 0.9, maxProbeId = 100000)
+    assert(out.filter(col("b") === col("a") + 10000 && col("jaccard") === 1.0).count() === 3)
+    assert(out.filter(col("jaccard") > 1.0).count() === 0)
+  }
+
   test("geometric mean UDAF matches exp(avg(ln)) and groups correctly") {
     val events = Tables.events(spark, sf0001).filter(col("value") > 0)
     val viaUdaf = events.groupBy("event_type")
