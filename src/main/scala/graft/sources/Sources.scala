@@ -43,6 +43,12 @@ object Sources {
     }.drop("value")
   }
 
+  /** Schema-on-read for a JSON string column: `from_json` into a typed
+    * struct/map column (the capability twin of q28's `get_json_object` —
+    * use this when several fields are needed, one parse instead of N). */
+  def parseJsonColumn(df: DataFrame, column: String, schema: StructType): DataFrame =
+    df.withColumn(s"${column}_parsed", from_json(col(column), schema))
+
   /** Partitioned parquet sink — the 100 TB layout: partition by a
     * low-cardinality derived key (e.g. event month) so downstream scans
     * prune partitions, with `maxRecordsPerFile` bounding file sizes. */

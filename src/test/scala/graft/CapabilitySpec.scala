@@ -121,6 +121,18 @@ class CapabilitySpec extends SparkSpec {
     assert(Sources.jsonLines(spark, s"$tmp/nation_json", schema).count() === 25)
   }
 
+  test("from_json parses the events props column into a typed struct") {
+    import org.apache.spark.sql.types._
+    val events = Tables.events(spark, sf0001)
+    val parsed = Sources.parseJsonColumn(events, "props",
+      StructType(Seq(StructField("k", IntegerType))))
+    assert(parsed.filter(col("props_parsed.k").isNotNull).count() === events.count())
+    val viaGet = events.select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .agg(sum("k")).head.getLong(0)
+    val viaStruct = parsed.agg(sum("props_parsed.k")).head.getLong(0)
+    assert(viaGet === viaStruct)
+  }
+
   test("record extraction parses field=value text records in parallel") {
     import spark.implicits._
     val lines = Seq(
