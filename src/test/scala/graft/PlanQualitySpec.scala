@@ -1,0 +1,67 @@
+package graft
+
+/** Plan-quality regression net: asserts the physical plans keep the
+  * shapes that matter at scale (PLANS.md is the human-readable audit;
+  * this pins it). A regression here means a future edit silently lost
+  * pushdown, a broadcast, or introduced an unintended cartesian product.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  // FormattedMode puts PushedFilters and join nodes on their own
+  // (untruncated) lines; planning alone suffices for these checks — only
+  // the codegen test below needs to actually execute.
+  private val planCache = scala.collection.mutable.Map.empty[String, String]
+  private def plan(name: String): String = planCache.getOrElseUpdate(name,
+    SparkEntry.queries(name)(spark, sf001).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode))
+
+  // BNLJ/cross is intended only where a pair-loop (or a broadcast scalar)
+  // is the algorithm.
+  private val intendedCross =
+    Set("q14_join_cross", "q35_jaccard_neardup", "q36_cosine_topk", "q37_tfidf_top_term")
+
+  test("no query plan contains an unintended cartesian product or Scala UDF") {
+    SparkEntry.queries.keys.foreach { name =>
+      val p = plan(name)
+      if (!intendedCross(name)) {
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+          s"$name has an unintended nested-loop/cartesian join")
+      }
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"$name fell out of codegen into a UDF")
+    }
+  }
+
+  test("q01 pushes the shipdate range and flag predicates to the scan") {
+    val p = plan("q01_scan_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull"), "no pushed filters on q01 scan")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") && p.contains("GreaterThan(l_quantity"),
+      "range predicates missing from pushdown")
+  }
+
+  test("q09 and q38 broadcast their dimension sides") {
+    assert(plan("q09_join_multiway_topn").contains("BroadcastHashJoin"))
+    assert(plan("q38_star_denorm").contains("BroadcastHashJoin"))
+  }
+
+  test("top-k queries use TakeOrderedAndProject, not a global sort") {
+    assert(plan("q21_sort_topk").contains("TakeOrderedAndProject"))
+    assert(plan("q09_join_multiway_topn").contains("TakeOrderedAndProject"))
+  }
+
+  test("q34 prunes to the columns it needs (no full-width scan)") {
+    val p = plan("q34_dedup_exact_text")
+    assert(p.contains("doc_id") && p.contains("n_chars") && !p.contains("lang"),
+      s"q34 should read only the 3 needed columns (no lang/source)")
+  }
+
+  test("whole-stage codegen is active in the scan-heavy queries") {
+    // the AQE-final simple plan marks fused codegen stages with "*(n)"
+    Seq("q01_scan_filter_project", "q03_agg_pricing", "q38_star_denorm").foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sf001)
+      df.collect() // collect executes THIS QueryExecution (count/foreach build new ones)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("*("), s"$n lost whole-stage codegen:\n${p.take(400)}")
+    }
+  }
+}

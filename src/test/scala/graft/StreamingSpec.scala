@@ -96,6 +96,17 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization matches the q32 session windows") {
+    val out = graft.streaming.StatefulOps.sessionize(spark, Tables.events(spark, sf0001)).toDF()
+    val expected = Events.q32SessionWindow(spark, sf0001)
+    assert(out.count() === expected.count())
+    val a = out.select(col("user_id"), col("sess_start").cast("timestamp"),
+      col("sess_end").cast("timestamp"), col("n_events").cast("long"), col("sv"))
+    val b = expected.select(col("user_id"), col("sess_start").cast("timestamp"),
+      col("sess_end").cast("timestamp"), col("n_events"), col("sv"))
+    assert(a.exceptAll(b).count() === 0, "stateful sessions differ from window-formulation sessions")
+  }
+
   test("Graft facade: registerTables + SQL + named operator") {
     Graft.registerTables(spark, sf0001)
     val viaSql = spark.sql(
