@@ -65,8 +65,18 @@ object Tables {
       StructField("label", IntegerType)))
   )
 
+  // One immutable DataFrame per (session, file): repeated reads of the
+  // same path re-list the directory and rebuild the relation (~50ms a
+  // call) for an identical logical plan. DataFrames are immutable, so
+  // reuse is safe; keyed by session so a stopped session's entries are
+  // never served to a new one.
+  private val readerCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+    readerCache.computeIfAbsent((spark, s"$dir/$name.parquet"), { case (s, path) =>
+      s.read.schema(schemas(name)).parquet(path)
+    })
 
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
