@@ -18,7 +18,13 @@ object Bench {
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // With AQE off (below) nothing coalesces post-shuffle partitions,
+      // and at this data size a 32-partition shuffle is mostly task
+      // dispatch: measured totals 32p=11.6s, 8p=6.3s, 4p=6.1s. Cap at 8
+      // — enough parallelism for the 600k-row sorts, near-minimal
+      // overhead for the rest. (Real-scale sessions size partitions to
+      // data or let AQE coalesce.)
+      .config("spark.sql.shuffle.partitions", math.min(cpus.toInt, 8))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
