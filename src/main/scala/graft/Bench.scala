@@ -65,7 +65,9 @@ object Bench {
       queries.foreach { case (name, fn) =>
         val t = timeOne(fn)
         val cur = best.getOrElse(name, Double.MaxValue)
-        if (t >= 0 && t < cur) best(name) = t
+        // A -1.0 failure sentinel must not pin the query: a later
+        // successful pass replaces it.
+        if (t >= 0 && (cur < 0 || t < cur)) best(name) = t
         else if (t < 0 && !best.contains(name)) best(name) = -1.0
       }
       val total = best.values.filter(_ >= 0).sum
@@ -76,7 +78,8 @@ object Bench {
     val results = queries.map { case (name, _) => name -> best.getOrElse(name, -1.0) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Failure sentinels stay visible per-query but don't corrupt the sum.
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -69,11 +69,17 @@ case class FloatDotProduct(left: Expression, right: Expression)
   * (`spark.sql.extensions=graft.expressions.GraftExtensions`). */
 object GraftFunctions {
   val info = new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot")
+  val intersectInfo =
+    new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size")
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("float_dot"), info,
       (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("sorted_intersect_size"), intersectInfo,
+      (exprs: Seq[Expression]) => SortedIntersectSize(exprs(0), exprs(1)))
+  }
 
   /** SQL-callable after register: `float_dot(<colA>, <colB>)` — column
     * references by (possibly qualified) name, resolved by the analyzer. */
@@ -81,14 +87,25 @@ object GraftFunctions {
     register(spark)
     expr(s"float_dot($a, $b)")
   }
+
+  /** `sorted_intersect_size(<colA>, <colB>)` — see [[SortedIntersectSize]]
+    * for the sorted/distinct input invariant. */
+  def sortedIntersectSize(spark: SparkSession, a: String, b: String): Column = {
+    register(spark)
+    expr(s"sorted_intersect_size($a, $b)")
+  }
 }
 
 /** `SparkSessionExtensions` plugin: injects the engine's native functions
   * into every session built with
   * `--conf spark.sql.extensions=graft.expressions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier("float_dot"), GraftFunctions.info,
         (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("sorted_intersect_size"), GraftFunctions.intersectInfo,
+        (exprs: Seq[Expression]) => SortedIntersectSize(exprs(0), exprs(1))))
+  }
 }

@@ -1,0 +1,78 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native Catalyst expression: intersection cardinality of two SORTED
+  * string arrays via a two-pointer merge — the hot loop of exact
+  * set-similarity (Jaccard) joins (q35).
+  *
+  * `size(array_intersect(a, b))` builds a hash set and materializes the
+  * intersection array per pair — per-element string hashing plus an
+  * allocation on every probe of an O(n·m) candidate loop. When both
+  * inputs are sorted and duplicate-free (`sort_array(array_distinct(…))`,
+  * computed once per document, not per pair), the cardinality needs only
+  * a linear merge of binary `UTF8String` comparisons with zero
+  * allocation; `sort_array`'s string ordering is the same binary
+  * comparison, so the merge sees a consistent order.
+  *
+  * Inputs MUST be sorted ascending and distinct; duplicates or unsorted
+  * input silently undercount (callers own the invariant — both q35 and
+  * the Approx near-dup operators canonicalize token arrays on creation).
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    // Element-type match only: containsNull varies by producer (split()
+    // yields containsNull=false, parquet reads containsNull=true) and
+    // doesn't affect the merge.
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_size expects two array<string> args, got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_size"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val na = x.numElements()
+    val nb = y.numElements()
+    var ia = 0; var ib = 0; var cnt = 0L
+    while (ia < na && ib < nb) {
+      val cmp = x.getUTF8String(ia).compareTo(y.getUTF8String(ib))
+      if (cmp == 0) { cnt += 1; ia += 1; ib += 1 }
+      else if (cmp < 0) ia += 1
+      else ib += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val ia = ctx.freshName("ia"); val ib = ctx.freshName("ib")
+      val cnt = ctx.freshName("cnt"); val cmp = ctx.freshName("cmp")
+      s"""
+         |int $na = $x.numElements(); int $nb = $y.numElements();
+         |int $ia = 0; int $ib = 0; long $cnt = 0L;
+         |while ($ia < $na && $ib < $nb) {
+         |  int $cmp = $x.getUTF8String($ia).compareTo($y.getUTF8String($ib));
+         |  if ($cmp == 0) { $cnt++; $ia++; $ib++; }
+         |  else if ($cmp < 0) { $ia++; } else { $ib++; }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -25,9 +25,11 @@ object Determinism {
     round(dsum(c).cast("double"), scale)
 
   /** Deterministic average: exact decimal numerator, double division,
-    * rounded — mirrors `round(avg(x), scale)` on the oracle side. */
+    * rounded — mirrors `round(avg(x), scale)` on the oracle side.
+    * Divides by `count(c)` (non-null rows), matching SQL avg() null
+    * semantics even when the measure column contains NULLs. */
   def davg(c: Column, scale: Int): Column =
-    dround(dsum(c).cast("double") / count(lit(1)), scale)
+    dround(dsum(c).cast("double") / count(c), scale)
 
   /** DuckDB-exact rounding of a DOUBLE: `floor(x*10^s + 0.5) / 10^s`
     * (half away from zero on the scaled double, including its IEEE

@@ -185,13 +185,20 @@ object Oracle {
         |  CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS age_days
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    // round(DOUBLE, s) semantics changed across DuckDB versions (1.0.0 is
+    // floor(x*10^s + 0.5)/10^s on IEEE doubles; later releases round the
+    // decimal representation), so the oracle spells the rounding formula
+    // out explicitly — any DuckDB version then computes bit-identically
+    // to the Spark side's Determinism.dround. All rounded expressions
+    // here are strictly positive, so the no-sign floor form suffices.
     "q26_math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
-        |  round(l_extendedprice, 1) AS r1, CAST(abs(l_discount - 0.05) AS DECIMAL(8,4)) AS ab,
+        |  floor(l_extendedprice * 10.0 + 0.5) / 10.0 AS r1,
+        |  CAST(abs(l_discount - 0.05) AS DECIMAL(8,4)) AS ab,
         |  ceil(l_quantity) AS c, floor(l_quantity) AS f,
-        |  round(sqrt(l_extendedprice), 4) AS sq,
-        |  round(ln(l_extendedprice + 1), 6) AS lg,
-        |  round(pow(1 + l_discount, 2), 6) AS pw,
+        |  floor(sqrt(l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS sq,
+        |  floor(ln(l_extendedprice + 1) * 1000000.0 + 0.5) / 1000000.0 AS lg,
+        |  floor(pow(1 + l_discount, 2) * 1000000.0 + 0.5) / 1000000.0 AS pw,
         |  CAST(l_orderkey % 7 AS BIGINT) AS md
         |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin,
 

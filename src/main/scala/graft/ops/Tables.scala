@@ -73,10 +73,14 @@ object Tables {
   private val readerCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Drop entries owned by stopped sessions so long-lived processes that
+    // cycle SparkSessions don't retain dead DataFrames forever.
+    readerCache.keySet.removeIf(_._1.sparkContext.isStopped)
     readerCache.computeIfAbsent((spark, s"$dir/$name.parquet"), { case (s, path) =>
       s.read.schema(schemas(name)).parquet(path)
     })
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")

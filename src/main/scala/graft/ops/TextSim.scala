@@ -64,22 +64,31 @@ object TextSim {
     * (integer-derived — cross-engine safe).
     * Production twin at scale: MinHashLSH (Approx.minHashNearDup). */
   def q35JaccardNeardup(s: SparkSession, d: String): DataFrame = {
+    // Token sets are canonicalized ONCE per document (sorted + distinct):
+    // the per-pair intersection then runs as the native two-pointer merge
+    // [[graft.expressions.SortedIntersectSize]] — zero hashing, zero
+    // allocation per pair, inside whole-stage codegen. `array_intersect`
+    // here would rebuild a hash set per candidate pair.
     val toks = documents(s, d)
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      .select(col("doc_id"), sort_array(array_distinct(split(col("text"), " "))).as("toks"))
     val probe = toks.filter(col("doc_id") < 100)
-      .select(col("doc_id").as("a"), col("toks").as("ta"))
+      .select(col("doc_id").as("a"), col("toks").as("ta"), size(col("toks")).cast("long").as("sa"))
     // The testdata corpus is one small parquet file = one input split, so
     // without a repartition the whole pair loop would run on one core; at
     // real scale the input already has many splits and this exchange is
     // noise relative to the pair work.
-    val corpus = toks.select(col("doc_id").as("b"), col("toks").as("tb"))
+    val corpus = toks.select(col("doc_id").as("b"), col("toks").as("tb"), size(col("toks")).cast("long").as("sb"))
       .repartition(s.sparkContext.defaultParallelism)
-    val i = size(array_intersect(col("ta"), col("tb"))).cast("long")
+    val i = graft.expressions.GraftFunctions.sortedIntersectSize(s, "ta", "tb")
     val ratio = col("i").cast("double") / (col("sa") + col("sb") - col("i"))
     broadcast(probe).crossJoin(corpus)
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), i.as("i"),
-              size(col("ta")).cast("long").as("sa"), size(col("tb")).cast("long").as("sb"))
+      // Size-ratio pruning: J ≥ 0.8 forces min(|A|,|B|)/max(|A|,|B|) ≥ 0.8
+      // (intersection ≤ min, union ≥ max), i.e. 5·min ≥ 4·max in exact
+      // integer math — candidates failing it skip the merge entirely. The
+      // exact ratio filter below still decides membership.
+      .filter(col("a") < col("b") &&
+              col("sa") * 5 >= col("sb") * 4 && col("sb") * 5 >= col("sa") * 4)
+      .select(col("a"), col("b"), i.as("i"), col("sa"), col("sb"))
       .filter(ratio >= 0.8)
       .select(col("a"), col("b"), dround(ratio, 4).as("jaccard"))
       .orderBy("a", "b")
@@ -135,8 +144,12 @@ object TextSim {
     val tok = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val dfreq = tok.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
-    val n = tok.agg(countDistinct(col("doc_id")).as("n"))
+    // df and N both derive from tf, NOT from re-exploding the corpus: tf
+    // is one row per (doc, term) — so df = count per term and N = distinct
+    // docs — and all three branches share tf's exchange (ReusedExchange),
+    // so the explode + first shuffle happen once instead of three times.
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = tf.agg(countDistinct(col("doc_id")).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w"))
     // df has one row per vocabulary word (~31) — broadcast, never shuffle
     // tf on a 31-key join.
