@@ -144,22 +144,30 @@ object TextSim {
     val tok = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    // df and N both derive from tf, NOT from re-exploding the corpus: tf
-    // is one row per (doc, term) — so df = count per term and N = distinct
-    // docs — and all three branches share tf's exchange (ReusedExchange),
-    // so the explode + first shuffle happen once instead of three times.
-    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
-    val n = tf.agg(countDistinct(col("doc_id")).as("n"))
-    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w"))
-    // df has one row per vocabulary word (~31) — broadcast, never shuffle
-    // tf on a 31-key join.
-    tf.join(broadcast(dfreq.withColumnRenamed("w", "w2")), col("w") === col("w2"))
+    // N = documents containing ≥1 token. split() yields [""] even for
+    // empty text, so every document row contributes — N is exactly the
+    // document count, no explode needed.
+    val n = documents(s, d).agg(count(lit(1)).as("n"))
+    // df comes from a whole-partition window count over tf (tf has one
+    // row per (doc, term), so rows-per-term IS the document frequency).
+    // A separate `tf.groupBy(w)` branch looks cheaper but plans as a
+    // SECOND full explode+shuffle of the corpus: the optimizer prunes
+    // that branch's count, the subtrees stop being identical, and
+    // exchange reuse never fires. The window keeps everything in one
+    // pipeline — the corpus is exploded and shuffled exactly once.
+    val wdf = Window.partitionBy("w")
+    // Top term per doc = argmax by (score desc, w asc). min over
+    // struct(-score, w) is the same argmax (struct ordering is
+    // lexicographic; double negation is IEEE-exact both ways) but runs as
+    // a partially-aggregatable hash agg — no per-doc sort, no window
+    // shuffle, and map-side combine cuts the exchange to one row per doc.
+    tf.withColumn("df", count(lit(1)).over(wdf))
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("w"),
               dround(col("tf") * log(col("n") / col("df")), 6).as("score"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("w").as("top_term"), col("score"))
+      .groupBy("doc_id")
+      .agg(min(struct((-col("score")).as("ns"), col("w"))).as("m"))
+      .select(col("doc_id"), col("m.w").as("top_term"), (-col("m.ns")).as("score"))
       .orderBy("doc_id")
   }
 
