@@ -45,7 +45,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Bench the 40-query BASELINE anchor set only: BASELINE.md's DuckDB
+    // per-query anchor covers exactly q01–q40, and the round-over-round
+    // total stays comparable. The extended q41+ queries are correctness-
+    // gated in Verify (q41/q45 against DuckDB oracles) but have no
+    // anchor row — most have no DuckDB equivalent at all.
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1.matches("q(0[1-9]|[1-3][0-9]|40)_.*"))
     // One untimed warm-up pass compiles every stage's generated code;
     // JIT keeps improving through the timed passes, whose per-query
     // minimum discards the still-warming early samples anyway.

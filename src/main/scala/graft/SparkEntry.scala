@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Events, Oracle, Relational, TextSim}
+import graft.ops.{Events, Extended, Oracle, Relational, TextSim}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -58,7 +58,18 @@ object SparkEntry {
     "q37_tfidf_top_term"      -> TextSim.q37TfidfTopTerm _,
     "q38_star_denorm"         -> Relational.q38StarDenorm _,
     "q39_wordcount_topn"      -> TextSim.q39WordcountTopn _,
-    "q40_histogram"           -> Events.q40Histogram _
+    "q40_histogram"           -> Events.q40Histogram _,
+    // Extended LLM-pipeline surface (graft.ops.Extended). q41/q45 carry
+    // DuckDB oracles; the rest are rows-only (no SQL twin — LSH models,
+    // xxhash64, media stubs). Excluded from the 40-query BASELINE bench.
+    "q41_text_stats"          -> Extended.q41TextStats _,
+    "q42_quality_langid"      -> Extended.q42QualityLangid _,
+    "q43_minhash_neardup"     -> Extended.q43MinhashNeardup _,
+    "q44_simhash_neardup"     -> Extended.q44SimhashNeardup _,
+    "q45_cosine_neardup"      -> Extended.q45CosineNeardup _,
+    "q46_ann_lsh"             -> Extended.q46AnnLsh _,
+    "q47_fingerprint_dedup"   -> Extended.q47FingerprintDedup _,
+    "q48_media_features"      -> Extended.q48MediaFeatures _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

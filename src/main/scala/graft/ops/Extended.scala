@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Determinism._
+import Tables._
+
+/** Extended LLM-pipeline query surface (q41+): the training-data
+  * operators from the capability layer (graft.functions.TextFunctions,
+  * graft.operators.Approx, graft.operators.Multimodal) exposed as
+  * first-class driver queries over the testdata tables.
+  *
+  * q41 and q45 are SQL-expressible and carry DuckDB oracles
+  * ([[Oracle.sql]]); the rest have no DuckDB equivalent (ML LSH models,
+  * xxhash64 fingerprints, media stubs) and are declared WITHOUT oracle
+  * SQL — the driver records the weaker rows-only check, and
+  * ExtendedQueriesSpec pins their cardinalities instead. The 40-query
+  * BASELINE bench set is unchanged; these run in Verify only (see
+  * Bench.scala's anchor filter).
+  */
+object Extended {
+
+  /** q41: per-document token statistics — token count, mean token
+    * length, punctuation ratio (the standard quality-filter features),
+    * each mirrored by ASCII-only regexes that mean the same thing to
+    * Java regex (Spark) and RE2 (DuckDB). */
+  def q41TextStats(s: SparkSession, d: String): DataFrame = {
+    val toks = filter(split(col("text"), "\\s+"), w => w =!= "")
+    val nToks = size(toks).cast("long")
+    val nonWs = length(regexp_replace(col("text"), "\\s+", "")).cast("double")
+    val punct = length(regexp_replace(col("text"), "[^.,;:!?'\"()-]", "")).cast("double")
+    documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+              nToks.as("n_tokens"),
+              dround(nonWs / greatest(nToks, lit(1L)).cast("double"), 4).as("mean_tok_len"),
+              dround(punct / greatest(length(col("text")), lit(1)).cast("double"), 4).as("punct_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** q42: language ID + composite quality score per document — the
+    * n-gram-heuristic langid and length/stopword/punctuation quality
+    * features (rows-only: the scoring chain has no tractable SQL twin). */
+  def q42QualityLangid(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+              TextFunctions.langIdHeuristic(col("text")).as("lang_pred"),
+              TextFunctions.qualityScore(col("text")).as("quality"),
+              round(TextFunctions.stopwordRatio(col("text")), 4).as("stop_ratio"),
+              TextFunctions.subwordCount(col("text")).cast("long").as("n_subwords"))
+      .orderBy("doc_id")
+  }
+
+  /** q43: MinHash-LSH near-duplicate pairs (the 100 TB-scale twin of
+    * q35's exact Jaccard): banded MinHash candidate generation, exact
+    * re-score. Rows-only: Spark ML's hash family has no DuckDB twin. */
+  def q43MinhashNeardup(s: SparkSession, d: String): DataFrame =
+    graft.operators.Approx.minHashNearDup(s, documents(s, d))
+      .orderBy("a", "b")
+
+  /** q44: SimHash banded near-duplicate pairs (Hamming ≤ 3 over 64-bit
+    * signatures). Rows-only: xxhash64-based signatures are Spark-side. */
+  def q44SimhashNeardup(s: SparkSession, d: String): DataFrame =
+    graft.operators.Approx.simHashNearDup(documents(s, d))
+      .orderBy("a", "b")
+
+  /** q45: embedding-cosine near-duplicate pairs — threshold form of
+    * q36's top-k, same float32 parity machinery (native FloatDotProduct,
+    * float norms, round-to-float), oracle'd via list_cosine_similarity.
+    * 0.35 sits in the testdata's similarity tail (≈100 pairs at sf0.01);
+    * both engines compare the same rounded float, so the cut is exact. */
+  def q45CosineNeardup(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val dot = (a: String, b: String) => graft.expressions.GraftFunctions.floatDot(s, a, b)
+    val probes = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+              sqrt(dot("embedding", "embedding")).cast("float").as("pnorm"))
+    val corpus = emb
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+              sqrt(dot("embedding", "embedding")).cast("float").as("nnorm"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val sim = (dot("pe", "ne") / (col("pnorm") * col("nnorm"))).cast("float")
+    broadcast(probes).crossJoin(corpus)
+      .filter(col("nid") > col("pid"))
+      .select(col("pid"), col("nid"), round(sim, 4).as("sim"))
+      // Compare float-to-float: a bare 0.35 is a DOUBLE literal, and
+      // widening the float sim to double puts float(0.35) a hair BELOW
+      // it (0.3499999940…), silently dropping exact-boundary pairs that
+      // the oracle keeps.
+      .filter(col("sim") >= lit(0.35f))
+      .orderBy("pid", "nid")
+  }
+
+  /** q46: LSH-bucketed approximate nearest neighbours (the scale path of
+    * q36): random-hyperplane buckets, exact re-score within bucket.
+    * Rows-only: seeded hyperplanes have no SQL twin. */
+  def q46AnnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    graft.operators.Approx.annLshCosine(emb, emb.filter(col("vec_id") < 10))
+      .orderBy("pid", "nid")
+  }
+
+  /** q47: fingerprint dedup map — 64-bit content fingerprint per
+    * document plus its cluster keeper (min doc_id sharing the
+    * fingerprint). The 100 TB shape: the dedup shuffle carries 8-byte
+    * keys, never the documents; `is_dup` marks rows a keep-first pass
+    * would drop. Rows-only: DuckDB lacks xxhash64. */
+  def q47FingerprintDedup(s: SparkSession, d: String): DataFrame = {
+    val fp = graft.functions.TextFunctions.fingerprint(col("text")).as("fp")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    documents(s, d)
+      .select(col("doc_id"), fp)
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("fp"), col("keep_id"),
+              (col("doc_id") =!= col("keep_id")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** q48: multimodal feature extraction — binary media columns
+    * synthesized from documents, stub-decoded to typed features
+    * (n_bytes, fingerprint, 8-dim embedding). Rows-only: exercises the
+    * BinaryType plumbing end-to-end. */
+  def q48MediaFeatures(s: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.decodeFeatures(
+      graft.operators.Multimodal.syntheticMedia(documents(s, d)))
+      .orderBy("media_id")
+}

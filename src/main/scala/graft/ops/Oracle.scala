@@ -312,6 +312,28 @@ object Oracle {
     "q40_histogram" ->
       """SELECT CAST(floor(value / 5) AS BIGINT) AS bucket, count(*) AS n,
         |       round(avg(value), 4) AS avg_v
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Extended (q41+) oracle-matched entries. Rounding is spelled out as
+    // the explicit floor formula (see q26 note) and regex classes are
+    // ASCII-only so Java regex (Spark) and RE2 (DuckDB) agree.
+    "q41_text_stats" ->
+      """SELECT doc_id, n_chars,
+        |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens,
+        |  floor(length(regexp_replace(text, '\s+', '', 'g'))
+        |        / greatest(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')), 1)
+        |        * 10000.0 + 0.5) / 10000.0 AS mean_tok_len,
+        |  floor(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+        |        / greatest(length(text), 1)
+        |        * 10000.0 + 0.5) / 10000.0 AS punct_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q45_cosine_neardup" ->
+      """SELECT a.vec_id AS pid, b.vec_id AS nid,
+        |  round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
+        |FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+        |WHERE a.vec_id < 100
+        |  AND round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.35
+        |ORDER BY pid, nid""".stripMargin
   )
 }

@@ -47,12 +47,28 @@ class GoldenCountsSpec extends SparkSpec {
     "q37_tfidf_top_term" -> 500,
     "q38_star_denorm" -> 60000,
     "q39_wordcount_topn" -> 20,
-    "q40_histogram" -> 71
+    "q40_histogram" -> 71,
+    // Extended LLM-pipeline queries (q41+). Counts are deterministic:
+    // LSH ops are seeded, fingerprints are xxhash64.
+    "q41_text_stats" -> 500,
+    "q42_quality_langid" -> 500,
+    "q43_minhash_neardup" -> 30328,
+    "q44_simhash_neardup" -> 17,
+    "q45_cosine_neardup" -> 106,
+    "q46_ann_lsh" -> 17,
+    "q47_fingerprint_dedup" -> 500,
+    "q48_media_features" -> 500
   )
 
   test("queries/oracleSql keys line up") {
     assert(SparkEntry.queries.keySet === expected.keySet)
-    assert(SparkEntry.oracleSql.keySet === expected.keySet)
+    // Rows-only ops (no SQL twin) legitimately omit an oracle; every
+    // oracle must belong to a declared query.
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    val oracleLess = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(oracleLess === Set("q42_quality_langid", "q43_minhash_neardup",
+      "q44_simhash_neardup", "q46_ann_lsh", "q47_fingerprint_dedup",
+      "q48_media_features"))
   }
 
   expected.toSeq.sortBy(_._1).foreach { case (name, rows) =>

@@ -18,7 +18,8 @@ class PlanQualitySpec extends SparkSpec {
   // BNLJ/cross is intended only where a pair-loop (or a broadcast scalar)
   // is the algorithm.
   private val intendedCross =
-    Set("q14_join_cross", "q35_jaccard_neardup", "q36_cosine_topk", "q37_tfidf_top_term")
+    Set("q14_join_cross", "q35_jaccard_neardup", "q36_cosine_topk", "q37_tfidf_top_term",
+      "q45_cosine_neardup", "q43_minhash_neardup")
 
   test("no query plan contains an unintended cartesian product or Scala UDF") {
     SparkEntry.queries.keys.foreach { name =>
