@@ -65,14 +65,14 @@ object Bench {
     }
     // Timed PASSES (not back-to-back repeats): transient host stalls
     // then hit different queries in each pass, and the per-query minimum
-    // across passes discards them. Adaptive count (3..5): stop once an
+    // across passes discards them. Adaptive count (3..7): stop once an
     // extra pass stops improving the summed minima, so a noisy host gets
     // more chances at a quiet window without unbounded runtime.
     val best = scala.collection.mutable.Map.empty[String, Double]
     var pass = 0
     var prevTotal = Double.MaxValue
     var continue = true
-    while (continue && pass < 5) {
+    while (continue && pass < 7) {
       pass += 1
       queries.foreach { case (name, fn) =>
         val t = timeOne(fn)
