@@ -59,6 +59,15 @@ object Sources {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** ORC round-trip (columnar alternative to parquet — Spark ships the
+    * ORC reader/writer in core). Same pushdown/pruning properties as the
+    * parquet path; useful when the downstream warehouse is ORC-native. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** JDBC sink writer, configured for bulk RDBMS loads: `numPartitions`
     * bounds concurrent connections, `batchsize` amortizes round-trips,
     * and writes should target an idempotent staging table that a final

@@ -26,6 +26,35 @@ class SinkAndUdafSpec extends SparkSpec {
       .option("dbtable", "nation_sink").load().count() === 50)
   }
 
+  test("ORC sink/source round-trips the customer table bit-exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/customer"
+    val customer = Tables.customer(spark, sf0001).orderBy("c_custkey")
+    Sources.writeOrc(customer, dir)
+    val back = Sources.readOrc(spark, dir, Tables.schemas("customer")).orderBy("c_custkey")
+    assert(back.schema === customer.schema)
+    assert(back.exceptAll(customer).count() === 0)
+    assert(customer.exceptAll(back).count() === 0)
+  }
+
+  test("sorted_intersect_size: two-pointer merge matches array_intersect semantics") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),   // partial overlap
+      (Seq("a", "b"), Seq("c", "d")),             // disjoint
+      (Seq[String](), Seq("a")),                  // empty side
+      (Seq("a", "b", "c"), Seq("a", "b", "c")),   // identical
+      (Seq("aa", "ab"), Seq("ab", "b"))           // prefix-sharing strings
+    ).toDF("x", "y")
+      .select(sort_array(col("x")).as("x"), sort_array(col("y")).as("y"))
+    val got = df.select(expr("sorted_intersect_size(x, y)")).as[Long].collect().toSeq
+    assert(got === Seq(2L, 0L, 0L, 3L, 1L))
+    // matches the builtin on sorted+distinct inputs (the documented invariant)
+    val builtin = df.select(size(array_intersect(col("x"), col("y"))).cast("long"))
+      .as[Long].collect().toSeq
+    assert(got === builtin)
+  }
+
   test("weighted percentile UDAF: p50 of known weights") {
     import spark.implicits._
     // values 1..4; weight concentrated on 3 → weighted p50 = 3
