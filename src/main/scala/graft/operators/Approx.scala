@@ -132,6 +132,73 @@ object Approx {
       .select("a", "b", "jaccard")
   }
 
+  /** IVF (inverted-file) approximate nearest neighbours — the other
+    * standard ANN scale path next to [[annLshCosine]]: a k-means coarse
+    * quantizer partitions the corpus into `nlist` cells; each probe
+    * scores only the `nprobe` cells whose centroids it is closest to.
+    * At 100 TB the corpus is shuffled ONCE by cell id and each probe's
+    * candidate scan touches nprobe/nlist of the data — the classic
+    * recall/throughput dial. Centroids are tiny (nlist × dim) and
+    * broadcast; exact float32 re-scoring keeps the final ordering
+    * deterministic (seeded quantizer ⇒ reproducible cells). */
+  def annIvfCosine(emb: DataFrame, probes: DataFrame, k: Int = 5,
+                   nlist: Int = 8, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+      array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(featured)
+    val corpus = model.transform(featured).select(col("nid"), col("ne"), col("cell"))
+    // Per-probe nprobe nearest cells: centroids are driver-side — emit
+    // them as a tiny broadcast table and rank by exact distance.
+    val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }.toSeq
+    val centersDf = emb.sparkSession.createDataFrame(centers).toDF("cell", "centroid")
+    val d2 = aggregate(zip_with(col("pe"), col("centroid"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (a, x) => a + x)
+    val wCell = Window.partitionBy("pid").orderBy(col("d2"), col("cell"))
+    val probeCells = probes.select(col("vec_id").as("pid"), col("embedding").as("pe"))
+      .crossJoin(broadcast(centersDf))
+      .select(col("pid"), col("pe"), col("cell"), d2.as("d2"))
+      .withColumn("rc", row_number().over(wCell))
+      .filter(col("rc") <= nprobe)
+      .select("pid", "pe", "cell")
+    val dotCol = aggregate(zip_with(col("pe"), col("ne"), (x, y) => x * y),
+      lit(0.0f), (a, x) => a + x)
+    val w = Window.partitionBy("pid").orderBy(col("sim").desc, col("nid"))
+    probeCells.join(corpus, "cell")
+      .filter(col("pid") =!= col("nid"))
+      .select(col("pid"), col("nid"), round(dotCol, 4).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("pid", "nid", "sim")
+  }
+
+  /** Salted equi-join for skewed keys: the big side gets a deterministic
+    * per-row salt (hash of all columns), the small side is replicated
+    * once per salt value, and the join key becomes (key, salt) — a hot
+    * key's rows spread over `nSalts` shuffle partitions instead of one
+    * straggler. Results are identical to the unsalted join for any salt
+    * assignment; use when AQE's skew handling can't kick in (e.g. a
+    * non-AQE streaming stage or a key so hot one partition spills). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 nSalts: Int = 8, joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      "salting preserves semantics for inner/left joins of a unique-keyed small side")
+    val bigCols = big.columns.map(col)
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(bigCols: _*), lit(nSalts.toLong)))
+    val replicated = small
+      .withColumn("__salt", explode(sequence(lit(0L), lit(nSalts.toLong - 1))))
+    salted.join(replicated,
+        salted(key) === replicated(key) && salted("__salt") === replicated("__salt"),
+        joinType)
+      .drop(replicated(key)).drop("__salt")
+  }
+
   /** Exact embedding-cosine near-duplicate pairs (threshold form of q36):
     * all pairs with cosine ≥ minSim, probe side bounded. */
   def cosineNearDup(emb: DataFrame, minSim: Double, maxProbeId: Long = 100): DataFrame = {

@@ -51,6 +51,32 @@ class CapabilitySpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
   }
 
+  test("IVF ANN: recall against exact brute-force top-5 (nprobe/nlist = 1/2)") {
+    val emb = Tables.embeddings(spark, sf001)
+    val probes = emb.filter(col("vec_id") < 10)
+    val exact = graft.ops.TextSim.q36CosineTopk(spark, sf001)
+      .select("pid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Approx.annIvfCosine(emb, probes, k = 5, nlist = 8, nprobe = 4)
+      .select("pid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall (${exact.size} exact, ${ivf.size} ivf)")
+    assert(ivf.size <= 50) // at most k per probe
+  }
+
+  test("salted join equals the plain join on a skewed key") {
+    val orders = Tables.orders(spark, sf0001)
+    val customer = Tables.customer(spark, sf0001)
+    val plain = orders.join(customer, orders("o_custkey") === customer("c_custkey"))
+      .select("o_orderkey", "c_name")
+    val salted = Approx.saltedJoin(
+        orders.withColumn("o_custkey", col("o_custkey")),
+        customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", nSalts = 8)
+      .select("o_orderkey", "c_name")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
   test("streaming tumbling window == batch q30 (MemoryStream equivalence)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
