@@ -317,11 +317,18 @@ object Oracle {
     // Extended (q41+) oracle-matched entries. Rounding is spelled out as
     // the explicit floor formula (see q26 note) and regex classes are
     // ASCII-only so Java regex (Spark) and RE2 (DuckDB) agree.
+    // Token count is written lambda-free (no list_filter closure — the
+    // arrow lambda syntax is deprecated in newer DuckDB): interior \s+
+    // splits of a trimmed string never produce empty tokens, so
+    // trim-then-split equals filter-out-empties for every input; the
+    // CASE guards the all-whitespace/empty document.
     "q41_text_stats" ->
       """SELECT doc_id, n_chars,
-        |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
         |  floor(length(regexp_replace(text, '\s+', '', 'g'))
-        |        / greatest(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')), 1)
+        |        / greatest(CASE WHEN trim(text) = '' THEN 0
+        |                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1)
         |        * 10000.0 + 0.5) / 10000.0 AS mean_tok_len,
         |  floor(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
         |        / greatest(length(text), 1)
