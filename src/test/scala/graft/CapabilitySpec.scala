@@ -77,6 +77,34 @@ class CapabilitySpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
+  test("streaming text-quality pipeline == batch (stateless transforms compose on streams)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.functions.TextFunctions
+    def pipeline(docs: org.apache.spark.sql.DataFrame) =
+      docs.select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.langIdHeuristic(col("text")).as("lang_pred"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+        .filter(col("quality") >= 0.5)
+    val batchDocs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val stream = MemoryStream[(Long, String)]
+    val query = pipeline(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("quality_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(batchDocs.toSeq)
+      query.processAllAvailable()
+      val streamed = spark.table("quality_test").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3))).toSet
+      val batch = pipeline(Tables.documents(spark, sf0001)).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3))).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally query.stop()
+  }
+
   test("streaming tumbling window == batch q30 (MemoryStream equivalence)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
