@@ -199,6 +199,40 @@ object Approx {
       .drop(replicated(key)).drop("__salt")
   }
 
+  /** Connected-components clustering over a near-dup pair graph — the
+    * step that turns any pairwise near-dup detector (q35/q43/q44/q45)
+    * into an actionable dedup map (keep min-id per component, drop the
+    * rest). Iterative min-label propagation: each round every node takes
+    * the minimum label among itself and its neighbours; converges in
+    * O(component diameter) rounds — near-dup clusters are dense, so 2–3
+    * in practice. Driver-side loop with per-round convergence check is
+    * the standard shape for iterative graph algorithms (GraphX does the
+    * same under the hood); `localCheckpoint` cuts lineage growth so
+    * round N doesn't replan rounds 1..N-1. Scales: each round is one
+    * join + one aggregate, both partitioned by node id — no state ever
+    * concentrates on the driver beyond the change counter. */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .union(pairs.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("x").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val prop = edges.join(labels, edges("y") === labels("id"))
+        .groupBy(col("x").as("pid")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(prop, labels("id") === prop("pid"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.alias("n").join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Exact embedding-cosine near-duplicate pairs (threshold form of q36):
     * all pairs with cosine ≥ minSim, probe side bounded. */
   def cosineNearDup(emb: DataFrame, minSim: Double, maxProbeId: Long = 100): DataFrame = {

@@ -54,7 +54,15 @@ object Extended {
 
   /** q43: MinHash-LSH near-duplicate pairs (the 100 TB-scale twin of
     * q35's exact Jaccard): banded MinHash candidate generation, exact
-    * re-score. Rows-only: Spark ML's hash family has no DuckDB twin. */
+    * re-score. Rows-only: Spark ML's hash family has no DuckDB twin.
+    *
+    * Runtime is OUTPUT-dominated on this corpus: the testdata contains
+    * near-dup clusters of O(1000) documents, and a cluster of size m
+    * contributes ~m²/2 true pairs — at sf0.1 the full J ≥ 0.8 pair set
+    * is millions of rows (LSH prunes cross-cluster candidates, but the
+    * within-cluster quadratic is the answer itself). Production dedup
+    * emits per-doc cluster keepers (see [[q47FingerprintDedup]] /
+    * connected components over the pair graph), not the full pair list. */
   def q43MinhashNeardup(s: SparkSession, d: String): DataFrame =
     graft.operators.Approx.minHashNearDup(s, documents(s, d))
       .orderBy("a", "b")

@@ -63,6 +63,20 @@ class CapabilitySpec extends SparkSpec {
     assert(ivf.size <= 50) // at most k per probe
   }
 
+  test("dedupClusters: connected components over the exact near-dup pairs") {
+    val pairs = graft.ops.TextSim.q35JaccardNeardup(spark, sf0001).select("a", "b")
+    val labels = Approx.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.nonEmpty)
+    // every cluster label is the minimum doc_id of its component
+    assert(labels.forall { case (id, label) => label <= id })
+    // connected pairs share a label (the defining property)
+    val prs = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(prs.forall { case (a, b) => labels(a) == labels(b) })
+    // label values are themselves component members mapping to themselves
+    assert(labels.values.toSet.forall(l => labels(l) == l))
+  }
+
   test("salted join equals the plain join on a skewed key") {
     val orders = Tables.orders(spark, sf0001)
     val customer = Tables.customer(spark, sf0001)
