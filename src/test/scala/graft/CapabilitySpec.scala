@@ -167,6 +167,22 @@ class CapabilitySpec extends SparkSpec {
     assert(scored.filter(col("quality").between(0, 1)).count() === total)
   }
 
+  test("language-ID heuristic identifies constructed multilingual samples") {
+    import spark.implicits._
+    // The testdata corpus has no language signal (same English-ish jargon
+    // for every lang label), so the heuristic is validated on real text.
+    val samples = Seq(
+      ("en", " the cat and the dog is going to the market with a friend "),
+      ("de", " der hund und die katze ist mit dem mann über die straße gelaufen "),
+      ("es", " el perro y la casa es con los amigos por la mañana "),
+      ("fr", " le chien est avec les amis pour la fête à l'école "),
+      ("zh", "这是一个中文句子用于测试语言识别")
+    ).toDF("expected", "text")
+    val pred = samples.select(col("expected"),
+      TextFunctions.langIdHeuristic(col("text")).as("pred"))
+    assert(pred.filter(col("expected") === col("pred")).count() === 5)
+  }
+
   test("fingerprint/simhash: identical texts collide, fingerprints stable") {
     val docs = Tables.documents(spark, sf001).limit(50)
     val fp1 = TextFunctions.profile(docs).select("doc_id", "fp64", "simhash")
