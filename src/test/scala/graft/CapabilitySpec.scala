@@ -167,6 +167,44 @@ class CapabilitySpec extends SparkSpec {
     assert(scored.filter(col("quality").between(0, 1)).count() === total)
   }
 
+  test("SQL subqueries: scalar, correlated EXISTS, IN — through the facade views") {
+    Graft.registerTables(spark, sf0001)
+    // scalar subquery
+    val above = spark.sql(
+      "SELECT count(*) FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)")
+      .head.getLong(0)
+    val avg = spark.sql("SELECT avg(o_totalprice) FROM orders").head.getDouble(0)
+    val expected = Tables.orders(spark, sf0001).filter(col("o_totalprice") > avg).count()
+    assert(above === expected)
+    // correlated EXISTS ≡ left-semi join
+    val semiSql = spark.sql(
+      "SELECT count(*) FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)")
+      .head.getLong(0)
+    val semiDf = Tables.customer(spark, sf0001)
+      .join(Tables.orders(spark, sf0001),
+        col("c_custkey") === col("o_custkey"), "left_semi").count()
+    assert(semiSql === semiDf)
+    // IN subquery
+    val inSql = spark.sql(
+      "SELECT count(*) FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')")
+      .head.getLong(0)
+    assert(inSql > 0 && inSql < Tables.orders(spark, sf0001).count())
+  }
+
+  test("pivot/unpivot round-trips order counts by status x priority") {
+    val orders = Tables.orders(spark, sf0001)
+    val statuses = orders.select("o_orderstatus").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val pivoted = orders.groupBy("o_orderpriority")
+      .pivot("o_orderstatus", statuses).count()
+    val unpivoted = pivoted.melt(
+        Array(col("o_orderpriority")), statuses.map(col).toArray, "o_orderstatus", "n")
+      .filter(col("n").isNotNull)
+    val direct = orders.groupBy("o_orderpriority", "o_orderstatus").count()
+    assert(unpivoted.count() === direct.count())
+    assert(unpivoted.select(sum("n")).head.getLong(0) === orders.count())
+  }
+
   test("language-ID heuristic identifies constructed multilingual samples") {
     import spark.implicits._
     // The testdata corpus has no language signal (same English-ish jargon
