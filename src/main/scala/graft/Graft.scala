@@ -23,7 +23,7 @@ object Graft {
               shufflePartitions: Int = 0): SparkSession = {
     val n = if (threads > 0) threads else Runtime.getRuntime.availableProcessors
     val sp = if (shufflePartitions > 0) shufflePartitions else n
-    SparkSession.builder()
+    val spark = SparkSession.builder()
       .master(s"local[$n]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", sp)
@@ -32,6 +32,8 @@ object Graft {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.expressions.GraftFunctions.register(spark)
+    spark
   }
 
   /** Registers the ten tables of `dir` as temp views for Spark SQL:
@@ -43,6 +45,10 @@ object Graft {
         .createOrReplaceTempView(t)
     }
     Tables.events(spark, dir).createOrReplaceTempView("events")
+    // The native functions (float_dot, sorted_intersect_size) ride along
+    // for SQL users — sessions built outside Graft.session/GraftExtensions
+    // would otherwise miss them.
+    graft.expressions.GraftFunctions.register(spark)
   }
 
   /** The named-operator catalog (SURVEY.md §2). */

@@ -116,5 +116,10 @@ class StreamingSpec extends SparkSpec {
     assert(Graft.query("q21_sort_topk")(spark, sf0001).count() === 25)
     // SQL over the events view (ns-timestamp table) works too
     assert(spark.sql("SELECT count(*) FROM events WHERE user_id < 5").head.getLong(0) > 0)
+    // native functions are SQL-callable after registerTables
+    assert(spark.sql(
+      "SELECT max(float_dot(embedding, embedding)) FROM embeddings").head.getFloat(0) > 0f)
+    assert(spark.sql(
+      "SELECT sorted_intersect_size(array('a','b'), array('b','c'))").head.getLong(0) === 1L)
   }
 }
