@@ -21,6 +21,18 @@ object Approx {
       .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
       .orderBy("event_type")
 
+  /** Approximate quantiles via the built-in KLL-style sketch
+    * (`percentile_approx`): mergeable per-partition sketches → one
+    * small final merge, vs an exact percentile's full sort. `accuracy`
+    * is the standard 1/ε knob (10000 ≈ 0.01% rank error). The exact
+    * twin for small data is `percentile`. */
+  def approxQuantiles(df: DataFrame, valueCol: String, groupCol: String,
+                      probs: Seq[Double], accuracy: Int = 10000): DataFrame =
+    df.groupBy(groupCol)
+      .agg(percentile_approx(col(valueCol),
+        array(probs.map(lit): _*), lit(accuracy)).as("quantiles"))
+      .orderBy(groupCol)
+
   /** MinHash-LSH near-duplicate join over document token sets — the
     * production twin of q35's exact Jaccard, in the standard two-phase
     * shape: (1) candidate generation via `approxSimilarityJoin` at a

@@ -63,6 +63,19 @@ class CapabilitySpec extends SparkSpec {
     assert(ivf.size <= 50) // at most k per probe
   }
 
+  test("approxQuantiles tracks exact percentiles within sketch tolerance") {
+    val events = Tables.events(spark, sf001)
+    val approx = Approx.approxQuantiles(events, "value", "event_type", Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val exact = events.groupBy("event_type")
+      .agg(expr("percentile(value, array(0.25, 0.5, 0.75))").as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, qs) <- approx; (a, e) <- qs.zip(exact(k)))
+      assert(math.abs(a - e) <= math.max(1.0, math.abs(e) * 0.05),
+        s"$k: approx $a vs exact $e")
+  }
+
   test("dedupClusters: connected components over the exact near-dup pairs") {
     val pairs = graft.ops.TextSim.q35JaccardNeardup(spark, sf0001).select("a", "b")
     val labels = Approx.dedupClusters(pairs).collect()
