@@ -51,6 +51,23 @@ class GeneratedPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("sorted_intersect_size equals Set.intersect cardinality on arbitrary token arrays") {
+    graft.expressions.GraftFunctions.register(spark)
+    val tokGen = Gen.listOfN(2, Gen.listOfN(20, Gen.oneOf(
+      "a", "b", "ab", "ba", "x", "yy", "z0", "", "longtoken", "日本語")))
+    for (pair <- samples(tokGen, 30)) {
+      val Seq(xs, ys) = pair
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("x", ArrayType(StringType)), StructField("y", ArrayType(StringType))))
+      val df = spark.createDataFrame(
+        Seq(org.apache.spark.sql.Row(xs.distinct.sorted, ys.distinct.sorted)).asJava, schema)
+      val got = df.select(expr("sorted_intersect_size(x, y)")).head.getLong(0)
+      assert(got === (xs.toSet intersect ys.toSet).size.toLong,
+        s"xs=$xs ys=$ys")
+    }
+  }
+
   test("decimal sum is invariant under repartitioning (order independence)") {
     for (rows <- samples(rowsGen, 5) if rows.nonEmpty) {
       val df = mkDf(rows)
