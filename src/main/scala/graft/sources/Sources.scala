@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
 
 /** Source/sink surface beyond the parquet testdata (SURVEY.md §2.1
   * capability rows): CSV/JSON/text readers with explicit schemas,
@@ -25,6 +25,19 @@ object Sources {
   /** JSON-lines with an explicit schema. */
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** JSON-lines with malformed-record capture: bad lines land whole in
+    * `_corrupt_record` instead of killing the job — at ingest scale some
+    * records are ALWAYS malformed, and dropping them silently
+    * (DROPMALFORMED) loses the audit trail. Filter `_corrupt_record IS
+    * NULL` for the clean stream; route the rest to a quarantine sink. */
+  def jsonLinesPermissive(spark: SparkSession, path: String,
+                          schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
 
   /** Raw text lines (one row per line). */
   def textLines(spark: SparkSession, path: String): DataFrame =

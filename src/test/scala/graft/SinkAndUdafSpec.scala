@@ -26,6 +26,25 @@ class SinkAndUdafSpec extends SparkSpec {
       .option("dbtable", "nation_sink").load().count() === 50)
   }
 
+  test("permissive JSON ingest quarantines malformed records instead of failing") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_json")
+    val f = dir.resolve("in.jsonl")
+    java.nio.file.Files.writeString(f,
+      """{"id": 1, "name": "ok"}
+        |{"id": oops not json
+        |{"id": 3, "name": "fine"}
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    // Spark disallows queries touching ONLY _corrupt_record on raw JSON —
+    // materialize the full rows once (what a quarantine sink would do).
+    val rows = Sources.jsonLinesPermissive(spark, f.toString, schema).collect()
+    val (bad, good) = rows.partition(r => r.getAs[String]("_corrupt_record") != null)
+    assert(good.length === 2)
+    assert(bad.length === 1)
+    assert(bad.head.getAs[String]("_corrupt_record").contains("oops"))
+  }
+
   test("ORC sink/source round-trips the customer table bit-exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/customer"
     val customer = Tables.customer(spark, sf0001).orderBy("c_custkey")
