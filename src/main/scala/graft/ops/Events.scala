@@ -148,18 +148,21 @@ object Events {
       .orderBy("user_id", "sess_id")
   }
 
-  /** q33: keep-first dedup via row_number — NOT dropDuplicates, which
-    * keeps an arbitrary row and can't hash-match an oracle. Streaming
-    * twin: dropDuplicatesWithinWatermark. At scale this is one shuffle on
-    * the dedup key — the same cost as any exact dedup can be. */
-  def q33DedupKeepFirst(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("user_id", "event_type").orderBy(col("ts"), col("event_id"))
+  /** q33: keep-first dedup — NOT dropDuplicates, which keeps an
+    * arbitrary row and can't hash-match an oracle. The keeper per key is
+    * the argmin by (ts, event_id), computed as `min(struct(ts,
+    * event_id))` (struct ordering is lexicographic): a plain hash
+    * aggregate with map-side combine — one shuffle of one row per
+    * (key, partition), NO per-partition sort, unlike the equivalent
+    * row_number()-window formulation. Streaming twin:
+    * dropDuplicatesWithinWatermark. */
+  def q33DedupKeepFirst(s: SparkSession, d: String): DataFrame =
     events(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("user_id", "event_type", "event_id", "ts")
+      .groupBy("user_id", "event_type")
+      .agg(min(struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("event_type"),
+              col("m.event_id").as("event_id"), col("m.ts").as("ts"))
       .orderBy("user_id", "event_type")
-  }
 
   /** q40: numeric histogram — floor-bucket aggregation. */
   def q40Histogram(s: SparkSession, d: String): DataFrame =
