@@ -72,6 +72,21 @@ object Sources {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Bucketed managed table: pre-shuffles ONCE at write time so every
+    * later equi-join/aggregation on the bucket key runs exchange-free —
+    * at 100 TB this converts the recurring per-query shuffle of a fact
+    * table into a one-time layout cost. Requires `saveAsTable` (bucket
+    * metadata lives in the catalog); join two tables bucketed the same
+    * way and the plan shows SortMergeJoin with NO Exchange on either
+    * side (see the co-located-join spec). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int = 8): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** ORC round-trip (columnar alternative to parquet — Spark ships the
     * ORC reader/writer in core). Same pushdown/pruning properties as the
     * parquet path; useful when the downstream warehouse is ORC-native. */
