@@ -59,4 +59,18 @@ object Streaming {
         .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
     else events.dropDuplicates(keys)
   }
+
+  /** Streaming → RDBMS: `foreachBatch` turns each micro-batch into a
+    * bounded DataFrame and reuses the batch JDBC writer — the standard
+    * ship path for streaming ETL into a database (per-batch transactions;
+    * pair with an idempotent staging table keyed by `batchId` for
+    * exactly-once across retries). Returns the configured writer;
+    * `.start()` is the caller's side effect. */
+  def jdbcSink(stream: DataFrame, url: String, table: String,
+               user: String, password: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.sources.Sources.jdbcWriter(batch, url, table, user, password,
+        numPartitions = 2).save()
+    }
 }

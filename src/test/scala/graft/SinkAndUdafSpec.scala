@@ -26,6 +26,28 @@ class SinkAndUdafSpec extends SparkSpec {
       .option("dbtable", "nation_sink").load().count() === 50)
   }
 
+  test("streaming foreachBatch JDBC sink lands micro-batches in Derby") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val db = java.nio.file.Files.createTempDirectory("graft_derby_stream").toString + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    val stream = MemoryStream[(Long, String, Double)]
+    val writer = graft.streaming.Streaming.jdbcSink(
+      stream.toDF().toDF("id", "name", "v"), url, "stream_sink", "app", "app")
+    val query = writer.start()
+    try {
+      stream.addData((1L, "a", 1.5), (2L, "b", 2.5))
+      query.processAllAvailable()
+      stream.addData((3L, "c", 3.5))
+      query.processAllAvailable()
+      val back = spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "stream_sink").load()
+      assert(back.count() === 3)
+      assert(back.select(sum("v")).head.getDouble(0) === 7.5)
+    } finally query.stop()
+  }
+
   test("permissive JSON ingest quarantines malformed records instead of failing") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft_json")
