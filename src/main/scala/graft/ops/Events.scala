@@ -151,11 +151,13 @@ object Events {
   /** q33: keep-first dedup — NOT dropDuplicates, which keeps an
     * arbitrary row and can't hash-match an oracle. The keeper per key is
     * the argmin by (ts, event_id), computed as `min(struct(ts,
-    * event_id))` (struct ordering is lexicographic): a plain hash
-    * aggregate with map-side combine — one shuffle of one row per
-    * (key, partition), NO per-partition sort, unlike the equivalent
-    * row_number()-window formulation. Streaming twin:
-    * dropDuplicatesWithinWatermark. */
+    * event_id))` (struct ordering is lexicographic). Struct-valued
+    * buffers plan as SortAggregate (partition-local sort by the GROUP
+    * key), but the partial aggregate still combines map-side — only one
+    * row per (key, partition) crosses the shuffle, where the equivalent
+    * row_number()-window formulation shuffles EVERY event and sorts by
+    * the full (key, ts, event_id) ordering. At 100 TB the shuffle-volume
+    * difference dominates. Streaming twin: dropDuplicatesWithinWatermark. */
   def q33DedupKeepFirst(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy("user_id", "event_type")

@@ -158,9 +158,11 @@ object TextSim {
     val wdf = Window.partitionBy("w")
     // Top term per doc = argmax by (score desc, w asc). min over
     // struct(-score, w) is the same argmax (struct ordering is
-    // lexicographic; double negation is IEEE-exact both ways) but runs as
-    // a partially-aggregatable hash agg — no per-doc sort, no window
-    // shuffle, and map-side combine cuts the exchange to one row per doc.
+    // lexicographic; double negation is IEEE-exact both ways). The
+    // struct buffer plans as SortAggregate (local sort by doc_id), but
+    // partial aggregation still combines map-side, so the exchange
+    // carries one row per document instead of one per (doc, term) into
+    // a window rank.
     tf.withColumn("df", count(lit(1)).over(wdf))
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("w"),
