@@ -72,6 +72,22 @@ object Sources {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Upsert (merge) into a keyed parquet dataset — the snapshot-refresh
+    * shape: rows from `updates` replace same-key rows in `base`; new
+    * keys append. Returns the merged frame; the caller writes it (write
+    * to a NEW path / partition and swap — parquet files are immutable,
+    * so in-place rewrites of the path being read are not defined).
+    * At scale, run per refreshed partition (e.g. by snapshot date) so
+    * the rewrite touches only changed partitions; formats with
+    * transactional MERGE (Delta/Iceberg) replace the swap step, not the
+    * plan shape. Implemented as an anti-join + union: one shuffle of
+    * each side on the key. */
+  def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    val kept = base.join(updates.select(key).withColumnRenamed(key, "__uk"),
+      base(key) === col("__uk"), "left_anti")
+    kept.unionByName(updates)
+  }
+
   /** Bucketed managed table: pre-shuffles ONCE at write time so every
     * later equi-join/aggregation on the bucket key runs exchange-free —
     * at 100 TB this converts the recurring per-query shuffle of a fact

@@ -67,6 +67,24 @@ class SinkAndUdafSpec extends SparkSpec {
     assert(bad.head.getAs[String]("_corrupt_record").contains("oops"))
   }
 
+  test("upsert replaces same-key rows and appends new keys (snapshot refresh)") {
+    val base = Tables.customer(spark, sf0001)
+    val updates = base.filter(col("c_custkey") <= 5)
+      .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+      .unionByName(base.filter(col("c_custkey") === 1)
+        .withColumn("c_custkey", lit(99999L)))   // a brand-new key
+    val merged = Sources.upsert(base, updates, "c_custkey")
+    assert(merged.count() === base.count() + 1)
+    // updated rows carry the new balance
+    val got = merged.filter(col("c_custkey") === 3).select("c_acctbal").head.getDouble(0)
+    val old = base.filter(col("c_custkey") === 3).select("c_acctbal").head.getDouble(0)
+    assert(got === old + 1000.0)
+    // untouched rows unchanged
+    assert(merged.filter(col("c_custkey") > 5 && col("c_custkey") < 99999L)
+      .exceptAll(base.filter(col("c_custkey") > 5)).count() === 0)
+    assert(merged.filter(col("c_custkey") === 99999L).count() === 1)
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     def dropClean(t: String): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $t")
