@@ -88,6 +88,26 @@ object Sources {
     kept.unionByName(updates)
   }
 
+  /** SCD Type-2 apply — history-preserving dimension refresh: for each
+    * updated key, the current version (valid_to IS NULL) is closed at
+    * the update's valid_from, and the update is appended as the new
+    * current version. One batch carries at most one version per key
+    * (dedupe upstream with keep-last if not). Same cost shape as
+    * [[upsert]]: one join on the key + a union. `base` columns:
+    * business columns + `valid_from` + `valid_to`; `updates`: business
+    * columns + `valid_from`. */
+  def scd2Apply(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    val validToType = base.schema("valid_to").dataType
+    val u = updates.select(col(key).as("__k"), col("valid_from").as("__ts"))
+    val closed = base.join(u, base(key) === col("__k"), "left")
+      .withColumn("valid_to",
+        when(col("__k").isNotNull && col("valid_to").isNull, col("__ts"))
+          .otherwise(col("valid_to")))
+      .drop("__k", "__ts")
+    closed.unionByName(
+      updates.withColumn("valid_to", lit(null).cast(validToType)))
+  }
+
   /** Bucketed managed table: pre-shuffles ONCE at write time so every
     * later equi-join/aggregation on the bucket key runs exchange-free —
     * at 100 TB this converts the recurring per-query shuffle of a fact

@@ -85,6 +85,29 @@ class SinkAndUdafSpec extends SparkSpec {
     assert(merged.filter(col("c_custkey") === 99999L).count() === 1)
   }
 
+  test("SCD2 apply closes current versions and appends new ones") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "alice", "2020-01-01", null.asInstanceOf[String]),
+      (1L, "al", "2019-01-01", "2020-01-01"),       // already-closed history
+      (2L, "bob", "2020-01-01", null.asInstanceOf[String])
+    ).toDF("id", "name", "valid_from", "valid_to")
+    val updates = Seq((1L, "alicia", "2021-06-01")).toDF("id", "name", "valid_from")
+    val out = Sources.scd2Apply(base, updates, "id")
+    assert(out.count() === 4)
+    // key 1: old current closed at the update's valid_from
+    val closed = out.filter(col("id") === 1 && col("name") === "alice")
+      .select("valid_to").head.getString(0)
+    assert(closed === "2021-06-01")
+    // key 1: new current open
+    assert(out.filter(col("id") === 1 && col("valid_to").isNull)
+      .select("name").head.getString(0) === "alicia")
+    // history row untouched, other keys untouched
+    assert(out.filter(col("id") === 1 && col("name") === "al")
+      .select("valid_to").head.getString(0) === "2020-01-01")
+    assert(out.filter(col("id") === 2 && col("valid_to").isNull).count() === 1)
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     def dropClean(t: String): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $t")
