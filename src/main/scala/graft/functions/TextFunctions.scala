@@ -93,6 +93,24 @@ object TextFunctions {
     * 100 TB exact dedup shuffles 8-byte keys instead of full texts. */
   def fingerprint(text: Column): Column = xxhash64(text)
 
+  /** PII redaction — the standard pre-training scrub: emails, phone-ish
+    * number runs, URLs, and IPv4s replaced by typed placeholder tokens.
+    * Chained codegen'd regexp_replace; patterns are deliberately
+    * high-recall (training-data hygiene prefers over-redaction). Order
+    * matters: emails first, so a URL match never leaves a bare
+    * local-part behind. */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email,
+      "(https?://|www\\.)[^\\s]+", "<URL>")
+    val ip = regexp_replace(url,
+      "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip,
+      "(?<!\\d)\\+?\\d{0,2}[\\s.-]?\\(?\\d{3}\\)?[\\s.-]?\\d{3}[\\s.-]?\\d{4}(?!\\d)",
+      "<PHONE>")
+  }
+
   /** SimHash-64 over whitespace tokens: per-token xxhash64, bitwise
     * majority vote — near-identical texts differ in few bits (Hamming
     * distance ≤ 3 is the classic near-dup criterion). */

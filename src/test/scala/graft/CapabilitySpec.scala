@@ -218,6 +218,23 @@ class CapabilitySpec extends SparkSpec {
     assert(unpivoted.select(sum("n")).head.getLong(0) === orders.count())
   }
 
+  test("PII redaction scrubs emails, URLs, IPs, and phone numbers") {
+    import spark.implicits._
+    val df = Seq(
+      "contact alice.smith+x@example.co.uk for details",
+      "see https://example.com/path?q=1 or www.foo.org/bar",
+      "server at 192.168.10.1 responded",
+      "call +1 (415) 555-0100 today",
+      "nothing sensitive here, just 42 and v2.0"
+    ).toDF("text").select(TextFunctions.redactPii(col("text")).as("clean"))
+    val out = df.as[String].collect()
+    assert(out(0) == "contact <EMAIL> for details")
+    assert(out(1) == "see <URL> or <URL>")
+    assert(out(2) == "server at <IP> responded")
+    assert(out(3) == "call <PHONE> today")
+    assert(out(4) == "nothing sensitive here, just 42 and v2.0")
+  }
+
   test("language-ID heuristic identifies constructed multilingual samples") {
     import spark.implicits._
     // The testdata corpus has no language signal (same English-ish jargon
