@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -119,6 +119,34 @@ object Approx {
         bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Test-set decontamination — flag training documents containing
+    * benchmark passages: word-n-gram shingles on both sides, containment
+    * = |shared shingles| / |benchmark shingles| (containment, NOT
+    * Jaccard: a long training doc fully embedding a short benchmark item
+    * has low Jaccard but containment 1.0). The benchmark side is small
+    * by construction → broadcast; per-pair intersection runs as the
+    * native sorted-merge. At 100 TB the corpus side streams through in
+    * one pass with no shuffle. */
+  def ngramContamination(spark: SparkSession, docs: DataFrame, benchmark: DataFrame,
+                         n: Int = 5, minContainment: Double = 0.5): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    def shingles(c: Column) = {
+      val toks = filter(split(c, "\\s+"), w => w =!= "")
+      sort_array(array_distinct(transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+    }
+    val corpus = docs.select(col("doc_id"), shingles(col("text")).as("ds"))
+    val bench = benchmark
+      .select(col("doc_id").as("bench_id"), shingles(col("text")).as("bs"))
+      .filter(size(col("bs")) > 0)
+    val shared = expr("sorted_intersect_size(ds, bs)")
+    corpus.join(broadcast(bench))
+      .select(col("doc_id"), col("bench_id"),
+        (shared.cast("double") / size(col("bs")).cast("double")).as("containment"))
+      .filter(col("containment") >= minContainment)
   }
 
   /** Exact word-n-gram (shingle) Jaccard near-dup: contiguous n-token

@@ -218,6 +218,22 @@ class CapabilitySpec extends SparkSpec {
     assert(unpivoted.select(sum("n")).head.getLong(0) === orders.count())
   }
 
+  test("ngram containment flags planted benchmark passages (decontamination)") {
+    import spark.implicits._
+    val passage = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val train = Seq(
+      (1L, s"some long training document that embeds $passage plus extra trailing words"),
+      (2L, "a completely unrelated document about spark query engines and shuffles"),
+      (3L, passage)  // verbatim copy
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, passage)).toDF("doc_id", "text")
+    val hits = Approx.ngramContamination(spark, train, bench, n = 5, minContainment = 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(hits.contains(1L) && hits.contains(3L) && !hits.contains(2L))
+    assert(hits(3L) === 1.0)   // verbatim copy → full containment
+    assert(hits(1L) >= 0.9)    // embedded passage → near-full
+  }
+
   test("PII redaction scrubs emails, URLs, IPs, and phone numbers") {
     import spark.implicits._
     val df = Seq(
