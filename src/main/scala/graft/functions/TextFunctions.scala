@@ -138,4 +138,27 @@ object TextFunctions {
       qualityScore(col("text")).as("quality"),
       fingerprint(col("text")).as("fp64"),
       simhash64(col("text")).as("simhash"))
+
+  /** Repetition score per document: frequency share of the most common
+    * word n-gram (degenerate/looped text scores near 1, natural text
+    * near 1/n_shingles). Entirely inside one row — sort the shingles,
+    * then the longest run of equal neighbours IS the mode count
+    * (O(s log s) per doc, no explode/shuffle): the filter runs
+    * scan-side even at 100 TB. */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val toks = filter(split(text, "\\s+"), w => w =!= "")
+    val sh = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    val best = aggregate(
+      sort_array(sh),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    best.cast("double") / greatest(size(sh), lit(1)).cast("double")
+  }
 }

@@ -218,6 +218,17 @@ class CapabilitySpec extends SparkSpec {
     assert(unpivoted.select(sum("n")).head.getLong(0) === orders.count())
   }
 
+  test("repetition ratio separates looped text from natural text") {
+    import spark.implicits._
+    val looped = ("buy now click here " * 50).trim
+    val natural = "the quick brown fox jumps over the lazy dog while birds sing in the morning light"
+    val scores = Seq((1L, looped), (2L, natural)).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.repetitionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > 0.2, s"looped text should score high: ${scores(1L)}")
+    assert(scores(2L) < 0.1, s"natural text should score low: ${scores(2L)}")
+  }
+
   test("ngram containment flags planted benchmark passages (decontamination)") {
     import spark.implicits._
     val passage = "the quick brown fox jumps over the lazy dog near the river bank today"
