@@ -69,7 +69,8 @@ object SparkEntry {
     "q45_cosine_neardup"      -> Extended.q45CosineNeardup _,
     "q46_ann_lsh"             -> Extended.q46AnnLsh _,
     "q47_fingerprint_dedup"   -> Extended.q47FingerprintDedup _,
-    "q48_media_features"      -> Extended.q48MediaFeatures _
+    "q48_media_features"      -> Extended.q48MediaFeatures _,
+    "q49_curation_pipeline"   -> Extended.q49CurationPipeline _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -125,6 +125,27 @@ object Extended {
       .orderBy("doc_id")
   }
 
+  /** q49: the end-to-end curation pipeline in one query — the shape a
+    * pre-training data filter actually ships: PII-redact, score quality
+    * and repetition, fingerprint the CLEAN text (dedup keys must be
+    * computed post-redaction or two docs differing only in PII stay
+    * distinct), and emit the keep/drop decision. Entirely codegen'd
+    * per-row expressions — scan-side at any scale. Rows-only (xxhash64
+    * + the scoring chain have no SQL twin). */
+  def q49CurationPipeline(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val clean = redactPii(col("text"))
+    documents(s, d)
+      .select(col("doc_id"),
+              fingerprint(clean).as("clean_fp"),
+              qualityScore(col("text")).as("quality"),
+              round(repetitionRatio(col("text")), 4).as("repetition"),
+              tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("keep",
+        col("quality") >= 0.5 && col("repetition") <= 0.2 && col("n_tokens") >= 10)
+      .orderBy("doc_id")
+  }
+
   /** q48: multimodal feature extraction — binary media columns
     * synthesized from documents, stub-decoded to typed features
     * (n_bytes, fingerprint, 8-dim embedding). Rows-only: exercises the

@@ -57,7 +57,8 @@ class GoldenCountsSpec extends SparkSpec {
     "q45_cosine_neardup" -> 106,
     "q46_ann_lsh" -> 17,
     "q47_fingerprint_dedup" -> 500,
-    "q48_media_features" -> 500
+    "q48_media_features" -> 500,
+    "q49_curation_pipeline" -> 500
   )
 
   test("queries/oracleSql keys line up") {
@@ -68,7 +69,7 @@ class GoldenCountsSpec extends SparkSpec {
     val oracleLess = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(oracleLess === Set("q42_quality_langid", "q43_minhash_neardup",
       "q44_simhash_neardup", "q46_ann_lsh", "q47_fingerprint_dedup",
-      "q48_media_features"))
+      "q48_media_features", "q49_curation_pipeline"))
   }
 
   expected.toSeq.sortBy(_._1).foreach { case (name, rows) =>
