@@ -22,14 +22,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * Inputs MUST be sorted ascending and distinct; duplicates or unsorted
   * input silently undercount (callers own the invariant — both q35 and
   * the Approx near-dup operators canonicalize token arrays on creation).
+  *
+  * Null ELEMENTS are skipped: they never match anything (SQL null
+  * semantics — `null = null` is not true) and `sort_array` places them
+  * first, so the merge advances past a null on either side. This makes
+  * the function total over parquet-sourced arrays (containsNull=true)
+  * instead of NPE-ing on `getUTF8String(null slot)`.
   */
 case class SortedIntersectSize(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
     // Element-type match only: containsNull varies by producer (split()
-    // yields containsNull=false, parquet reads containsNull=true) and
-    // doesn't affect the merge.
+    // yields containsNull=false, parquet reads containsNull=true); null
+    // elements are skipped by the merge (see class doc).
     val ok = Seq(left, right).forall(_.dataType match {
       case ArrayType(StringType, _) => true
       case _ => false
@@ -48,10 +54,14 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     val nb = y.numElements()
     var ia = 0; var ib = 0; var cnt = 0L
     while (ia < na && ib < nb) {
-      val cmp = x.getUTF8String(ia).compareTo(y.getUTF8String(ib))
-      if (cmp == 0) { cnt += 1; ia += 1; ib += 1 }
-      else if (cmp < 0) ia += 1
-      else ib += 1
+      if (x.isNullAt(ia)) ia += 1
+      else if (y.isNullAt(ib)) ib += 1
+      else {
+        val cmp = x.getUTF8String(ia).compareTo(y.getUTF8String(ib))
+        if (cmp == 0) { cnt += 1; ia += 1; ib += 1 }
+        else if (cmp < 0) ia += 1
+        else ib += 1
+      }
     }
     cnt
   }
@@ -65,9 +75,13 @@ case class SortedIntersectSize(left: Expression, right: Expression)
          |int $na = $x.numElements(); int $nb = $y.numElements();
          |int $ia = 0; int $ib = 0; long $cnt = 0L;
          |while ($ia < $na && $ib < $nb) {
-         |  int $cmp = $x.getUTF8String($ia).compareTo($y.getUTF8String($ib));
-         |  if ($cmp == 0) { $cnt++; $ia++; $ib++; }
-         |  else if ($cmp < 0) { $ia++; } else { $ib++; }
+         |  if ($x.isNullAt($ia)) { $ia++; }
+         |  else if ($y.isNullAt($ib)) { $ib++; }
+         |  else {
+         |    int $cmp = $x.getUTF8String($ia).compareTo($y.getUTF8String($ib));
+         |    if ($cmp == 0) { $cnt++; $ia++; $ib++; }
+         |    else if ($cmp < 0) { $ia++; } else { $ib++; }
+         |  }
          |}
          |${ev.value} = $cnt;
        """.stripMargin

@@ -147,9 +147,13 @@ object TextFunctions {
     * scan-side even at 100 TB. */
   def repetitionRatio(text: Column, n: Int = 3): Column = {
     val toks = filter(split(text, "\\s+"), w => w =!= "")
-    val sh = transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    // Full-length shingles only: a doc with < n tokens has no n-gram to
+    // repeat and scores 0 (previously its single TRUNCATED shingle made
+    // every short doc score a degenerate-looking 1.0).
+    val sh = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
     val best = aggregate(
       sort_array(sh),
       struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),

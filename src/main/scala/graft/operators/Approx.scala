@@ -132,11 +132,17 @@ object Approx {
   def ngramContamination(spark: SparkSession, docs: DataFrame, benchmark: DataFrame,
                          n: Int = 5, minContainment: Double = 0.5): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
+    // Full-length shingles only: a doc with < n tokens yields NO
+    // shingles (not one truncated shingle — that made every whitespace-
+    // only bench doc emit the "" shingle, pass the size(bs)>0 guard, and
+    // spuriously "contaminate" every other short doc at containment 1.0).
     def shingles(c: Column) = {
       val toks = filter(split(c, "\\s+"), w => w =!= "")
-      sort_array(array_distinct(transform(
-        sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      when(size(toks) >= n,
+        sort_array(array_distinct(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))))
+        .otherwise(array().cast("array<string>"))
     }
     val corpus = docs.select(col("doc_id"), shingles(col("text")).as("ds"))
     val bench = benchmark
@@ -156,9 +162,13 @@ object Approx {
   def ngramJaccardNearDup(docs: DataFrame, n: Int = 3,
                           minJaccard: Double = 0.5, maxProbeId: Long = 100): DataFrame = {
     val toks = filter(split(col("text"), "\\s+"), w => w =!= "")
-    val shingles = array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    // Same full-shingle guard as ngramContamination: < n tokens → no
+    // shingles, and the size(sh) > 0 filter drops the doc entirely.
+    val shingles = when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
     val sh = docs.select(col("doc_id"), shingles.as("sh")).filter(size(col("sh")) > 0)
     val probe = sh.filter(col("doc_id") < maxProbeId)
       .select(col("doc_id").as("a"), col("sh").as("sa"))
@@ -270,6 +280,15 @@ object Approx {
       labels = next
       i += 1
     }
+    // A component with diameter > maxIter would exit with labels still
+    // moving — the clustering is then PARTIAL (one true component split
+    // across several cluster_ids) and a dedup built on it under-drops.
+    // Fail loudly rather than silently returning a wrong answer; callers
+    // that genuinely want a bounded-effort pass can raise maxIter.
+    if (changed > 0) throw new IllegalStateException(
+      s"dedupClusters did not converge after $maxIter rounds " +
+        s"($changed labels still changing); raise maxIter beyond the " +
+        "component diameter")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -149,9 +149,16 @@ object Extended {
   /** q48: multimodal feature extraction — binary media columns
     * synthesized from documents, stub-decoded to typed features
     * (n_bytes, fingerprint, 8-dim embedding). Rows-only: exercises the
-    * BinaryType plumbing end-to-end. */
-  def q48MediaFeatures(s: SparkSession, d: String): DataFrame =
-    graft.operators.Multimodal.decodeFeatures(
+    * BinaryType plumbing end-to-end. The embedding array is flattened to
+    * scalar f0..f7 for the dump — the driver's rows-only check sorts the
+    * output with pandas, which cannot order ndarray cells (the r02 q48
+    * compare error); `decodeFeatures` itself keeps the ArrayType API. */
+  def q48MediaFeatures(s: SparkSession, d: String): DataFrame = {
+    val feats = graft.operators.Multimodal.decodeFeatures(
       graft.operators.Multimodal.syntheticMedia(documents(s, d)))
+    val flat = (0 until 8).map(i => col("features")(i).as(s"f$i"))
+    feats.select(Seq(col("media_id"), col("kind"), col("n_bytes"),
+                     col("content_fp")) ++ flat: _*)
       .orderBy("media_id")
+  }
 }

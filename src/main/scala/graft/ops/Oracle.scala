@@ -194,7 +194,7 @@ object Oracle {
     "q26_math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
         |  floor(l_extendedprice * 10.0 + 0.5) / 10.0 AS r1,
-        |  CAST(abs(l_discount - 0.05) AS DECIMAL(8,4)) AS ab,
+        |  floor(abs(l_discount - 0.05) * 10000.0 + 0.5) / 10000.0 AS ab,
         |  ceil(l_quantity) AS c, floor(l_quantity) AS f,
         |  floor(sqrt(l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS sq,
         |  floor(ln(l_extendedprice + 1) * 1000000.0 + 0.5) / 1000000.0 AS lg,

@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import Determinism._
 import Tables._
@@ -236,13 +235,17 @@ object Relational {
       .orderBy("o_orderkey")
 
   /** q26: math library. ceil/floor are LONG in Spark, DOUBLE in DuckDB →
-    * cast to double; libm outputs rounded per §2.12 rule 3. */
+    * cast to double; libm outputs rounded per §2.12 rule 3. `ab` stays
+    * DOUBLE end-to-end: a DECIMAL output column survives the parquet
+    * dump as Python Decimal objects while DuckDB's pandas bridge yields
+    * float64, so the driver's value-hash compare diverges on types even
+    * when the numbers agree (the r01/r02 q26 hash failure). */
   def q26MathFuncs(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .filter(col("l_linenumber") === 1)
       .select(col("l_orderkey"), col("l_linenumber"),
               dround(col("l_extendedprice"), 1).as("r1"),
-              abs(col("l_discount") - 0.05).cast(DecimalType(8, 4)).as("ab"),
+              dround(abs(col("l_discount") - 0.05), 4).as("ab"),
               ceil(col("l_quantity")).cast("double").as("c"),
               floor(col("l_quantity")).cast("double").as("f"),
               dround(sqrt(col("l_extendedprice")), 4).as("sq"),

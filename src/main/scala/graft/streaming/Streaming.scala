@@ -61,16 +61,19 @@ object Streaming {
   }
 
   /** Streaming → RDBMS: `foreachBatch` turns each micro-batch into a
-    * bounded DataFrame and reuses the batch JDBC writer — the standard
-    * ship path for streaming ETL into a database (per-batch transactions;
-    * pair with an idempotent staging table keyed by `batchId` for
-    * exactly-once across retries). Returns the configured writer;
-    * `.start()` is the caller's side effect. */
+    * bounded DataFrame and reuses the batch JDBC writer. The write itself
+    * is AT-LEAST-ONCE (a retried micro-batch appends again); every row is
+    * stamped with its `batch_id` so a downstream MERGE / `DELETE WHERE
+    * batch_id = ?` pre-step can de-duplicate retries into exactly-once —
+    * without the stamp callers cannot tell a retry from new data.
+    * Returns the configured writer; `.start()` is the caller's side
+    * effect. */
   def jdbcSink(stream: DataFrame, url: String, table: String,
                user: String, password: String):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      graft.sources.Sources.jdbcWriter(batch, url, table, user, password,
-        numPartitions = 2).save()
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.sources.Sources.jdbcWriter(
+        batch.withColumn("batch_id", lit(batchId)),
+        url, table, user, password, numPartitions = 2).save()
     }
 }

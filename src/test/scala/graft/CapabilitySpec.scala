@@ -90,6 +90,21 @@ class CapabilitySpec extends SparkSpec {
     assert(labels.values.toSet.forall(l => labels(l) == l))
   }
 
+  test("dedupClusters: non-convergence throws instead of returning a partial clustering (ADVICE r2)") {
+    import spark.implicits._
+    // a path graph 0-1-2-...-9 has diameter 9; min-label propagation
+    // cannot finish in 2 rounds — the old code returned a silently
+    // split component here.
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Approx.dedupClusters(chain, maxIter = 2).collect()
+    }
+    // and with enough rounds the same graph converges to one component
+    val ok = Approx.dedupClusters(chain, maxIter = 20).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(ok === Set(0L))
+  }
+
   test("salted join equals the plain join on a skewed key") {
     val orders = Tables.orders(spark, sf0001)
     val customer = Tables.customer(spark, sf0001)
@@ -229,6 +244,17 @@ class CapabilitySpec extends SparkSpec {
     assert(scores(2L) < 0.1, s"natural text should score low: ${scores(2L)}")
   }
 
+  test("repetition ratio: docs shorter than the shingle width score 0 (ADVICE r2)") {
+    import spark.implicits._
+    // < n tokens → no full shingle exists; the old truncated-shingle path
+    // scored every short/empty doc as a degenerate-looking 1.0.
+    val scores = Seq((1L, "two words"), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.repetitionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.values.forall(_ === 0.0), s"short docs must score 0: $scores")
+  }
+
   test("ngram containment flags planted benchmark passages (decontamination)") {
     import spark.implicits._
     val passage = "the quick brown fox jumps over the lazy dog near the river bank today"
@@ -243,6 +269,16 @@ class CapabilitySpec extends SparkSpec {
     assert(hits.contains(1L) && hits.contains(3L) && !hits.contains(2L))
     assert(hits(3L) === 1.0)   // verbatim copy → full containment
     assert(hits(1L) >= 0.9)    // embedded passage → near-full
+  }
+
+  test("ngram containment: short/empty benchmark docs produce no shingles, no spurious hits (ADVICE r2)") {
+    import spark.implicits._
+    val train = Seq((1L, "   "), (2L, "tiny doc"), (3L, "a b c d e f g h")).toDF("doc_id", "text")
+    // whitespace-only + sub-n benchmark items used to emit one truncated
+    // shingle ("" for blank text) and match every other short doc at 1.0.
+    val bench = Seq((100L, ""), (101L, "  "), (102L, "three short words")).toDF("doc_id", "text")
+    val hits = Approx.ngramContamination(spark, train, bench, n = 5, minContainment = 0.5)
+    assert(hits.count() === 0L)
   }
 
   test("PII redaction scrubs emails, URLs, IPs, and phone numbers") {

@@ -171,6 +171,22 @@ class SinkAndUdafSpec extends SparkSpec {
     assert(got === builtin)
   }
 
+  test("sorted_intersect_size: null elements are skipped, not NPE'd (ADVICE r2)") {
+    graft.expressions.GraftFunctions.register(spark)
+    // parquet-sourced arrays carry containsNull=true; sort_array puts
+    // nulls FIRST — the merge must step past them on either side and a
+    // null never equals anything (SQL semantics).
+    val got = spark.sql(
+      """SELECT sorted_intersect_size(sort_array(array(CAST(NULL AS STRING), 'a', 'b')),
+        |                             sort_array(array('b', CAST(NULL AS STRING), 'c')))
+        |""".stripMargin).head.getLong(0)
+    assert(got === 1L) // only 'b'; the two nulls don't match each other
+    val bothNull = spark.sql(
+      "SELECT sorted_intersect_size(array(CAST(NULL AS STRING)), array(CAST(NULL AS STRING)))")
+      .head.getLong(0)
+    assert(bothNull === 0L)
+  }
+
   test("weighted percentile UDAF: p50 of known weights") {
     import spark.implicits._
     // values 1..4; weight concentrated on 3 → weighted p50 = 3
