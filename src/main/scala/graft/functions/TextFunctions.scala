@@ -78,13 +78,16 @@ object TextFunctions {
   }
 
   /** Composite quality score in [0,1] from length/punct/stopword ratios —
-    * the standard pre-training text filter shape. */
+    * the standard pre-training text filter shape. Rounded via
+    * [[graft.ops.Determinism.dround]] (explicit floor formula) so the
+    * q42 DuckDB oracle can reproduce the rounding bit-identically on any
+    * DuckDB version. */
   def qualityScore(text: Column): Column = {
     val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
     val alpha = alphaRatio(text)
     val stop = least(stopwordRatio(text) * 4.0, lit(1.0))
     val punctPenalty = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
-    round((lenScore + alpha + stop + punctPenalty) / 4.0, 4)
+    graft.ops.Determinism.dround((lenScore + alpha + stop + punctPenalty) / 4.0, 4)
   }
 
   /** 64-bit rolling (polynomial) content fingerprint via the built-in

@@ -40,14 +40,19 @@ object Extended {
 
   /** q42: language ID + composite quality score per document — the
     * n-gram-heuristic langid and length/stopword/punctuation quality
-    * features (rows-only: the scoring chain has no tractable SQL twin). */
+    * features. Fully oracle-checked: every feature is deterministic
+    * regex/arithmetic, mirrored in lambda-free DuckDB SQL (unnest +
+    * group for token stats, CASE chains for the marker-word argmax,
+    * regexp_extract_all run-counting for the subword count — Spark's
+    * lookaround split counts exactly the alpha runs plus the
+    * non-alpha-non-space runs). */
   def q42QualityLangid(s: SparkSession, d: String): DataFrame = {
     import graft.functions.TextFunctions
     documents(s, d)
       .select(col("doc_id"), col("lang"),
               TextFunctions.langIdHeuristic(col("text")).as("lang_pred"),
               TextFunctions.qualityScore(col("text")).as("quality"),
-              round(TextFunctions.stopwordRatio(col("text")), 4).as("stop_ratio"),
+              dround(TextFunctions.stopwordRatio(col("text")), 4).as("stop_ratio"),
               TextFunctions.subwordCount(col("text")).cast("long").as("n_subwords"))
       .orderBy("doc_id")
   }
@@ -109,16 +114,18 @@ object Extended {
       .orderBy("pid", "nid")
   }
 
-  /** q47: fingerprint dedup map — 64-bit content fingerprint per
-    * document plus its cluster keeper (min doc_id sharing the
-    * fingerprint). The 100 TB shape: the dedup shuffle carries 8-byte
-    * keys, never the documents; `is_dup` marks rows a keep-first pass
-    * would drop. Rows-only: DuckDB lacks xxhash64. */
+  /** q47: fingerprint dedup map — content fingerprint per document plus
+    * its cluster keeper (min doc_id sharing the fingerprint). The 100 TB
+    * shape: the dedup shuffle carries fixed-width fingerprints, never
+    * the documents; `is_dup` marks rows a keep-first pass would drop.
+    * The declared query fingerprints with md5 (bit-identical hex in
+    * Spark and DuckDB → full value oracle); the scale-optimized 64-bit
+    * variant ([[graft.functions.TextFunctions.fingerprint]], xxhash64 —
+    * 8-byte keys, no SQL twin) is exercised in CapabilitySpec. */
   def q47FingerprintDedup(s: SparkSession, d: String): DataFrame = {
-    val fp = graft.functions.TextFunctions.fingerprint(col("text")).as("fp")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
     documents(s, d)
-      .select(col("doc_id"), fp)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
       .withColumn("keep_id", min(col("doc_id")).over(w))
       .select(col("doc_id"), col("fp"), col("keep_id"),
               (col("doc_id") =!= col("keep_id")).as("is_dup"))

@@ -191,14 +191,17 @@ object Oracle {
     // out explicitly — any DuckDB version then computes bit-identically
     // to the Spark side's Determinism.dround. All rounded expressions
     // here are strictly positive, so the no-sign floor form suffices.
+    // Transcendentals (ln, pow) are CAST AS REAL instead: their last
+    // double ulp is libm-implementation-defined, and float32 rounding
+    // absorbs the drift (see Relational.q26MathFuncs).
     "q26_math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
         |  floor(l_extendedprice * 10.0 + 0.5) / 10.0 AS r1,
         |  floor(abs(l_discount - 0.05) * 10000.0 + 0.5) / 10000.0 AS ab,
         |  ceil(l_quantity) AS c, floor(l_quantity) AS f,
         |  floor(sqrt(l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS sq,
-        |  floor(ln(l_extendedprice + 1) * 1000000.0 + 0.5) / 1000000.0 AS lg,
-        |  floor(pow(1 + l_discount, 2) * 1000000.0 + 0.5) / 1000000.0 AS pw,
+        |  CAST(ln(l_extendedprice + 1) AS REAL) AS lg,
+        |  CAST(pow(1 + l_discount, 2) AS REAL) AS pw,
         |  CAST(l_orderkey % 7 AS BIGINT) AS md
         |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin,
 
@@ -333,6 +336,14 @@ object Oracle {
         |  floor(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
         |        / greatest(length(text), 1)
         |        * 10000.0 + 0.5) / 10000.0 AS punct_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // md5() emits the same lowercase hex in Spark and DuckDB, so the
+    // fingerprint-dedup map is fully value-checkable.
+    "q47_fingerprint_dedup" ->
+      """SELECT doc_id, md5(text) AS fp,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q45_cosine_neardup" ->

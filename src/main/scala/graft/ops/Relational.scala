@@ -235,11 +235,20 @@ object Relational {
       .orderBy("o_orderkey")
 
   /** q26: math library. ceil/floor are LONG in Spark, DOUBLE in DuckDB →
-    * cast to double; libm outputs rounded per §2.12 rule 3. `ab` stays
-    * DOUBLE end-to-end: a DECIMAL output column survives the parquet
-    * dump as Python Decimal objects while DuckDB's pandas bridge yields
-    * float64, so the driver's value-hash compare diverges on types even
-    * when the numbers agree (the r01/r02 q26 hash failure). */
+    * cast to double; `ab` stays DOUBLE end-to-end: a DECIMAL output
+    * column survives the parquet dump as Python Decimal objects while
+    * DuckDB's pandas bridge yields float64, so the driver's value-hash
+    * compare diverges on types even when the numbers agree (the r01/r02
+    * q26 hash failure).
+    *
+    * Transcendentals (`lg`, `pw`) are cast to FLOAT on both sides
+    * instead of rounded: ln/pow are libm calls whose last double ulp is
+    * implementation-defined (JVM intrinsic vs whichever libm the
+    * oracle's DuckDB build links), and a 1-ulp difference can flip any
+    * decimal rounding at a boundary. Rounding to nearest float32
+    * quantizes 2^29× coarser than the drift, so both engines land on
+    * the identical bit pattern. sqrt stays exact-rounded per IEEE 754
+    * and needs no armor. */
   def q26MathFuncs(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .filter(col("l_linenumber") === 1)
@@ -249,8 +258,8 @@ object Relational {
               ceil(col("l_quantity")).cast("double").as("c"),
               floor(col("l_quantity")).cast("double").as("f"),
               dround(sqrt(col("l_extendedprice")), 4).as("sq"),
-              dround(log(col("l_extendedprice") + 1), 6).as("lg"),
-              dround(pow(lit(1) + col("l_discount"), 2), 6).as("pw"),
+              log(col("l_extendedprice") + 1).cast("float").as("lg"),
+              pow(lit(1) + col("l_discount"), 2).cast("float").as("pw"),
               (col("l_orderkey") % 7).cast("long").as("md"))
       .orderBy("l_orderkey")
 
