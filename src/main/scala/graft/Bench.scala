@@ -23,8 +23,10 @@ object Bench {
       // dispatch: measured totals 32p=11.6s, 8p=6.3s, 4p=6.1s. Cap at 8
       // — enough parallelism for the 600k-row sorts, near-minimal
       // overhead for the rest. (Real-scale sessions size partitions to
-      // data or let AQE coalesce.)
-      .config("spark.sql.shuffle.partitions", math.min(cpus.toInt, 8))
+      // data or let AQE coalesce.) SPARK_GRAFT_SHUFFLE overrides for A/B.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.get("SPARK_GRAFT_SHUFFLE").map(_.toInt)
+          .getOrElse(math.min(cpus.toInt, 8)))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -63,36 +65,51 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    // Host-load evidence: the r3 driver run read 2x slower than a quiet
+    // host purely from external CPU contention; emitting loadavg and the
+    // raw per-pass totals makes a noisy run distinguishable from a real
+    // regression without a re-run.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    val loadBefore = loadavg()
     // Timed PASSES (not back-to-back repeats): transient host stalls
     // then hit different queries in each pass, and the per-query minimum
     // across passes discards them. Adaptive count (3..7): stop once an
     // extra pass stops improving the summed minima, so a noisy host gets
     // more chances at a quiet window without unbounded runtime.
     val best = scala.collection.mutable.Map.empty[String, Double]
+    val passTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
     var pass = 0
     var prevTotal = Double.MaxValue
     var continue = true
     while (continue && pass < 7) {
       pass += 1
+      var passSum = 0.0
       queries.foreach { case (name, fn) =>
         val t = timeOne(fn)
+        if (t >= 0) passSum += t
         val cur = best.getOrElse(name, Double.MaxValue)
         // A -1.0 failure sentinel must not pin the query: a later
         // successful pass replaces it.
         if (t >= 0 && (cur < 0 || t < cur)) best(name) = t
         else if (t < 0 && !best.contains(name)) best(name) = -1.0
       }
+      passTotals += passSum
       val total = best.values.filter(_ >= 0).sum
       val improved = total < prevTotal * 0.97
       prevTotal = total
       continue = pass < 3 || improved
     }
+    val loadAfter = loadavg()
     val results = queries.map { case (name, _) => name -> best.getOrElse(name, -1.0) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Failure sentinels stay visible per-query but don't corrupt the sum.
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val passes = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"load":"before=$loadBefore after=$loadAfter"}""")
     spark.stop()
   }
 }

@@ -59,9 +59,9 @@ object SparkEntry {
     "q38_star_denorm"         -> Relational.q38StarDenorm _,
     "q39_wordcount_topn"      -> TextSim.q39WordcountTopn _,
     "q40_histogram"           -> Events.q40Histogram _,
-    // Extended LLM-pipeline surface (graft.ops.Extended). q41/q45 carry
-    // DuckDB oracles; the rest are rows-only (no SQL twin — LSH models,
-    // xxhash64, media stubs). Excluded from the 40-query BASELINE bench.
+    // Extended LLM-pipeline surface (graft.ops.Extended). q41/q42/q45/q47
+    // carry DuckDB oracles; the rest are rows-only (no SQL twin — LSH
+    // models, xxhash64, media stubs). Excluded from the 40-query bench.
     "q41_text_stats"          -> Extended.q41TextStats _,
     "q42_quality_langid"      -> Extended.q42QualityLangid _,
     "q43_minhash_neardup"     -> Extended.q43MinhashNeardup _,

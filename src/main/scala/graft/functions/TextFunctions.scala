@@ -18,12 +18,17 @@ object TextFunctions {
   def tokenCount(text: Column): Column =
     size(filter(split(text, "\\s+"), w => w =!= ""))
 
-  /** BPE-ish subword count: word-ish runs + digits + punctuation counted
-    * separately (a cheap deterministic proxy for a real tokenizer's token
-    * count — the standard pre-filter statistic). */
+  /** BPE-ish subword count: alphabetic runs + non-alpha non-space runs,
+    * counted separately (a cheap deterministic proxy for a real
+    * tokenizer's token count — the standard pre-filter statistic).
+    * Two regexp_extract_all counts rather than a lookaround split: the
+    * split formulation miscounts when an alpha→non-alpha boundary is
+    * immediately followed by more whitespace (Java's find() skips a char
+    * after a zero-width match, leaving a stray " " token), and the run
+    * counts mirror verbatim into the q42 DuckDB oracle. */
   def subwordCount(text: Column): Column =
-    size(filter(split(text, "(?<=[a-zA-Z])(?=[^a-zA-Z])|(?<=[^a-zA-Z])(?=[a-zA-Z])|\\s+"),
-      w => w =!= ""))
+    size(regexp_extract_all(text, lit("[a-zA-Z]+"), lit(0))) +
+      size(regexp_extract_all(text, lit("[^a-zA-Z\\s]+"), lit(0)))
 
   /** Mean token length — long tokens suggest code/garbage, very short
     * suggest boilerplate. */

@@ -11,7 +11,7 @@ import Tables._
   * graft.operators.Approx, graft.operators.Multimodal) exposed as
   * first-class driver queries over the testdata tables.
   *
-  * q41 and q45 are SQL-expressible and carry DuckDB oracles
+  * q41, q42, q45, and q47 are SQL-expressible and carry DuckDB oracles
   * ([[Oracle.sql]]); the rest have no DuckDB equivalent (ML LSH models,
   * xxhash64 fingerprints, media stubs) and are declared WITHOUT oracle
   * SQL — the driver records the weaker rows-only check, and
@@ -92,7 +92,7 @@ object Extended {
     val corpus = emb
       .select(col("vec_id").as("nid"), col("embedding").as("ne"),
               sqrt(dot("embedding", "embedding")).cast("float").as("nnorm"))
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(math.min(s.sparkContext.defaultParallelism, 8))
     val sim = (dot("pe", "ne") / (col("pnorm") * col("nnorm"))).cast("float")
     broadcast(probes).crossJoin(corpus)
       .filter(col("nid") > col("pid"))

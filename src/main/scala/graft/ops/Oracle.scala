@@ -338,6 +338,77 @@ object Oracle {
         |        * 10000.0 + 0.5) / 10000.0 AS punct_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // q42 mirrors graft.functions.TextFunctions feature-for-feature with
+    // the SAME operation order, so both engines run identical IEEE double
+    // chains: token stats via unnest+group (lambda-free, see q41 note),
+    // the langid marker-word argmax as a CASE chain with the Spark
+    // fold's en>de>es>fr>zh tie priority, subwords as two
+    // regexp_extract_all run counts, and dround as the explicit floor
+    // formula (all rounded quantities are >= 0 here).
+    "q42_quality_langid" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE trim(text) <> ''),
+        | tstat AS (
+        |  SELECT doc_id, count(*) AS n_toks,
+        |    sum(CASE WHEN w IN ('the','a','an','and','or','of','to','in','is','are',
+        |                        'was','on','for','with','by','at','as','it','this','that')
+        |        THEN 1 ELSE 0 END) AS n_stop
+        |  FROM tok GROUP BY doc_id),
+        | feat AS (
+        |  SELECT d.doc_id, d.lang, d.text, lower(d.text) AS lt,
+        |         coalesce(t.n_toks, 0) AS n_toks, coalesce(t.n_stop, 0) AS n_stop
+        |  FROM documents d LEFT JOIN tstat t ON d.doc_id = t.doc_id),
+        | scored AS (
+        |  SELECT *,
+        |    (CASE WHEN contains(lt, ' the ') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lt, ' and ') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lt, ' of ') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lt, ' is ') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lt, ' to ') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lt, ' with ') THEN 1 ELSE 0 END) AS s_en,
+        |    (CASE WHEN contains(lt, ' der ') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lt, ' die ') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lt, ' das ') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lt, ' und ') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lt, ' ist ') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lt, ' mit ') THEN 1 ELSE 0 END +
+        |     CASE WHEN regexp_matches(lt, '[äöüß]') THEN 2 ELSE 0 END) AS s_de,
+        |    (CASE WHEN contains(lt, ' el ') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lt, ' la ') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lt, ' los ') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lt, ' es ') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lt, ' con ') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lt, ' por ') THEN 1 ELSE 0 END +
+        |     CASE WHEN regexp_matches(lt, '[ñ¿¡]') THEN 2 ELSE 0 END) AS s_es,
+        |    (CASE WHEN contains(lt, ' le ') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lt, ' la ') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lt, ' les ') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lt, ' est ') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lt, ' avec ') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lt, ' pour ') THEN 1 ELSE 0 END +
+        |     CASE WHEN regexp_matches(lt, '[àâçèêîôû]') THEN 2 ELSE 0 END) AS s_fr,
+        |    CASE WHEN regexp_matches(lt, '[\x{4e00}-\x{9fff}]') THEN 10 ELSE 0 END AS s_zh
+        |  FROM feat)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'unknown'
+        |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+        |       ELSE 'zh' END AS lang_pred,
+        |  floor((least(length(text) / 500.0, 1.0)
+        |     + CAST(length(regexp_replace(text, '[^a-zA-Za-яА-Яçáéíóúäöüßàèìòùâêîôû]', '', 'g')) AS DOUBLE)
+        |       / greatest(length(text), 1)
+        |     + least(CAST(n_stop AS DOUBLE) / greatest(n_toks, 1) * 4.0, 1.0)
+        |     + (1.0 - least(CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+        |                    / greatest(length(text), 1) * 5.0, 1.0)))
+        |    / 4.0 * 10000.0 + 0.5) / 10000.0 AS quality,
+        |  floor(CAST(n_stop AS DOUBLE) / greatest(n_toks, 1) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+'))
+        |    + len(regexp_extract_all(text, '[^a-zA-Z\s]+')) AS n_subwords
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
     // md5() emits the same lowercase hex in Spark and DuckDB, so the
     // fingerprint-dedup map is fully value-checkable.
     "q47_fingerprint_dedup" ->

@@ -246,9 +246,12 @@ object Relational {
     * implementation-defined (JVM intrinsic vs whichever libm the
     * oracle's DuckDB build links), and a 1-ulp difference can flip any
     * decimal rounding at a boundary. Rounding to nearest float32
-    * quantizes 2^29× coarser than the drift, so both engines land on
-    * the identical bit pattern. sqrt stays exact-rounded per IEEE 754
-    * and needs no armor. */
+    * quantizes 2^29× coarser than the drift, which in practice absorbs
+    * it — strictly, a double within ~1 ulp of a float32 rounding
+    * midpoint could still round either way, so the guarantee is
+    * probabilistic (~2^-29 per value), not absolute; if q26 ever
+    * mismatches on a single value, check this first. sqrt stays
+    * exact-rounded per IEEE 754 and needs no armor. */
   def q26MathFuncs(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .filter(col("l_linenumber") === 1)

@@ -76,9 +76,11 @@ object TextSim {
     // The testdata corpus is one small parquet file = one input split, so
     // without a repartition the whole pair loop would run on one core; at
     // real scale the input already has many splits and this exchange is
-    // noise relative to the pair work.
+    // noise relative to the pair work. Width capped at 8: past that, the
+    // extra tasks on this corpus are near-empty and pure dispatch cost
+    // (r3 verdict measured 32 tasks costing ~2x the useful work).
     val corpus = toks.select(col("doc_id").as("b"), col("toks").as("tb"), size(col("toks")).cast("long").as("sb"))
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(math.min(s.sparkContext.defaultParallelism, 8))
     val i = graft.expressions.GraftFunctions.sortedIntersectSize(s, "ta", "tb")
     val ratio = col("i").cast("double") / (col("sa") + col("sb") - col("i"))
     broadcast(probe).crossJoin(corpus)
@@ -121,11 +123,11 @@ object TextSim {
       .select(col("vec_id").as("pid"), col("embedding").as("pe"),
               sqrt(dot("embedding", "embedding")).cast("float").as("pnorm"))
     // single-file input = single split: spread the NLJ stream side across
-    // cores (see q35 note).
+    // cores, width capped at 8 (see q35 note).
     val corpus = emb
       .select(col("vec_id").as("nid"), col("embedding").as("ne"),
               sqrt(dot("embedding", "embedding")).cast("float").as("nnorm"))
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(math.min(s.sparkContext.defaultParallelism, 8))
     val sim = (dot("pe", "ne") / (col("pnorm") * col("nnorm"))).cast("float")
     val w = Window.partitionBy("pid").orderBy(col("sim").desc, col("nid"))
     broadcast(probes).crossJoin(corpus)

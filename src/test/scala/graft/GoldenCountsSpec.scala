@@ -67,9 +67,8 @@ class GoldenCountsSpec extends SparkSpec {
     // oracle must belong to a declared query.
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     val oracleLess = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(oracleLess === Set("q42_quality_langid", "q43_minhash_neardup",
-      "q44_simhash_neardup", "q46_ann_lsh", "q47_fingerprint_dedup",
-      "q48_media_features", "q49_curation_pipeline"))
+    assert(oracleLess === Set("q43_minhash_neardup", "q44_simhash_neardup",
+      "q46_ann_lsh", "q48_media_features", "q49_curation_pipeline"))
   }
 
   expected.toSeq.sortBy(_._1).foreach { case (name, rows) =>
