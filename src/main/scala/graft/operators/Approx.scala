@@ -66,17 +66,34 @@ object Approx {
 
   /** LSH-bucketed approximate nearest neighbours: random-hyperplane
     * (SimHash) bucket signatures, candidates generated within a bucket,
-    * exact cosine re-scoring on candidates only. `nPlanes` controls the
-    * bucket fan-out (2^nPlanes buckets): the corpus-side shuffle is by
-    * bucket, so at 100 TB each executor scores only its bucket's
-    * candidates instead of the whole corpus. Recall is tunable by probing
-    * neighbouring buckets (here: exact-bucket only — the scale skeleton). */
+    * exact cosine re-scoring on candidates only. Standard (L, b, h)
+    * construction — `nTables` independent tables of `nPlanes` planes
+    * each (candidate on a bucket match in ANY table), and multi-probe:
+    * each probe also searches buckets within Hamming `maxProbeHamming`
+    * of its per-table signature, since a true neighbour at angle θ flips
+    * each plane independently with probability θ/π and so lands a few
+    * bits away, not in the exact bucket.
+    *
+    * Scale shape: the corpus is bucketed once per table (L× linear) and
+    * shuffled by (table, bucket); only the tiny probe side fans out
+    * (L · sum_{i<=h} C(b, i) bucket keys per probe). Each executor
+    * scores one bucket's candidates, never the corpus. The defaults
+    * (L=8, b=8, h=2) are sized for the HARD regime the recall pin tests
+    * — q36's true top-5 on this corpus sit at cosine 0.26–0.49, i.e.
+    * θ≈70°, where per-table match probability is only ~0.3 — and reach
+    * recall ≥ 0.9 there (CapabilitySpec, vs exact q36 at sf0.01).
+    * Production near-dup targets (cosine ≥ 0.8 → θ ≤ 37°) match each
+    * table at ~0.75, so the same defaults are generous and the dials
+    * can drop to L=2–4, h=0–1 for a far smaller candidate fraction. */
   def annLshCosine(emb: DataFrame, probes: DataFrame, k: Int = 5,
-                   nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
-    val rnd = new scala.util.Random(seed)
+                   nPlanes: Int = 8, seed: Long = 42L,
+                   nTables: Int = 8, maxProbeHamming: Int = 2): DataFrame = {
     val dim = 64
-    val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
-    def signature(v: org.apache.spark.sql.Column) = {
+    def planesFor(t: Int): Array[Array[Double]] = {
+      val rnd = new scala.util.Random(seed + t)
+      Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    }
+    def signature(v: org.apache.spark.sql.Column, planes: Array[Array[Double]]) = {
       val bits = planes.zipWithIndex.map { case (p, i) =>
         val dot = aggregate(zip_with(v, lit(p), (x, y) => x * y), lit(0.0), (a, x) => a + x)
         when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
@@ -84,14 +101,27 @@ object Approx {
       bits.reduce(_ + _)
     }
     val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
-      .withColumn("bucket", signature(col("ne")))
+      .withColumn("tb", explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("t"), signature(col("ne"), planesFor(t)).as("bucket"))): _*)))
+      .select(col("nid"), col("ne"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val masks = (0 until (1 << nPlanes))
+      .filter(m => Integer.bitCount(m) <= maxProbeHamming).map(_.toLong)
+    // Signatures are materialized once per table into an array column;
+    // the mask fan-out then only XORs — without this each of the
+    // L·|masks| probe keys would re-derive its full b-plane signature.
     val probed = probes.select(col("vec_id").as("pid"), col("embedding").as("pe"))
-      .withColumn("bucket", signature(col("pe")))
+      .withColumn("sigs", array((0 until nTables).map(t =>
+        signature(col("pe"), planesFor(t))): _*))
+      .withColumn("tb", explode(array((for { t <- 0 until nTables; m <- masks } yield
+        struct(lit(t).as("t"), col("sigs")(t).bitwiseXOR(lit(m)).as("bucket"))): _*)))
+      .select(col("pid"), col("pe"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
     val dotCol = aggregate(zip_with(col("pe"), col("ne"), (x, y) => x * y), lit(0.0), (a, x) => a + x)
     val w = Window.partitionBy("pid").orderBy(col("sim").desc, col("nid"))
-    probed.join(corpus, "bucket")
+    probed.join(corpus, Seq("t", "bucket"))
       .filter(col("pid") =!= col("nid"))
       .select(col("pid"), col("nid"), round(dotCol, 4).as("sim"))
+      // A pair can match in several tables — dedup before the rank.
+      .distinct()
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("pid", "nid", "sim")

@@ -106,8 +106,10 @@ object Extended {
   }
 
   /** q46: LSH-bucketed approximate nearest neighbours (the scale path of
-    * q36): random-hyperplane buckets, exact re-score within bucket.
-    * Rows-only: seeded hyperplanes have no SQL twin. */
+    * q36): multi-table random-hyperplane buckets with Hamming-2
+    * multi-probe, exact re-score on candidates (recall 0.94 vs exact
+    * q36 — CapabilitySpec). Rows-only: seeded hyperplanes have no SQL
+    * twin; GoldenCountsSpec pins the 50-row cardinality. */
   def q46AnnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     graft.operators.Approx.annLshCosine(emb, emb.filter(col("vec_id") < 10))

@@ -51,6 +51,22 @@ class CapabilitySpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
   }
 
+  test("LSH ANN: recall >= 0.9 against exact q36 top-5 (sf0.01, multi-table multi-probe)") {
+    // The hard regime: q36's true top-5 sit at cosine 0.26-0.49 (θ≈70°),
+    // where a single hyperplane table concentrates almost nothing — the
+    // L=8-table OR-construction with Hamming-2 multi-probe is what buys
+    // the recall (measured 0.94; exact-bucket single-table was 0.06).
+    val emb = Tables.embeddings(spark, sf001)
+    val probes = emb.filter(col("vec_id") < 10)
+    val exact = graft.ops.TextSim.q36CosineTopk(spark, sf001)
+      .select("pid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Approx.annLshCosine(emb, probes, k = 5)
+      .select("pid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall (${exact.size} exact, ${lsh.size} lsh)")
+    assert(lsh.size <= 50) // at most k per probe
+  }
+
   test("IVF ANN: recall against exact brute-force top-5 (nprobe/nlist = 1/2)") {
     val emb = Tables.embeddings(spark, sf001)
     val probes = emb.filter(col("vec_id") < 10)

@@ -55,7 +55,9 @@ class GoldenCountsSpec extends SparkSpec {
     "q43_minhash_neardup" -> 30328,
     "q44_simhash_neardup" -> 17,
     "q45_cosine_neardup" -> 106,
-    "q46_ann_lsh" -> 17,
+    // 50 = full top-5 for all 10 probes since the r4 multi-table
+    // multi-probe upgrade (recall 0.94 vs exact; was 17 exact-bucket).
+    "q46_ann_lsh" -> 50,
     "q47_fingerprint_dedup" -> 500,
     "q48_media_features" -> 500,
     "q49_curation_pipeline" -> 500

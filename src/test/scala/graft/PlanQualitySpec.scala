@@ -19,7 +19,7 @@ class PlanQualitySpec extends SparkSpec {
   // is the algorithm.
   private val intendedCross =
     Set("q14_join_cross", "q35_jaccard_neardup", "q36_cosine_topk", "q37_tfidf_top_term",
-      "q45_cosine_neardup", "q43_minhash_neardup")
+      "q45_cosine_neardup")
 
   test("no query plan contains an unintended cartesian product or Scala UDF") {
     SparkEntry.queries.keys.foreach { name =>
@@ -54,6 +54,29 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q34_dedup_exact_text")
     assert(p.contains("doc_id") && p.contains("n_chars") && !p.contains("lang"),
       s"q34 should read only the 3 needed columns (no lang/source)")
+  }
+
+  test("q43 candidate generation is an LSH-bucketed hash join, not an all-pairs product") {
+    // The whole point of MinHash-LSH over exact Jaccard is that the pair
+    // loop becomes an equi-join on the banded hash keys; if this plan
+    // ever degrades to a cartesian, the 100 TB story is gone.
+    val p = plan("q43_minhash_neardup")
+    assert(p.contains("entry#") && p.contains("hashValue#"),
+      "LSH entry/hashValue join keys missing from the q43 plan")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), "no hash join in q43")
+  }
+
+  test("q47 shuffles fingerprints only — document text never crosses an exchange") {
+    // The dedup shuffle must carry (doc_id, md5-fp), never the documents:
+    // FormattedMode prints each Exchange with its Input attribute list.
+    val p = plan("q47_fingerprint_dedup")
+    val exchanges = p.split("\\(\\d+\\) ").filter(_.startsWith("Exchange"))
+    assert(exchanges.nonEmpty, "q47 plan has no exchange to audit")
+    exchanges.foreach { e =>
+      val input = e.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      assert(!input.contains("text#"), s"q47 exchange carries full text: $input")
+    }
   }
 
   test("whole-stage codegen is active in the scan-heavy queries") {
