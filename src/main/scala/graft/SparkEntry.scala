@@ -59,9 +59,10 @@ object SparkEntry {
     "q38_star_denorm"         -> Relational.q38StarDenorm _,
     "q39_wordcount_topn"      -> TextSim.q39WordcountTopn _,
     "q40_histogram"           -> Events.q40Histogram _,
-    // Extended LLM-pipeline surface (graft.ops.Extended). q41/q42/q45/q47
-    // carry DuckDB oracles; the rest are rows-only (no SQL twin — LSH
-    // models, xxhash64, media stubs). Excluded from the 40-query bench.
+    // Extended LLM-pipeline surface (graft.ops.Extended).
+    // q41/q42/q45/q47/q50 carry DuckDB oracles; the rest are rows-only
+    // (no SQL twin — LSH models, xxhash64, media stubs). Excluded from
+    // the 40-query bench.
     "q41_text_stats"          -> Extended.q41TextStats _,
     "q42_quality_langid"      -> Extended.q42QualityLangid _,
     "q43_minhash_neardup"     -> Extended.q43MinhashNeardup _,
@@ -70,7 +71,8 @@ object SparkEntry {
     "q46_ann_lsh"             -> Extended.q46AnnLsh _,
     "q47_fingerprint_dedup"   -> Extended.q47FingerprintDedup _,
     "q48_media_features"      -> Extended.q48MediaFeatures _,
-    "q49_curation_pipeline"   -> Extended.q49CurationPipeline _
+    "q49_curation_pipeline"   -> Extended.q49CurationPipeline _,
+    "q50_split_assign"        -> Extended.q50SplitAssign _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

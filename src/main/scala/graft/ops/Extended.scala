@@ -11,10 +11,10 @@ import Tables._
   * graft.operators.Approx, graft.operators.Multimodal) exposed as
   * first-class driver queries over the testdata tables.
   *
-  * q41, q42, q45, and q47 are SQL-expressible and carry DuckDB oracles
-  * ([[Oracle.sql]]); the rest have no DuckDB equivalent (ML LSH models,
-  * xxhash64 fingerprints, media stubs) and are declared WITHOUT oracle
-  * SQL — the driver records the weaker rows-only check, and
+  * q41, q42, q45, q47, and q50 are SQL-expressible and carry DuckDB
+  * oracles ([[Oracle.sql]]); the rest have no DuckDB equivalent (ML LSH
+  * models, xxhash64 fingerprints, media stubs) and are declared WITHOUT
+  * oracle SQL — the driver records the weaker rows-only check, and
   * ExtendedQueriesSpec pins their cardinalities instead. The 40-query
   * BASELINE bench set is unchanged; these run in Verify only (see
   * Bench.scala's anchor filter).
@@ -154,6 +154,26 @@ object Extended {
         col("quality") >= 0.5 && col("repetition") <= 0.2 && col("n_tokens") >= 10)
       .orderBy("doc_id")
   }
+
+  /** q50: deterministic train/val/test split assignment — the
+    * reproducible-sampling shape every training-data pipeline needs:
+    * the split is a pure function of CONTENT (first 8 hex chars of
+    * md5(text) → bucket 0..9999 → 80/10/10), so it is stable across
+    * runs, partition layouts, and engines, and exact-duplicate
+    * documents always land in the same split (no train/test leakage
+    * through copies). Fully DuckDB-oracled: Spark's
+    * conv(hex, 16, 10) ≡ DuckDB's CAST('0x'||hex AS BIGINT). The
+    * xxhash64 production variant (plus fractional sampling and
+    * per-stratum quotas) is [[graft.operators.Sampling]]. */
+  def q50SplitAssign(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("bucket",
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 10000L)
+      .select(col("doc_id"), col("bucket"),
+              when(col("bucket") < 8000, "train")
+                .when(col("bucket") < 9000, "val")
+                .otherwise("test").as("split"))
+      .orderBy("doc_id")
 
   /** q48: multimodal feature extraction — binary media columns
     * synthesized from documents, stub-decoded to typed features

@@ -417,6 +417,17 @@ object Oracle {
         |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Split buckets from the first 8 md5 hex chars: Spark conv(h,16,10)
+    // and DuckDB CAST('0x'||h AS BIGINT) parse the same 32-bit value
+    // (always positive, so % agrees too).
+    "q50_split_assign" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000 AS bucket,
+        |  CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000 < 8000 THEN 'train'
+        |       WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000 < 9000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q45_cosine_neardup" ->
       """SELECT a.vec_id AS pid, b.vec_id AS nid,
         |  round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim

@@ -121,6 +121,63 @@ class CapabilitySpec extends SparkSpec {
     assert(ok === Set(0L))
   }
 
+  test("hashSample: deterministic, partition-invariant, fraction-accurate, salt-independent") {
+    import graft.operators.Sampling
+    val events = Tables.events(spark, sf001)
+    val ids = Sampling.hashSample(events, Seq("event_id"), 0.1)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    // partition-invariance: the exact property df.sample() lacks
+    val ids13 = Sampling.hashSample(events.repartition(13), Seq("event_id"), 0.1)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(ids === ids13)
+    // fraction lands near 10% of the 10k events
+    assert(ids.size > 800 && ids.size < 1200, s"got ${ids.size} of 10000")
+    // nested property: a 5% sample with the same salt is a subset of 10%
+    val ids5 = Sampling.hashSample(events, Seq("event_id"), 0.05)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(ids5.subsetOf(ids))
+    // a different salt draws an (almost surely) different sample
+    val salted = Sampling.hashSample(events, Seq("event_id"), 0.1, salt = 7L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(salted !== ids)
+  }
+
+  test("assignSplit: total partition, stable per key, duplicates co-split") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sf001)
+    val split = Sampling.assignSplit(docs, Seq("text"))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(counts.values.sum === docs.count())
+    // ~80/10/10 within loose tolerance at n=500
+    assert(counts("train") > 350 && counts("train") < 450, counts.toString)
+    // duplicate content always lands in the same split (leakage guard)
+    val dupSplit = Sampling.assignSplit(
+      Seq((1L, "same text"), (2L, "same text"), (3L, "other words here"))
+        .toDF("doc_id", "text"), Seq("text"))
+      .filter(col("text") === "same text")
+      .select("split").distinct().count()
+    assert(dupSplit === 1L)
+  }
+
+  test("stratifiedQuota: exactly min(n, stratum size) rows per stratum, deterministic") {
+    import graft.operators.Sampling
+    val events = Tables.events(spark, sf001)
+    val quota = Sampling.stratifiedQuota(events, "event_type", Seq("event_id"), 50)
+    val per = quota.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = events.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per.keySet === full.keySet)
+    per.foreach { case (k, n) => assert(n === math.min(50L, full(k)), s"$k: $n") }
+    // deterministic under repartitioning
+    val again = Sampling.stratifiedQuota(events.repartition(13), "event_type", Seq("event_id"), 50)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(again === quota.select("event_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("salted join equals the plain join on a skewed key") {
     val orders = Tables.orders(spark, sf0001)
     val customer = Tables.customer(spark, sf0001)

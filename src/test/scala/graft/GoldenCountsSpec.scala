@@ -60,7 +60,8 @@ class GoldenCountsSpec extends SparkSpec {
     "q46_ann_lsh" -> 50,
     "q47_fingerprint_dedup" -> 500,
     "q48_media_features" -> 500,
-    "q49_curation_pipeline" -> 500
+    "q49_curation_pipeline" -> 500,
+    "q50_split_assign" -> 500
   )
 
   test("queries/oracleSql keys line up") {
