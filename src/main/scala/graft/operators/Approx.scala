@@ -268,7 +268,7 @@ object Approx {
                  nSalts: Int = 8, joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       "salting preserves semantics for inner/left joins of a unique-keyed small side")
-    val bigCols = big.columns.map(col)
+    val bigCols = big.columns.toIndexedSeq.map(col)
     val salted = big.withColumn("__salt",
       pmod(xxhash64(bigCols: _*), lit(nSalts.toLong)))
     val replicated = small
