@@ -25,7 +25,8 @@ object Bench {
       // overhead for the rest. (Real-scale sessions size partitions to
       // data or let AQE coalesce.) SPARK_GRAFT_SHUFFLE overrides for A/B.
       .config("spark.sql.shuffle.partitions",
-        sys.env.get("SPARK_GRAFT_SHUFFLE").map(_.toInt)
+        sys.env.get("SPARK_GRAFT_SHUFFLE")
+          .flatMap(v => scala.util.Try(v.trim.toInt).toOption.filter(_ > 0))
           .getOrElse(math.min(cpus.toInt, 8)))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -100,26 +100,38 @@ object Approx {
       }
       bits.reduce(_ + _)
     }
+    // Norms are computed once per vector BEFORE the candidate join so the
+    // re-score is a true cosine — with the raw dot product instead, a
+    // large-norm far vector would outrank a unit-norm near-duplicate
+    // whenever embeddings are not unit-normalized (nothing in this API
+    // requires them to be).
+    val norm = (v: org.apache.spark.sql.Column) =>
+      sqrt(aggregate(zip_with(v, v, (x, y) => x * y), lit(0.0), (a, x) => a + x))
     val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      .withColumn("nnorm", norm(col("ne")))
       .withColumn("tb", explode(array((0 until nTables).map(t =>
         struct(lit(t).as("t"), signature(col("ne"), planesFor(t)).as("bucket"))): _*)))
-      .select(col("nid"), col("ne"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      .select(col("nid"), col("ne"), col("nnorm"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
     val masks = (0 until (1 << nPlanes))
       .filter(m => Integer.bitCount(m) <= maxProbeHamming).map(_.toLong)
     // Signatures are materialized once per table into an array column;
     // the mask fan-out then only XORs — without this each of the
     // L·|masks| probe keys would re-derive its full b-plane signature.
     val probed = probes.select(col("vec_id").as("pid"), col("embedding").as("pe"))
+      .withColumn("pnorm", norm(col("pe")))
       .withColumn("sigs", array((0 until nTables).map(t =>
         signature(col("pe"), planesFor(t))): _*))
       .withColumn("tb", explode(array((for { t <- 0 until nTables; m <- masks } yield
         struct(lit(t).as("t"), col("sigs")(t).bitwiseXOR(lit(m)).as("bucket"))): _*)))
-      .select(col("pid"), col("pe"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      .select(col("pid"), col("pe"), col("pnorm"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
     val dotCol = aggregate(zip_with(col("pe"), col("ne"), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+    val cosine = dotCol / (col("pnorm") * col("nnorm"))
     val w = Window.partitionBy("pid").orderBy(col("sim").desc, col("nid"))
     probed.join(corpus, Seq("t", "bucket"))
       .filter(col("pid") =!= col("nid"))
-      .select(col("pid"), col("nid"), round(dotCol, 4).as("sim"))
+      .select(col("pid"), col("nid"), round(cosine, 4).as("sim"))
       // A pair can match in several tables — dedup before the rank.
       .distinct()
       .withColumn("rn", row_number().over(w))

@@ -58,13 +58,18 @@ object Sampling {
   /** Exactly `min(n, |stratum|)` rows per stratum, chosen by hash order
     * — a deterministic without-replacement "random" sample per group
     * (per-language quotas, per-source caps). One shuffle on the stratum
-    * key; the hash order makes the pick independent of input order. */
+    * key; the hash order makes the pick independent of input order.
+    * The final tie-break orders by EVERY column, so the selection stays
+    * partition-invariant even when `keyCols` values repeat within a
+    * stratum (duplicate texts are this repo's normal case) — rows that
+    * are fully identical are interchangeable, so any pick is the same
+    * output. */
   def stratifiedQuota(df: DataFrame, strataCol: String, keyCols: Seq[String],
                       n: Int, salt: Long = 0L): DataFrame = {
     require(n > 0, "quota must be positive")
     val w = Window.partitionBy(strataCol)
       .orderBy((pmod(xxhash64((lit(salt) +: keyCols.map(col)): _*), lit(Buckets))
-        +: keyCols.map(col)): _*)
+        +: df.columns.toIndexedSeq.map(col)): _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n)
       .drop("__rn")

@@ -43,9 +43,9 @@ object Extended {
     * features. Fully oracle-checked: every feature is deterministic
     * regex/arithmetic, mirrored in lambda-free DuckDB SQL (unnest +
     * group for token stats, CASE chains for the marker-word argmax,
-    * regexp_extract_all run-counting for the subword count — Spark's
-    * lookaround split counts exactly the alpha runs plus the
-    * non-alpha-non-space runs). */
+    * and the subword count as the SAME two regexp_extract_all run
+    * counts on both sides — see TextFunctions.subwordCount for why the
+    * run-count formulation replaced the lookaround split). */
   def q42QualityLangid(s: SparkSession, d: String): DataFrame = {
     import graft.functions.TextFunctions
     documents(s, d)

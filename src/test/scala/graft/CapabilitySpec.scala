@@ -67,6 +67,21 @@ class CapabilitySpec extends SparkSpec {
     assert(lsh.size <= 50) // at most k per probe
   }
 
+  test("LSH ANN ranks by cosine, not raw dot product (norm-invariance)") {
+    // Scaling each vector by a positive per-vector constant leaves every
+    // cosine AND every hyperplane signature unchanged, so the ANN result
+    // must be identical — under the raw-dot scoring this fix removed,
+    // large-norm far vectors outrank near-duplicates and the sets differ.
+    val emb = Tables.embeddings(spark, sf0001)
+    def topk(e: org.apache.spark.sql.DataFrame) =
+      Approx.annLshCosine(e, e.filter(col("vec_id") < 5), k = 3)
+        .select("pid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scaled = emb.withColumn("embedding",
+      transform(col("embedding"),
+        x => x * (lit(1.0) + pmod(col("vec_id"), lit(7)).cast("double"))))
+    assert(topk(scaled) === topk(emb))
+  }
+
   test("IVF ANN: recall against exact brute-force top-5 (nprobe/nlist = 1/2)") {
     val emb = Tables.embeddings(spark, sf001)
     val probes = emb.filter(col("vec_id") < 10)
