@@ -219,6 +219,24 @@ class SinkAndUdafSpec extends SparkSpec {
     assert(pairs.filter(col("hamming") > 3).count() === 0)
   }
 
+  test("SimHash band join is COMPLETE: equals brute-force all-pairs Hamming <= 3") {
+    // The pigeonhole claim, pinned: 4 disjoint 16-bit bands mean any
+    // pair within Hamming 3 shares at least one exact band, so the
+    // banded candidate join must find EXACTLY the pairs a quadratic
+    // all-pairs scan finds — not a recall estimate, an equality.
+    val docs = Tables.documents(spark, sf0001)
+    val banded = graft.operators.Approx.simHashNearDup(docs)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.simhash64(col("text")).as("sh"))
+    val brute = sh.select(col("doc_id").as("a"), col("sh").as("sha"))
+      .crossJoin(sh.select(col("doc_id").as("b"), col("sh").as("shb")))
+      .filter(col("a") < col("b") &&
+        bit_count(col("sha").bitwiseXOR(col("shb"))) <= 3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === brute)
+  }
+
   test("n-gram Jaccard near-dup: identical docs score 1.0, is symmetric-bounded") {
     val docs = Tables.documents(spark, sf0001).limit(50)
       .unionByName(Tables.documents(spark, sf0001).limit(3)
