@@ -39,12 +39,13 @@ object Graft {
   /** Registers the ten tables of `dir` as temp views for Spark SQL:
     * `spark.sql("SELECT ... FROM lineitem JOIN orders ...")`. */
   def registerTables(spark: SparkSession, dir: String): Unit = {
+    // Through Tables.table, not a re-implemented read: the accessors
+    // carry the per-session reader cache and the events ns→µs
+    // conversion, and stay the single place the load pattern lives.
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "documents", "embeddings").foreach { t =>
-      spark.read.schema(Tables.schemas(t)).parquet(s"$dir/$t.parquet")
-        .createOrReplaceTempView(t)
+      "lineitem", "documents", "embeddings", "events").foreach { t =>
+      Tables.table(spark, dir, t).createOrReplaceTempView(t)
     }
-    Tables.events(spark, dir).createOrReplaceTempView("events")
     // The native functions (float_dot, sorted_intersect_size) ride along
     // for SQL users — sessions built outside Graft.session/GraftExtensions
     // would otherwise miss them.

@@ -27,7 +27,14 @@ case class FloatDotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType == ArrayType(FloatType))
+    // Match either containsNull variant: array(CAST(... AS FLOAT)) and
+    // transform(...)-built columns carry containsNull=false, and an
+    // exact == ArrayType(FloatType) (containsNull=true) would reject
+    // them with an error naming the very type they have.
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"float_dot expects two array<float> args, got (${left.dataType.sql}, ${right.dataType.sql})")

@@ -87,8 +87,13 @@ object Approx {
     * can drop to L=2–4, h=0–1 for a far smaller candidate fraction. */
   def annLshCosine(emb: DataFrame, probes: DataFrame, k: Int = 5,
                    nPlanes: Int = 8, seed: Long = 42L,
-                   nTables: Int = 8, maxProbeHamming: Int = 2): DataFrame = {
-    val dim = 64
+                   nTables: Int = 8, maxProbeHamming: Int = 2,
+                   dim: Int = 64): DataFrame = {
+    // `dim` MUST match the embedding dimension: zip_with null-pads the
+    // shorter side, so a too-short plane nulls every dot, every bit
+    // falls to 0, and all vectors silently share bucket 0 of every
+    // table — the join degenerates to a full cross product (results
+    // stay correct via the exact re-score, the scale win is gone).
     def planesFor(t: Int): Array[Array[Double]] = {
       val rnd = new scala.util.Random(seed + t)
       Array.fill(nPlanes, dim)(rnd.nextGaussian())
@@ -258,12 +263,21 @@ object Approx {
       .withColumn("rc", row_number().over(wCell))
       .filter(col("rc") <= nprobe)
       .select("pid", "pe", "cell")
+    // Double accumulator (not 0.0f): float products widen into it, and
+    // double products (scaled/transformed embeddings) still type-check —
+    // a FLOAT zero rejects any array<double> input at analysis time.
     val dotCol = aggregate(zip_with(col("pe"), col("ne"), (x, y) => x * y),
-      lit(0.0f), (a, x) => a + x)
+      lit(0.0), (a, x) => a + x)
+    // True cosine, not the raw dot: without the norm division a
+    // large-norm far vector outranks a unit-norm near neighbour whenever
+    // embeddings are not normalized (same fix as annLshCosine).
+    val fnorm = (v: org.apache.spark.sql.Column) =>
+      sqrt(aggregate(zip_with(v, v, (x, y) => x * y), lit(0.0), (a, x) => a + x))
+    val cosine = dotCol / (fnorm(col("pe")) * fnorm(col("ne")))
     val w = Window.partitionBy("pid").orderBy(col("sim").desc, col("nid"))
     probeCells.join(corpus, "cell")
       .filter(col("pid") =!= col("nid"))
-      .select(col("pid"), col("nid"), round(dotCol, 4).as("sim"))
+      .select(col("pid"), col("nid"), round(cosine, 4).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("pid", "nid", "sim")
@@ -335,15 +349,24 @@ object Approx {
   }
 
   /** Exact embedding-cosine near-duplicate pairs (threshold form of q36):
-    * all pairs with cosine ≥ minSim, probe side bounded. */
+    * all pairs with cosine ≥ minSim, probe side bounded. Norms are
+    * divided out so the threshold is a true cosine even for
+    * unnormalized embeddings (q45, the declared oracle-checked variant,
+    * does the same with float32 parity machinery). */
   def cosineNearDup(emb: DataFrame, minSim: Double, maxProbeId: Long = 100): DataFrame = {
+    val norm = (v: org.apache.spark.sql.Column) =>
+      sqrt(aggregate(zip_with(v, v, (x, y) => x * y), lit(0.0), (a, x) => a + x))
     val probes = emb.filter(col("vec_id") < maxProbeId)
-      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
-    val dotCol = aggregate(zip_with(col("pe"), col("embedding"), (x, y) => x * y),
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+        norm(col("embedding")).as("pn"))
+    val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+      norm(col("embedding")).as("nn"))
+    val dotCol = aggregate(zip_with(col("pe"), col("ne"), (x, y) => x * y),
       lit(0.0), (a, x) => a + x)
-    broadcast(probes).crossJoin(emb)
-      .filter(col("vec_id") > col("pid"))
-      .select(col("pid"), col("vec_id").as("nid"), round(dotCol, 4).as("sim"))
+    broadcast(probes).crossJoin(corpus)
+      .filter(col("nid") > col("pid"))
+      .select(col("pid"), col("nid"),
+        round(dotCol / (col("pn") * col("nn")), 4).as("sim"))
       .filter(col("sim") >= minSim)
   }
 }

@@ -71,7 +71,10 @@ object Multimodal {
 
   /** Frame/chunk sampling stub: for video/audio payloads emit every k-th
     * chunk of the byte stream as its own row — the plan shape of frame
-    * extraction (explode keeps it parallel; no driver collect). */
+    * extraction (explode keeps it parallel; no driver collect). Each row
+    * carries ITS OWN byte slice (substring over the binary at
+    * chunk_idx·chunkBytes, then base64) — slicing the base64 text at a
+    * fixed offset would emit the first chunk's bytes for every index. */
   def sampleChunks(media: DataFrame, chunkBytes: Int = 64, everyK: Int = 2): DataFrame =
     media
       .withColumn("n_chunks",
@@ -79,5 +82,6 @@ object Multimodal {
       .withColumn("chunk_idx",
         explode(filter(sequence(lit(0), col("n_chunks") - 1), i => pmod(i, lit(everyK)) === 0)))
       .select(col("media_id"), col("kind"), col("chunk_idx"),
-        substring(base64(col("content")), 1, chunkBytes).as("chunk_b64"))
+        base64(expr(s"substring(content, chunk_idx * $chunkBytes + 1, $chunkBytes)"))
+          .as("chunk_b64"))
 }

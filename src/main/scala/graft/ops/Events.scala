@@ -59,7 +59,14 @@ object Events {
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), lit(1).as("tag"),
               lit(null).cast("long").as("click_id"), col("event_id").as("purchase_id"))
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("tag"))
+    // The original event_id (whichever side's column carries it)
+    // completes the total order: with only (ts, tag), two clicks
+    // sharing a timestamp would make last(click_id)
+    // partition-order-dependent. The testdata has no (user, ts) ties
+    // (SURVEY §2.3), so this cannot change oracle agreement — it removes
+    // the latent nondeterminism if ties ever appear.
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("tag"), coalesce(col("click_id"), col("purchase_id")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     clicks.unionByName(purchases)
       .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
@@ -131,7 +138,11 @@ object Events {
     * `session_window($"ts", "30 minutes")` (graft.streaming). */
   def q32SessionWindow(s: SparkSession, d: String): DataFrame = {
     val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val wCum = Window.partitionBy("user_id").orderBy(col("ts"))
+    // event_id tie-break mirrors wOrd: a ROWS-frame running sum over a
+    // tie-ambiguous order would make sess_id assignment depend on
+    // partition order when (user, ts) repeats. No ties exist in the
+    // testdata, so oracle agreement is unchanged.
+    val wCum = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events(s, d)
       .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))

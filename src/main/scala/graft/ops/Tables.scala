@@ -82,6 +82,13 @@ object Tables {
     })
   }
 
+  /** Name-keyed accessor (the same cached readers as the typed methods
+    * below — callers like Graft.registerTables must not re-implement the
+    * read and bypass the cache). `events` routes through the ns→µs
+    * conversion. */
+  def table(s: SparkSession, d: String, name: String): DataFrame =
+    if (name == "events") events(s, d) else t(s, d, name)
+
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = t(s, d, "customer")

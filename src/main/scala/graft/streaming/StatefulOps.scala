@@ -33,12 +33,20 @@ object StatefulOps {
   case class SessionOut(user_id: Long, sess_start: Timestamp, sess_end: Timestamp,
                         n_events: Int, sv: Double)
 
-  /** Sessionization with explicit state: emits a session when the gap to
-    * the next event exceeds `gapMinutes` (event-time, driven by the
-    * processing-time timeout in streaming mode). Equivalent semantics to
-    * `session_window`, expressed through the custom-state API as the
-    * extension template for logic the builtins lack (e.g. value-dependent
-    * gaps, per-session early triggers). */
+  /** Sessionization with explicit state, expressed through the
+    * custom-state API as the extension template for logic the builtins
+    * lack (e.g. value-dependent gaps, per-session early triggers).
+    *
+    * BATCH-mode formulation: each group arrives complete in one call,
+    * so state is emitted immediately and nothing carries over (tested
+    * equivalent to q32's window formulation). A streaming deployment
+    * must instead KEEP the open session in state across micro-batches
+    * and close it via `GroupStateTimeout` (event-time timeout at
+    * watermark + gap) — with the `NoTimeout`/reset shape used here, a
+    * session spanning two micro-batches would fragment at the batch
+    * boundary. For plain streaming sessions use
+    * [[Streaming.sessionAggregates]] (`session_window` handles that
+    * state machine natively). */
   def sessionize(spark: SparkSession, events: DataFrame,
                  gapMinutes: Int = 30): Dataset[SessionOut] = {
     import spark.implicits._

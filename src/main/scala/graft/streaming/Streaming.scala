@@ -49,9 +49,14 @@ object Streaming {
       .select(col("user_id"), col("session_window.start").as("sess_start"),
               col("session_window.end").as("sess_end"), col("n_events"), col("sv"))
 
-  /** Streaming keep-first dedup — twin of q33. In batch mode
-    * `dropDuplicates` on the key set; in streaming the watermark variant
-    * bounds the dedup state. */
+  /** Streaming dedup on the q33 key set — one row per key, with the
+    * watermark variant bounding state size. Keeper semantics differ
+    * from q33 by design: streaming keeps the first-ARRIVED row (state
+    * insertion order) and batch `dropDuplicates` keeps an arbitrary
+    * row, so only key sets and counts are comparable across the two —
+    * q33's deterministic min-(ts, event_id) keeper is the batch answer
+    * when row identity matters (its CapabilitySpec check compares
+    * counts for exactly this reason). */
   def streamingDedup(events: DataFrame, withinWatermark: Boolean): DataFrame = {
     val keys = Seq("user_id", "event_type")
     if (withinWatermark)

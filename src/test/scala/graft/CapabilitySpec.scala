@@ -67,6 +67,44 @@ class CapabilitySpec extends SparkSpec {
     assert(lsh.size <= 50) // at most k per probe
   }
 
+  test("sampleChunks emits each index's own byte slice, not the first chunk repeated") {
+    import spark.implicits._
+    import java.util.Base64
+    // non-periodic-in-64 payload so distinct chunks have distinct bytes
+    val payload = (0 until 300).map(i => ('a' + i % 26).toChar).mkString
+    val media = Seq((1L, "video", "video/mp4", payload))
+      .toDF("media_id", "kind", "mime", "text")
+      .select(col("media_id"), col("kind"), col("mime"),
+        encode(col("text"), "UTF-8").as("content"))
+    // MIME decoder: Spark's base64 may chunk output with CRLF every 76
+    // chars; the basic decoder rejects those.
+    val chunks = Multimodal.sampleChunks(media, chunkBytes = 64, everyK = 2)
+      .collect().map(r => r.getInt(2) -> new String(Base64.getMimeDecoder.decode(r.getString(3)), "UTF-8")).toMap
+    // 300 bytes → 5 chunks → sampled idx 0, 2, 4, each its own slice
+    assert(chunks.keySet === Set(0, 2, 4))
+    assert(chunks(0) === payload.slice(0, 64))
+    assert(chunks(2) === payload.slice(128, 192))
+    assert(chunks(4) === payload.slice(256, 300))
+  }
+
+  test("cosineNearDup and IVF ANN score true cosine (norm-invariant / bounded)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val scale = lit(1.0) + pmod(col("vec_id"), lit(5)).cast("double")
+    val scaled = emb.withColumn("embedding",
+      transform(col("embedding"), x => x * scale))
+    // pair set is invariant under per-vector positive scaling — the raw
+    // dot formulation this replaced returned norm-dependent pairs
+    def pairs(e: org.apache.spark.sql.DataFrame) =
+      Approx.cosineNearDup(e, 0.3).select("pid", "nid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(scaled) === pairs(emb))
+    // IVF cells legitimately change under scaling (k-means is
+    // norm-sensitive), but every returned score must still be a cosine
+    val ivf = Approx.annIvfCosine(scaled, scaled.filter(col("vec_id") < 5), k = 3)
+      .collect()
+    assert(ivf.nonEmpty && ivf.forall(r => math.abs(r.getDouble(2)) <= 1.0001))
+  }
+
   test("LSH ANN ranks by cosine, not raw dot product (norm-invariance)") {
     // Scaling each vector by a positive per-vector constant leaves every
     // cosine AND every hyperplane signature unchanged, so the ANN result
