@@ -115,6 +115,42 @@ class GeneratedPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("hashSample nesting law holds for arbitrary fraction pairs") {
+    // For ANY f1 <= f2 with the same salt, the f1-sample is a subset of
+    // the f2-sample (bucket thresholding), and fraction 1.0 keeps all.
+    val fracs = samples(Gen.choose(0.0, 1.0), 8).sorted
+    for (rows <- samples(rowsGen, 2).map(_.distinctBy(_._1)) if rows.nonEmpty) {
+      val df = mkDf(rows)
+      val sets = fracs.map(f =>
+        graft.operators.Sampling.hashSample(df, Seq("id"), f)
+          .select("id").collect().map(_.getLong(0)).toSet)
+      sets.sliding(2).foreach { case Seq(lo, hi) => assert(lo.subsetOf(hi)); case _ => }
+      assert(graft.operators.Sampling.hashSample(df, Seq("id"), 1.0).count() === df.count())
+    }
+  }
+
+  test("assignSplit partitions every row for arbitrary weight vectors") {
+    // Any normalized weight vector: each row gets exactly one split
+    // label from the declared set, and the assignment is a pure
+    // function of the key (repartition-invariant).
+    val weightGen = Gen.listOfN(4, Gen.choose(0.05, 1.0)).map { raw =>
+      val total = raw.sum
+      raw.zipWithIndex.map { case (w, i) => s"s$i" -> w / total }
+    }
+    for ((rows, ws) <- samples(rowsGen, 3).map(_.distinctBy(_._1))
+           .zip(samples(weightGen, 3)) if rows.nonEmpty) {
+      val df = mkDf(rows)
+      val split = graft.operators.Sampling.assignSplit(df, Seq("id"), ws)
+      val byId = split.select("id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(byId.size === rows.map(_._1).distinct.size)
+      assert(byId.values.toSet.subsetOf(ws.map(_._1).toSet))
+      val again = graft.operators.Sampling.assignSplit(df.repartition(5), Seq("id"), ws)
+        .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(again === byId)
+    }
+  }
+
   test("running sum over full partition equals group total") {
     for (rows <- samples(rowsGen, 5).map(_.distinctBy(r => (r._1, r._2))) if rows.nonEmpty) {
       val df = mkDf(rows)
