@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Events, Extended, Oracle, Relational, TextSim}
+import graft.ops.{Analytics, Events, Extended, Oracle, Relational, TextSim}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -72,7 +72,15 @@ object SparkEntry {
     "q47_fingerprint_dedup"   -> Extended.q47FingerprintDedup _,
     "q48_media_features"      -> Extended.q48MediaFeatures _,
     "q49_curation_pipeline"   -> Extended.q49CurationPipeline _,
-    "q50_split_assign"        -> Extended.q50SplitAssign _
+    "q50_split_assign"        -> Extended.q50SplitAssign _,
+    // Analytics surface (graft.ops.Analytics) — all oracle-matched.
+    "q51_stats_moments"       -> Analytics.q51StatsMoments _,
+    "q52_pivot_status"        -> Analytics.q52PivotStatus _,
+    "q53_percentile_price"    -> Analytics.q53PercentilePrice _,
+    "q54_cohort_retention"    -> Analytics.q54CohortRetention _,
+    "q55_funnel_stages"       -> Analytics.q55FunnelStages _,
+    "q56_bigram_topn"         -> Analytics.q56BigramTopn _,
+    "q57_decontam_overlap"    -> Analytics.q57DecontamOverlap _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

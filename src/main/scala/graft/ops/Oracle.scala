@@ -434,6 +434,116 @@ object Oracle {
         |FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
         |WHERE a.vec_id < 100
         |  AND round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.35
-        |ORDER BY pid, nid""".stripMargin
+        |ORDER BY pid, nid""".stripMargin,
+
+    // Analytics (q51+) — see graft.ops.Analytics. Second-moment stats
+    // are derived from EXACT decimal power sums (2-decimal doubles cast
+    // to DECIMAL(18,2); decimal products/sums are exact in both
+    // engines), then combined in double with the IDENTICAL expression
+    // tree as the Spark side, so the pre-rounding doubles are
+    // bit-identical. Rounding is the explicit dround floor form
+    // (sign-aware CASE where the value can be negative: covar/corr).
+    "q51_stats_moments" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS spp,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sqq,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS spq
+        |  FROM lineitem GROUP BY 1, 2),
+        | m AS (
+        |  SELECT l_returnflag, l_linestatus, n,
+        |    CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS raw_avg,
+        |    (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0) AS raw_var,
+        |    (CAST(spq AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0) AS raw_cov,
+        |    (CAST(n AS DOUBLE) * CAST(spq AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sq AS DOUBLE))
+        |      / (sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+        |         * sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))) AS raw_corr
+        |  FROM g)
+        |SELECT l_returnflag, l_linestatus, n,
+        |  floor(raw_avg * 10000.0 + 0.5) / 10000.0 AS avg_price,
+        |  floor(raw_var * 10000.0 + 0.5) / 10000.0 AS var_price,
+        |  floor(sqrt(raw_var) * 10000.0 + 0.5) / 10000.0 AS std_price,
+        |  CASE WHEN raw_cov * 10000.0 >= 0 THEN floor(raw_cov * 10000.0 + 0.5)
+        |       ELSE -floor(-(raw_cov * 10000.0) + 0.5) END / 10000.0 AS covar_pq,
+        |  CASE WHEN raw_corr * 1000000.0 >= 0 THEN floor(raw_corr * 1000000.0 + 0.5)
+        |       ELSE -floor(-(raw_corr * 1000000.0) + 0.5) END / 1000000.0 AS corr_pq
+        |FROM m ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // Pivot = FILTERed conditional aggregation; revenue through the
+    // exact-decimal-sum-then-round pattern (dsumRound twin). Counts
+    // FILTER to 0 where the Spark pivot coalesces null cells to 0.
+    "q52_pivot_status" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 2) AS f_rev,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE), 2) AS o_rev,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE), 2) AS p_rev
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+
+    // quantile_cont and Spark's exact percentile share the definition
+    // interp(rank = p·(n−1)); quarter-fraction interpolations of
+    // 2-decimal inputs carry ≤ 4 decimals, so floor-round(4) is exact.
+    "q53_percentile_price" ->
+      """SELECT o_orderpriority, count(*) AS n, min(o_totalprice) AS mn,
+        |  floor(quantile_cont(o_totalprice, 0.25) * 10000.0 + 0.5) / 10000.0 AS p25,
+        |  floor(quantile_cont(o_totalprice, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
+        |  floor(quantile_cont(o_totalprice, 0.75) * 10000.0 + 0.5) / 10000.0 AS p75,
+        |  max(o_totalprice) AS mx
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    // Day-grain cohorts (the month-long events table collapses to one
+    // weekly cohort); all-integral DATE arithmetic in both engines.
+    "q54_cohort_retention" ->
+      """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+        | j AS (
+        |  SELECT e.user_id, CAST(f.first_ts AS DATE) AS cohort_day,
+        |    CAST(date_diff('day', CAST(f.first_ts AS DATE), CAST(e.ts AS DATE)) AS INTEGER) AS day_offset
+        |  FROM events e JOIN f USING (user_id))
+        |SELECT cohort_day, day_offset, count(DISTINCT user_id) AS n_users
+        |FROM j GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "q55_funnel_stages" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS ts_s,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS ts_v,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS ts_p
+        |  FROM events GROUP BY 1)
+        |SELECT count(*) AS n_users, count(ts_s) AS n_signup,
+        |  count(CASE WHEN ts_v > ts_s THEN 1 END) AS n_view_after,
+        |  count(CASE WHEN ts_p > ts_v AND ts_v > ts_s THEN 1 END) AS n_full_funnel
+        |FROM u""".stripMargin,
+
+    // Adjacent pairs via position self-join (the Spark side zips two
+    // slices of the same token array — same pairs, no join). Pairs
+    // spanning an empty token are dropped on both sides.
+    "q56_bigram_topn" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | u AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS i FROM t)
+        |SELECT a.w || ' ' || b.w AS bigram, count(*) AS n
+        |FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |WHERE a.w <> '' AND b.w <> ''
+        |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    // 8-gram shingles as list_slice joins; docs 0–19 are the held-out
+    // benchmark (DISTINCT shingle set), every other doc reports its
+    // occurrence-counted hit ratio.
+    "q57_decontam_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | p AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+        |       FROM t WHERE len(toks) >= 8),
+        | s AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 7), ' ') AS sh FROM p),
+        | b AS (SELECT DISTINCT sh FROM s WHERE doc_id < 20)
+        |SELECT s.doc_id, count(*) AS n_shingles, count(b.sh) AS n_hits,
+        |  floor(CAST(count(b.sh) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS ratio,
+        |  count(b.sh) > 0 AS contaminated
+        |FROM s LEFT JOIN b ON s.sh = b.sh
+        |WHERE s.doc_id >= 20 GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
   )
 }

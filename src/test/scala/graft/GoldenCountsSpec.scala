@@ -61,7 +61,16 @@ class GoldenCountsSpec extends SparkSpec {
     "q47_fingerprint_dedup" -> 500,
     "q48_media_features" -> 500,
     "q49_curation_pipeline" -> 500,
-    "q50_split_assign" -> 500
+    "q50_split_assign" -> 500,
+    // Analytics surface (q51+, round 4) — all DuckDB-oracle-matched.
+    "q51_stats_moments" -> 6,
+    "q52_pivot_status" -> 7,
+    "q53_percentile_price" -> 5,
+    // 59 = the day-grain retention triangle's populated cells at sf0.01.
+    "q54_cohort_retention" -> 59,
+    "q55_funnel_stages" -> 1,
+    "q56_bigram_topn" -> 20,
+    "q57_decontam_overlap" -> 480
   )
 
   test("queries/oracleSql keys line up") {

@@ -79,6 +79,28 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q51 combines map-side: partial power sums cross the exchange, not rows") {
+    // The moment statistics are six decimal sums per group; the whole
+    // point of the formulation is that the shuffle carries O(groups)
+    // partial sums. partial_ aggregate functions in the plan = map-side
+    // combine; a raw measure column in an exchange input = regression.
+    val p = plan("q51_stats_moments")
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      "q51 lost its partial (map-side) aggregation")
+    val exchanges = p.split("\\(\\d+\\) ").filter(_.startsWith("Exchange"))
+    assert(exchanges.nonEmpty, "q51 plan has no exchange to audit")
+    exchanges.foreach { e =>
+      val input = e.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      assert(!input.contains("l_extendedprice#") && !input.contains("l_quantity#"),
+        s"q51 exchange carries raw measures: $input")
+    }
+  }
+
+  test("q57 broadcasts the benchmark shingle set (corpus side stays scan-local)") {
+    assert(plan("q57_decontam_overlap").contains("BroadcastHashJoin"),
+      "q57 benchmark join is not a broadcast hash join")
+  }
+
   test("whole-stage codegen is active in the scan-heavy queries") {
     // the AQE-final simple plan marks fused codegen stages with "*(n)"
     Seq("q01_scan_filter_project", "q03_agg_pricing", "q38_star_denorm").foreach { n =>
