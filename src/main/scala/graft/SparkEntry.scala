@@ -80,7 +80,9 @@ object SparkEntry {
     "q54_cohort_retention"    -> Analytics.q54CohortRetention _,
     "q55_funnel_stages"       -> Analytics.q55FunnelStages _,
     "q56_bigram_topn"         -> Analytics.q56BigramTopn _,
-    "q57_decontam_overlap"    -> Analytics.q57DecontamOverlap _
+    "q57_decontam_overlap"    -> Analytics.q57DecontamOverlap _,
+    "q58_simhash_md5"         -> Extended.q58SimhashMd5 _,
+    "q59_minhash_md5"         -> Extended.q59MinhashMd5 _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -11,11 +11,12 @@ import Tables._
   * graft.operators.Approx, graft.operators.Multimodal) exposed as
   * first-class driver queries over the testdata tables.
   *
-  * q41, q42, q45, q47, and q50 are SQL-expressible and carry DuckDB
-  * oracles ([[Oracle.sql]]); the rest have no DuckDB equivalent (ML LSH
-  * models, xxhash64 fingerprints, media stubs) and are declared WITHOUT
-  * oracle SQL — the driver records the weaker rows-only check, and
-  * ExtendedQueriesSpec pins their cardinalities instead. The 40-query
+  * q41, q42, q45, q47, q50, q58, and q59 are SQL-expressible and carry
+  * DuckDB oracles ([[Oracle.sql]]); the rest have no DuckDB equivalent
+  * (ML LSH models, xxhash64 fingerprints, media stubs) and are declared
+  * WITHOUT oracle SQL — the driver records the weaker rows-only check,
+  * and GoldenCountsSpec pins their cardinalities instead. q58/q59 are
+  * the value-checked md5-family twins of the rows-only q44/q43. The 40-query
   * BASELINE bench set is unchanged; these run in Verify only (see
   * Bench.scala's anchor filter).
   */
@@ -174,6 +175,106 @@ object Extended {
                 .when(col("bucket") < 9000, "val")
                 .otherwise("test").as("split"))
       .orderBy("doc_id")
+
+  /** q58: SimHash near-dup pairs with an md5-derived hash family — the
+    * VALUE-CHECKED twin of q44 (whose xxhash64 signatures have no SQL
+    * twin). Each token hashes to the first 60 bits of its md5; the
+    * per-document signature is the classic bit-balance majority vote,
+    * computed scan-side with higher-order functions (one md5 per token,
+    * no explode — the only shuffle carries (doc_id, sig, band)).
+    * Candidates come from 4×15-bit band buckets; Hamming ≤ 3 guarantees
+    * one clean band (pigeonhole), so the band join is complete — which
+    * the oracle PROVES per-value: it brute-forces all pairs from the
+    * same signatures, so any pair the banding missed would fail the
+    * driver compare. */
+  def q58SimhashMd5(s: SparkSession, d: String): DataFrame = {
+    val sigs = documents(s, d)
+      .select(col("doc_id"), expr("filter(split(text, ' '), w -> w <> '')").as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), expr(
+        """aggregate(
+          |  transform(toks, w -> CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)),
+          |  array_repeat(CAST(0 AS BIGINT), 60),
+          |  (acc, h) -> zip_with(acc,
+          |     transform(sequence(0, 59),
+          |       b -> CASE WHEN ((shiftright(h, b) & 1) = 1)
+          |            THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
+          |     (x, y) -> x + y))""".stripMargin).as("bal"))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 59), CAST(0 AS BIGINT),
+          |  (acc, b) -> acc + IF(element_at(bal, b + 1) > 0,
+          |                       shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))"""
+          .stripMargin).as("sig"))
+    val bands = sigs.select(col("doc_id"), col("sig"), explode(expr(
+        "transform(sequence(0, 3), i -> struct(i AS band_idx, (shiftright(sig, 15 * i) & 32767) AS band_val))"))
+        .as("band"))
+      .select(col("doc_id"), col("sig"), col("band.band_idx"), col("band.band_val"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+              bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+      .orderBy("a", "b")
+  }
+
+  /** The q59 MinHash family: 16 independent (a·x + b) mod p functions
+    * over the token's 32-bit md5 prefix, p = 2^31 − 1. Constants are
+    * literals on both engines; a < 2^19 keeps a·x < 2^51 — overflow-free
+    * in BIGINT arithmetic everywhere. */
+  private val MinHashA = Seq(387413, 204209, 501871, 118757, 286711, 430585,
+    93871, 364657, 259679, 147641, 478237, 58693, 315979, 196613, 420263, 86243)
+  private val MinHashB = Seq(98429, 312881, 45751, 267923, 159871, 73009,
+    401587, 22481, 348259, 120097, 289751, 441347, 66563, 237541, 30781, 182429)
+
+  /** q59: MinHash-banded near-dup pairs with an EXPLICIT hash family —
+    * the value-checked twin of q43 (whose Spark-ML MinHashLSH model has
+    * no SQL twin). Distinct tokens hash to 32-bit md5 prefixes; 16
+    * minhashes under the literal (a·x+b) mod p family; candidates share
+    * one of 4 bands of 4 consecutive minhashes (banding is probabilistic
+    * — unlike q58's pigeonhole — so the oracle REPLAYS the banding
+    * rather than brute-forcing pairs, making the declared result exactly
+    * reproducible); exact Jaccard ≥ 0.8 re-score on candidates via the
+    * codegen'd sorted-merge intersect. The only shuffles carry
+    * (doc_id, band string) and the candidate id pairs — never documents.
+    * Scan-side signature = one md5 + 16 mul-adds per distinct token. */
+  def q59MinhashMd5(s: SparkSession, d: String): DataFrame = {
+    val aArr = MinHashA.mkString("array(", ", ", ")")
+    val bArr = MinHashB.mkString("array(", ", ", ")")
+    val docs = documents(s, d)
+      .select(col("doc_id"),
+              sort_array(array_distinct(expr("filter(split(text, ' '), w -> w <> '')"))).as("set"))
+      .filter(size(col("set")) > 0)
+      .select(col("doc_id"), col("set"), size(col("set")).cast("long").as("n"),
+              expr(
+        s"""transform(sequence(0, 15), i ->
+           |  aggregate(
+           |    transform(set, w -> CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT)),
+           |    CAST(2147483647 AS BIGINT),
+           |    (acc, x) -> least(acc, (element_at($aArr, i + 1) * x + element_at($bArr, i + 1))
+           |                           % CAST(2147483647 AS BIGINT))))""".stripMargin).as("sig"))
+    val bands = docs.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 3), g -> struct(g, array_join(slice(sig, 1 + 4 * g, 4), ',') AS v))"))
+        .as("band"))
+      .select(col("doc_id"), col("band.g"), col("band.v"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.g") === col("y.g") && col("x.v") === col("y.v") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sets = docs.select(col("doc_id"), col("set"), col("n"))
+    val inter = graft.expressions.GraftFunctions.sortedIntersectSize(s, "ta", "tb")
+    val ratio = col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("set").as("ta"), col("n").as("na")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("set").as("tb"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"), inter.as("i"), col("na"), col("nb"))
+      .filter(ratio >= 0.8)
+      .select(col("a"), col("b"), dround(ratio, 4).as("jaccard"))
+      .orderBy("a", "b")
+  }
 
   /** q48: multimodal feature extraction — binary media columns
     * synthesized from documents, stub-decoded to typed features

@@ -436,6 +436,61 @@ object Oracle {
         |  AND round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.35
         |ORDER BY pid, nid""".stripMargin,
 
+    // q58: same md5-derived 60-bit token hashes and bit-balance majority
+    // vote as the Spark side, but candidates by BRUTE FORCE over all
+    // pairs — so this oracle simultaneously value-checks the signatures
+    // and proves the Spark band join's completeness (a missed pair =
+    // driver compare failure).
+    "q58_simhash_md5" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | w AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        | wn AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+        |        FROM w WHERE w <> ''),
+        | bt AS (SELECT doc_id, b, sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS bal
+        |        FROM wn CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) g
+        |        GROUP BY doc_id, b),
+        | sig AS (SELECT doc_id,
+        |           CAST(sum(CASE WHEN bal > 0 THEN (CAST(1 AS BIGINT) << b)
+        |                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+        |         FROM bt GROUP BY doc_id)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |       CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS hamming
+        |FROM sig x JOIN sig y ON y.doc_id > x.doc_id
+        |WHERE bit_count(xor(x.sig, y.sig)) <= 3
+        |ORDER BY a, b""".stripMargin,
+
+    // q59: the explicit-family MinHash — the oracle REPLAYS the Spark
+    // side's hash family, banding, and exact-Jaccard re-score (banding
+    // is probabilistic, so reproducing it — not brute force — is what
+    // makes the declared result value-checkable). Constants match
+    // Extended.MinHashA/B literal-for-literal.
+    "q59_minhash_md5" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | uw AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        | tok AS (SELECT DISTINCT doc_id, w FROM uw WHERE w <> ''),
+        | tx AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS x FROM tok),
+        | c AS (SELECT unnest(generate_series(0, 15)) AS i,
+        |   unnest([387413, 204209, 501871, 118757, 286711, 430585, 93871, 364657,
+        |           259679, 147641, 478237, 58693, 315979, 196613, 420263, 86243]) AS a,
+        |   unnest([98429, 312881, 45751, 267923, 159871, 73009, 401587, 22481,
+        |           348259, 120097, 289751, 441347, 66563, 237541, 30781, 182429]) AS b),
+        | hv AS (SELECT doc_id, i, min((a * x + b) % 2147483647) AS m
+        |        FROM tx CROSS JOIN c GROUP BY doc_id, i),
+        | bd AS (SELECT doc_id, i // 4 AS g, string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS v
+        |        FROM hv GROUP BY doc_id, i // 4),
+        | cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |          FROM bd x JOIN bd y ON x.g = y.g AND x.v = y.v AND y.doc_id > x.doc_id),
+        | cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        | inter AS (SELECT c2.a, c2.b, count(*) AS ni
+        |           FROM cand c2 JOIN tok ta ON ta.doc_id = c2.a
+        |                        JOIN tok tb ON tb.doc_id = c2.b AND tb.w = ta.w
+        |           GROUP BY c2.a, c2.b)
+        |SELECT i2.a, i2.b,
+        |  floor(CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS jaccard
+        |FROM inter i2 JOIN cnt ca ON ca.doc_id = i2.a JOIN cnt cb ON cb.doc_id = i2.b
+        |WHERE CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) >= 0.8
+        |ORDER BY a, b""".stripMargin,
+
     // Analytics (q51+) — see graft.ops.Analytics. Second-moment stats
     // are derived from EXACT decimal power sums (2-decimal doubles cast
     // to DECIMAL(18,2); decimal products/sums are exact in both

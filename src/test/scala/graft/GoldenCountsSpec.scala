@@ -70,7 +70,10 @@ class GoldenCountsSpec extends SparkSpec {
     "q54_cohort_retention" -> 59,
     "q55_funnel_stages" -> 1,
     "q56_bigram_topn" -> 20,
-    "q57_decontam_overlap" -> 480
+    "q57_decontam_overlap" -> 480,
+    // Oracle-checked md5-family twins of the rows-only q44/q43 (round 4).
+    "q58_simhash_md5" -> 13,
+    "q59_minhash_md5" -> 25320
   )
 
   test("queries/oracleSql keys line up") {
