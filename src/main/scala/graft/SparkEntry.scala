@@ -82,7 +82,10 @@ object SparkEntry {
     "q56_bigram_topn"         -> Analytics.q56BigramTopn _,
     "q57_decontam_overlap"    -> Analytics.q57DecontamOverlap _,
     "q58_simhash_md5"         -> Extended.q58SimhashMd5 _,
-    "q59_minhash_md5"         -> Extended.q59MinhashMd5 _
+    "q59_minhash_md5"         -> Extended.q59MinhashMd5 _,
+    "q60_dedup_clusters"      -> Extended.q60DedupClusters _,
+    "q61_fuzzy_join"          -> Analytics.q61FuzzyJoin _,
+    "q62_lm_bigram_score"     -> Extended.q62LmBigramScore _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -179,4 +179,28 @@ object Analytics {
               (col("n_hits") > 0).as("contaminated"))
       .orderBy("doc_id")
   }
+
+  /** q61: blocked fuzzy join (record linkage / entity resolution): part
+    * pairs within the same brand whose names differ but sit within
+    * Levenshtein distance 2 — the standard blocking-then-compare shape.
+    * The block key makes the quadratic comparison tractable: the join
+    * shuffles both sides on p_brand so each block compares locally, and
+    * the edit-distance only runs inside blocks (n²/|blocks| vs n²
+    * comparisons). At 100 TB the block key is the dial — a coarse key
+    * (25 brands here) means few, large, skew-prone blocks; production
+    * linkage picks finer keys (brand × length bucket) or salts hot
+    * blocks (Approx.saltedJoin). levenshtein() is a codegen'd builtin
+    * in both engines with identical unit-cost edit semantics. */
+  def q61FuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val x = part(s, d).select(col("p_partkey").as("a"), col("p_brand").as("brand"),
+                              col("p_name").as("name_a"))
+    val y = part(s, d).select(col("p_partkey").as("b"), col("p_brand").as("brand"),
+                              col("p_name").as("name_b"))
+    x.join(y, Seq("brand"))
+      .filter(col("a") < col("b") && col("name_a") =!= col("name_b"))
+      .select(col("a"), col("b"), col("name_a"), col("name_b"),
+              levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+      .filter(col("dist") <= 2)
+      .orderBy("a", "b")
+  }
 }

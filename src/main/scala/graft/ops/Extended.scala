@@ -276,6 +276,72 @@ object Extended {
       .orderBy("a", "b")
   }
 
+  /** q60: connected-components dedup clustering over the q59 near-dup
+    * pair graph — the VALUE-CHECKED version of the clustering step that
+    * turns pairwise near-dup detections into an actionable dedup map
+    * (keep the min-id document per component, drop the rest). The Spark
+    * side runs [[graft.operators.Approx.dedupClusters]]' iterative
+    * min-label propagation (O(diameter) rounds of join+agg, both
+    * partitioned by node id — the 100 TB shape); the oracle computes the
+    * same components declaratively with a recursive-CTE transitive
+    * closure, so every (doc, keeper) assignment AND every component size
+    * is value-matched. Closure is O(Σ component²) rows — fine for an
+    * oracle at sf0.01, exactly why the Spark side propagates labels
+    * instead. */
+  def q60DedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = q59MinhashMd5(s, d).select(col("a"), col("b"))
+    val labels = graft.operators.Approx.dedupClusters(pairs)
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("component_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id").as("keeper"),
+              col("component_size"))
+      .orderBy("doc_id")
+  }
+
+  /** q62: add-one-smoothed bigram language-model scoring — the
+    * model-based document quality signal (a corpus-trained LM scores
+    * each document's mean token-transition log-probability; gibberish
+    * and boilerplate land in the tails). Bigrams are adjacent non-empty
+    * token pairs computed scan-side with zip_with (q56's convention —
+    * no self-join); the model is the corpus's own bigram counts with
+    * P(w2|w1) = (c(w1,w2)+1) / (c(w1,·)+V). First-token totals come
+    * from a window sum over the bigram counts (one pipeline — same
+    * exchange-reuse reasoning as q37's df window), V crosses as a
+    * broadcast scalar. Per-bigram log-probs are dround(·,6) then summed
+    * through DECIMAL — order-independent, so the per-doc mean is
+    * bit-identical across partitionings and engines. At 100 TB the
+    * shuffles carry (w1,w2) counts and 6dp log-probs, never documents;
+    * the bigram join is AQE-skew-handled (hot bigrams are the common
+    * ones by construction). */
+  def q62LmBigramScore(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nAdj = greatest(size(toks) - 1, lit(0))
+    val big = documents(s, d)
+      .select(col("doc_id"), explode(zip_with(
+          slice(toks, lit(1), nAdj), slice(toks, lit(2), nAdj),
+          (x, y) => struct(x.as("w1"), y.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+    val vocab = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .agg(countDistinct(col("w")).as("vocab"))
+    val w1Tot = org.apache.spark.sql.expressions.Window.partitionBy("w1")
+    val lp = c2.withColumn("n1", sum(col("n2")).over(w1Tot))
+      .crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+              dround(log((col("n2") + 1).cast("double") /
+                         (col("n1") + col("vocab")).cast("double")), 6).as("logp"))
+    big.join(lp, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), dsum(col("logp")).as("sd"))
+      .select(col("doc_id"), col("n_bigrams"),
+              dround(col("sd").cast("double") / col("n_bigrams"), 6).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
   /** q48: multimodal feature extraction — binary media columns
     * synthesized from documents, stub-decoded to typed features
     * (n_bytes, fingerprint, 8-dim embedding). Rows-only: exercises the

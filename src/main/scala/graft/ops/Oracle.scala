@@ -491,6 +491,87 @@ object Oracle {
         |WHERE CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) >= 0.8
         |ORDER BY a, b""".stripMargin,
 
+    // q60: connected components over the q59 pair graph, computed
+    // declaratively as a recursive-CTE transitive closure (min reachable
+    // node = keeper; reach count = component size). The pairs CTE chain
+    // is q59's oracle verbatim — the clustering is only meaningful
+    // against the exact same edge set.
+    "q60_dedup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | uw AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        | tok AS (SELECT DISTINCT doc_id, w FROM uw WHERE w <> ''),
+        | tx AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS x FROM tok),
+        | c AS (SELECT unnest(generate_series(0, 15)) AS i,
+        |   unnest([387413, 204209, 501871, 118757, 286711, 430585, 93871, 364657,
+        |           259679, 147641, 478237, 58693, 315979, 196613, 420263, 86243]) AS a,
+        |   unnest([98429, 312881, 45751, 267923, 159871, 73009, 401587, 22481,
+        |           348259, 120097, 289751, 441347, 66563, 237541, 30781, 182429]) AS b),
+        | hv AS (SELECT doc_id, i, min((a * x + b) % 2147483647) AS m
+        |        FROM tx CROSS JOIN c GROUP BY doc_id, i),
+        | bd AS (SELECT doc_id, i // 4 AS g, string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS v
+        |        FROM hv GROUP BY doc_id, i // 4),
+        | cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |          FROM bd x JOIN bd y ON x.g = y.g AND x.v = y.v AND y.doc_id > x.doc_id),
+        | cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        | inter AS (SELECT c2.a, c2.b, count(*) AS ni
+        |           FROM cand c2 JOIN tok ta ON ta.doc_id = c2.a
+        |                        JOIN tok tb ON tb.doc_id = c2.b AND tb.w = ta.w
+        |           GROUP BY c2.a, c2.b),
+        | pairs AS (SELECT i2.a, i2.b
+        |           FROM inter i2 JOIN cnt ca ON ca.doc_id = i2.a JOIN cnt cb ON cb.doc_id = i2.b
+        |           WHERE CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) >= 0.8),
+        | e AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+        | nodes AS (SELECT DISTINCT x AS node FROM e),
+        | reach AS (
+        |   SELECT node AS s, node AS t FROM nodes
+        |   UNION
+        |   SELECT r.s, e.y FROM reach r JOIN e ON e.x = r.t)
+        |SELECT s AS doc_id, min(t) AS keeper, count(*) AS component_size
+        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+
+    // q61: blocked Levenshtein fuzzy join — both engines implement the
+    // identical unit-cost edit distance; the block predicate and the
+    // a < b dedup are plain relational algebra.
+    "q61_fuzzy_join" ->
+      """SELECT x.p_partkey AS a, y.p_partkey AS b,
+        |       x.p_name AS name_a, y.p_name AS name_b,
+        |       CAST(levenshtein(x.p_name, y.p_name) AS BIGINT) AS dist
+        |FROM part x JOIN part y
+        |  ON x.p_brand = y.p_brand AND y.p_partkey > x.p_partkey
+        |WHERE x.p_name <> y.p_name AND levenshtein(x.p_name, y.p_name) <= 2
+        |ORDER BY a, b""".stripMargin,
+
+    // q62: bigram LM scoring. Bigrams via the q56 position-join
+    // convention (adjacent raw positions, both tokens non-empty);
+    // per-bigram ln of an exact integer ratio, floor-rounded with the
+    // sign-aware dround form (log-probs are negative), summed through
+    // DECIMAL so the per-doc mean is order-independent.
+    "q62_lm_bigram_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | u AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS i FROM t),
+        | big AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |         FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |         WHERE a.w <> '' AND b.w <> ''),
+        | c2 AS (SELECT w1, w2, count(*) AS n2 FROM big GROUP BY w1, w2),
+        | c1 AS (SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY w1),
+        | v AS (SELECT count(DISTINCT w) AS vocab FROM u WHERE w <> ''),
+        | lp AS (SELECT c2.w1, c2.w2,
+        |          CASE WHEN ln(CAST(n2 + 1 AS DOUBLE) / CAST(n1 + vocab AS DOUBLE)) * 1000000.0 >= 0
+        |               THEN floor(ln(CAST(n2 + 1 AS DOUBLE) / CAST(n1 + vocab AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+        |               ELSE -floor(-(ln(CAST(n2 + 1 AS DOUBLE) / CAST(n1 + vocab AS DOUBLE)) * 1000000.0) + 0.5) / 1000000.0
+        |          END AS logp
+        |        FROM c2 JOIN c1 ON c1.w1 = c2.w1 CROSS JOIN v),
+        | ds AS (SELECT b.doc_id, CAST(sum(CAST(lp.logp AS DECIMAL(38,8))) AS DOUBLE) AS sd,
+        |               count(*) AS nb
+        |        FROM big b JOIN lp ON lp.w1 = b.w1 AND lp.w2 = b.w2
+        |        GROUP BY b.doc_id)
+        |SELECT doc_id, nb AS n_bigrams,
+        |  CASE WHEN sd / nb * 1000000.0 >= 0
+        |       THEN floor(sd / nb * 1000000.0 + 0.5) / 1000000.0
+        |       ELSE -floor(-(sd / nb * 1000000.0) + 0.5) / 1000000.0
+        |  END AS lm_score
+        |FROM ds ORDER BY doc_id""".stripMargin,
+
     // Analytics (q51+) — see graft.ops.Analytics. Second-moment stats
     // are derived from EXACT decimal power sums (2-decimal doubles cast
     // to DECIMAL(18,2); decimal products/sums are exact in both

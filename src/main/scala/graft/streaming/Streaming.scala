@@ -65,6 +65,32 @@ object Streaming {
     else events.dropDuplicates(keys)
   }
 
+  /** Stream-stream interval join — the attribution shape: each purchase
+    * joins the same user's views from the preceding 30 minutes. Both
+    * sides carry watermarks and the join condition bounds event time in
+    * BOTH directions; together those let Spark expire join state (a view
+    * older than watermark + 30min can never match a future purchase, so
+    * its state row is dropped) — without the time bound, stream-stream
+    * join state grows without limit at 100 TB/day rates. The same
+    * function on batch inputs plans as a plain theta join with identical
+    * semantics, which is what StreamingSpec's batch≡stream test pins. */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+              col("event_id").as("view_id"))
+    val p = purchases
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+              col("event_id").as("purchase_id"), col("value"))
+    v.join(p,
+        col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("p_user").as("user_id"), col("view_id"), col("purchase_id"),
+              col("v_ts"), col("p_ts"), col("value"))
+  }
+
   /** Streaming → RDBMS: `foreachBatch` turns each micro-batch into a
     * bounded DataFrame and reuses the batch JDBC writer. The write itself
     * is AT-LEAST-ONCE (a retried micro-batch appends again); every row is

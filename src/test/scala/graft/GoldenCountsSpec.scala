@@ -73,7 +73,11 @@ class GoldenCountsSpec extends SparkSpec {
     "q57_decontam_overlap" -> 480,
     // Oracle-checked md5-family twins of the rows-only q44/q43 (round 4).
     "q58_simhash_md5" -> 13,
-    "q59_minhash_md5" -> 25320
+    "q59_minhash_md5" -> 25320,
+    // Round-4 additions: oracle-checked clustering, linkage, LM scoring.
+    "q60_dedup_clusters" -> 359,
+    "q61_fuzzy_join" -> 873,
+    "q62_lm_bigram_score" -> 500
   )
 
   test("queries/oracleSql keys line up") {

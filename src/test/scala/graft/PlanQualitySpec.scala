@@ -19,7 +19,10 @@ class PlanQualitySpec extends SparkSpec {
   // is the algorithm.
   private val intendedCross =
     Set("q14_join_cross", "q35_jaccard_neardup", "q36_cosine_topk", "q37_tfidf_top_term",
-      "q45_cosine_neardup")
+      "q45_cosine_neardup",
+      // q62 crossJoins its broadcast 1-row vocabulary scalar into the
+      // bigram-count model — same shape as q37's document-count scalar.
+      "q62_lm_bigram_score")
 
   test("no query plan contains an unintended cartesian product or Scala UDF") {
     SparkEntry.queries.keys.foreach { name =>
@@ -99,6 +102,33 @@ class PlanQualitySpec extends SparkSpec {
   test("q57 broadcasts the benchmark shingle set (corpus side stays scan-local)") {
     assert(plan("q57_decontam_overlap").contains("BroadcastHashJoin"),
       "q57 benchmark join is not a broadcast hash join")
+  }
+
+  test("q62 shuffles token pairs and log-probs — document text never crosses an exchange") {
+    // The LM pipeline explodes bigrams scan-side; every exchange carries
+    // (doc_id, w1, w2) instances, (w1, w2, n) model counts, or 6dp
+    // log-probs. A text# column in an exchange input means the explode
+    // stopped being scan-local — the 100 TB regression to catch.
+    val p = plan("q62_lm_bigram_score")
+    val exchanges = p.split("\\(\\d+\\) ").filter(_.startsWith("Exchange"))
+    assert(exchanges.nonEmpty, "q62 plan has no exchange to audit")
+    exchanges.foreach { e =>
+      val input = e.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      assert(!input.contains("text#"), s"q62 exchange carries full text: $input")
+    }
+  }
+
+  test("q61 compares only within blocks — the fuzzy join is an equi-join on the block key") {
+    // Blocking is the point of the operator: the levenshtein comparison
+    // must sit on top of a hash join keyed by p_brand (broadcast or
+    // shuffled — either is block-local), never a nested-loop over all
+    // part pairs.
+    val p = plan("q61_fuzzy_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+           p.contains("ShuffledHashJoin"),
+      s"q61 is not a hash/merge equi-join on the block key:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q61 degenerated to an all-pairs comparison")
   }
 
   test("whole-stage codegen is active in the scan-heavy queries") {

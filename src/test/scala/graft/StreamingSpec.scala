@@ -96,6 +96,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == the same join on batch inputs") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = eventRows(sf0001)
+    val viewRows = rows.filter(_._4 == "view").toSeq
+    val purchaseRows = rows.filter(_._4 == "purchase").toSeq
+    val vStream = MemoryStream[Ev]
+    val pStream = MemoryStream[Ev]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    // Stream-stream joins emit only in append mode: a matched pair is
+    // final once both watermarks pass it, never updated.
+    runToMemory("ssj_t",
+      Streaming.viewPurchaseJoin(
+        vStream.toDF().toDF(cols: _*), pStream.toDF().toDF(cols: _*)),
+      mode = "append") {
+      vStream.addData(viewRows)
+      pStream.addData(purchaseRows)
+    }
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("view_id"), col("purchase_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = key(spark.table("ssj_t"))
+    val batch = key(Streaming.viewPurchaseJoin(
+      Tables.events(spark, sf0001).filter(col("event_type") === "view")
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+                col("user_id"), col("event_type"), col("value")),
+      Tables.events(spark, sf0001).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+                col("user_id"), col("event_type"), col("value"))))
+    assert(streamed.nonEmpty, "interval join produced no pairs — dataset regression?")
+    assert(streamed === batch)
+  }
+
   test("flatMapGroupsWithState sessionization matches the q32 session windows") {
     val out = graft.streaming.StatefulOps.sessionize(spark, Tables.events(spark, sf0001)).toDF()
     val expected = Events.q32SessionWindow(spark, sf0001)
@@ -112,7 +145,7 @@ class StreamingSpec extends SparkSpec {
     val viaSql = spark.sql(
       "SELECT c_mktsegment, count(*) AS n FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1")
     assert(viaSql.count() === 5)
-    assert(Graft.operators.size === 59)
+    assert(Graft.operators.size === 62)
     assert(Graft.query("q21_sort_topk")(spark, sf0001).count() === 25)
     // SQL over the events view (ns-timestamp table) works too
     assert(spark.sql("SELECT count(*) FROM events WHERE user_id < 5").head.getLong(0) > 0)
