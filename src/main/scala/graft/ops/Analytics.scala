@@ -203,4 +203,30 @@ object Analytics {
       .filter(col("dist") <= 2)
       .orderBy("a", "b")
   }
+
+  /** q63: per-group z-score outlier detection — events whose value sits
+    * ≥ 2.5 sample standard deviations from their event type's mean.
+    * Group stats come from exact decimal power sums (q51's machinery:
+    * DECIMAL casts make the sums order-independent, then both engines
+    * combine them in double with the identical expression tree); the
+    * z-score is dround(·,4)-ed BEFORE the threshold so the boundary
+    * compare is on the same 4dp value in both engines. The 100 TB
+    * shape: one map-side-combinable stats pass producing O(groups)
+    * rows, broadcast back over a second scan — the z computation and
+    * filter stay scan-local, no wide shuffle at all. */
+  def q63OutlierZscore(s: SparkSession, d: String): DataFrame = {
+    val vd = col("value").cast(DecimalType(18, 2))
+    val stats = events(s, d).groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           sum(vd).cast("double").as("sp"),
+           sum(vd * vd).cast("double").as("spp"))
+    val zraw = (col("value") - col("sp") / col("n")) /
+      sqrt((col("spp") - col("sp") * col("sp") / col("n")) / (col("n") - 1))
+    events(s, d).join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+              dround(zraw, 4).as("z"))
+      .filter(abs(col("z")) >= 2.5)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy("event_id")
+  }
 }

@@ -496,6 +496,12 @@ object Oracle {
     // node = keeper; reach count = component size). The pairs CTE chain
     // is q59's oracle verbatim — the clustering is only meaningful
     // against the exact same edge set.
+    //
+    // SCALE NOTE: the closure materializes O(sum of component^2) rows —
+    // 5.6 s at sf0.01, but component sizes grow ~10x per SF decade so it
+    // spills tens of GB at sf0.1. That asymmetry is the point (the Spark
+    // side's label propagation holds one (node,label) row per node); run
+    // this oracle at the sf0.01 contract tier only.
     "q60_dedup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         | uw AS (SELECT doc_id, unnest(toks) AS w FROM t),
@@ -571,6 +577,27 @@ object Oracle {
         |       ELSE -floor(-(sd / nb * 1000000.0) + 0.5) / 1000000.0
         |  END AS lm_score
         |FROM ds ORDER BY doc_id""".stripMargin,
+
+    // q63: z-score outliers from exact decimal power sums (q51's
+    // determinism recipe); z is floor-rounded to 4dp before the
+    // threshold so both engines compare the same value at the boundary.
+    "q63_outlier_zscore" ->
+      """WITH s AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spp
+        |  FROM events GROUP BY event_type),
+        | z AS (
+        |  SELECT e.event_id, e.event_type, e.value,
+        |         (e.value - sp / n) / sqrt((spp - sp * sp / n) / (n - 1)) AS zraw
+        |  FROM events e JOIN s ON s.event_type = e.event_type)
+        |SELECT event_id, event_type, value,
+        |  CASE WHEN zraw * 10000.0 >= 0 THEN floor(zraw * 10000.0 + 0.5) / 10000.0
+        |       ELSE -floor(-(zraw * 10000.0) + 0.5) / 10000.0 END AS z
+        |FROM z
+        |WHERE abs(CASE WHEN zraw * 10000.0 >= 0 THEN floor(zraw * 10000.0 + 0.5) / 10000.0
+        |               ELSE -floor(-(zraw * 10000.0) + 0.5) / 10000.0 END) >= 2.5
+        |ORDER BY event_id""".stripMargin,
 
     // Analytics (q51+) — see graft.ops.Analytics. Second-moment stats
     // are derived from EXACT decimal power sums (2-decimal doubles cast

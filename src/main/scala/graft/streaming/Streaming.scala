@@ -91,6 +91,17 @@ object Streaming {
               col("v_ts"), col("p_ts"), col("value"))
   }
 
+  /** Stream-static enrichment: each micro-batch left-joins the static
+    * dimension as an ordinary batch side — no streaming state, no
+    * watermark, because the static side is complete at every trigger
+    * (Spark re-plans it per batch, picking up dimension updates between
+    * micro-batches). The production shape for decorating an event
+    * stream with a dimension table: broadcast the dimension when it
+    * fits, bucket both sides on the key when it doesn't. */
+  def enrichWithDimension(stream: DataFrame, dim: DataFrame,
+                          streamKey: String, dimKey: String): DataFrame =
+    stream.join(dim, stream(streamKey) === dim(dimKey), "left")
+
   /** Streaming → RDBMS: `foreachBatch` turns each micro-batch into a
     * bounded DataFrame and reuses the batch JDBC writer. The write itself
     * is AT-LEAST-ONCE (a retried micro-batch appends again); every row is

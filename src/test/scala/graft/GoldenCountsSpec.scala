@@ -77,7 +77,8 @@ class GoldenCountsSpec extends SparkSpec {
     // Round-4 additions: oracle-checked clustering, linkage, LM scoring.
     "q60_dedup_clusters" -> 359,
     "q61_fuzzy_join" -> 873,
-    "q62_lm_bigram_score" -> 500
+    "q62_lm_bigram_score" -> 500,
+    "q63_outlier_zscore" -> 303
   )
 
   test("queries/oracleSql keys line up") {

@@ -129,6 +129,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream-static enrichment join == the same join on batch inputs") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Tables.customer(spark, sf0001)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val stream = MemoryStream[Ev]
+    runToMemory("enrich_t",
+      Streaming.enrichWithDimension(
+        stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+        dim, "user_id", "c_custkey"),
+      mode = "append") {
+      stream.addData(eventRows(sf0001).toSeq)
+    }
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), col("c_mktsegment"))
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val streamed = key(spark.table("enrich_t"))
+    val batch = key(Streaming.enrichWithDimension(
+      Tables.events(spark, sf0001)
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+                col("user_id"), col("event_type"), col("value")),
+      dim, "user_id", "c_custkey"))
+    assert(streamed.exists(_._2.nonEmpty), "no event matched a dimension row")
+    assert(streamed === batch)
+  }
+
   test("flatMapGroupsWithState sessionization matches the q32 session windows") {
     val out = graft.streaming.StatefulOps.sessionize(spark, Tables.events(spark, sf0001)).toDF()
     val expected = Events.q32SessionWindow(spark, sf0001)
@@ -145,7 +171,7 @@ class StreamingSpec extends SparkSpec {
     val viaSql = spark.sql(
       "SELECT c_mktsegment, count(*) AS n FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1")
     assert(viaSql.count() === 5)
-    assert(Graft.operators.size === 62)
+    assert(Graft.operators.size === 63)
     assert(Graft.query("q21_sort_topk")(spark, sf0001).count() === 25)
     // SQL over the events view (ns-timestamp table) works too
     assert(spark.sql("SELECT count(*) FROM events WHERE user_id < 5").head.getLong(0) > 0)
