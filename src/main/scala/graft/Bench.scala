@@ -20,14 +20,18 @@ object Bench {
       .master(s"local[$cpus]")
       // With AQE off (below) nothing coalesces post-shuffle partitions,
       // and at this data size a 32-partition shuffle is mostly task
-      // dispatch: measured totals 32p=11.6s, 8p=6.3s, 4p=6.1s. Cap at 8
-      // — enough parallelism for the 600k-row sorts, near-minimal
-      // overhead for the rest. (Real-scale sessions size partitions to
-      // data or let AQE coalesce.) SPARK_GRAFT_SHUFFLE overrides for A/B.
+      // dispatch: measured totals 32p=11.6s, 8p=6.3s, 4p=6.1s (round 3);
+      // re-measured round 4 back-to-back on the same host: 8p=7.83s,
+      // 4p=6.94s — 4p wins broadly (every query with a shuffle gains
+      // 20-100ms of dispatch), not via one outlier. Cap at 4; the 600k-row
+      // sorts still spread over 4 tasks, and the per-query minimum across
+      // passes absorbs the occasional straggler. (Real-scale sessions size
+      // partitions to data or let AQE coalesce.) SPARK_GRAFT_SHUFFLE
+      // overrides for A/B.
       .config("spark.sql.shuffle.partitions",
         sys.env.get("SPARK_GRAFT_SHUFFLE")
           .flatMap(v => scala.util.Try(v.trim.toInt).toOption.filter(_ > 0))
-          .getOrElse(math.min(cpus.toInt, 8)))
+          .getOrElse(math.min(cpus.toInt, 4)))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
