@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Plan-quality regression net: asserts the physical plans keep the
   * shapes that matter at scale (PLANS.md is the human-readable audit;
   * this pins it). A regression here means a future edit silently lost
@@ -129,6 +131,40 @@ class PlanQualitySpec extends SparkSpec {
       s"q61 is not a hash/merge equi-join on the block key:\n${p.take(600)}")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "q61 degenerated to an all-pairs comparison")
+  }
+
+  test("runtime bloom-filter join pruning injects on a selective shuffle join") {
+    // The 100 TB scan-reduction feature: when one join side shrinks
+    // behind a selective filter, Spark can build a bloom filter over its
+    // keys at runtime and push `bloom_filter_might_contain` into the big
+    // side's scan stage, skipping rows that cannot match before the
+    // shuffle. The default size thresholds (10 MB creation side) never
+    // trigger at test scale, so pin the MECHANISM by lowering them; the
+    // production session keeps the defaults, where the feature arms
+    // itself exactly when the big-side scan is worth pruning.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> scala.util.Try(conf.get(k)).toOption)
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+      val li = ops.Tables.lineitem(spark, sf001)
+      val ord = ops.Tables.orders(spark, sf001)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val p = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"runtime bloom filter did not inject:\n${p.take(800)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
   }
 
   test("whole-stage codegen is active in the scan-heavy queries") {
