@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Plan-quality regression net: asserts the physical plans keep the
   * shapes that matter at scale (PLANS.md is the human-readable audit;
@@ -165,6 +165,42 @@ class PlanQualitySpec extends SparkSpec {
     } finally saved.foreach { case (k, v) =>
       v.fold(conf.unset(k))(conf.set(k, _))
     }
+  }
+
+  test("partition pruning: static literal and runtime dynamic (DPP) both prune the scan") {
+    // The other half of the 100 TB scan story: a date/category-
+    // partitioned fact table must be read partially. Static pruning
+    // (literal predicate on the partition column) and dynamic partition
+    // pruning (the partition predicate only materializes at runtime from
+    // the filtered dimension side of a join) are both pinned here on a
+    // small partitioned copy of events.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val ev = ops.Tables.events(spark, sf001).select("event_id", "event_type", "value")
+    graft.sources.Sources.writePartitioned(ev, dir, Seq("event_type"))
+    val part = spark.read.parquet(dir)
+    // static: the literal partition filter reaches the scan
+    val pStatic = part.filter(col("event_type") === "click")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(pStatic.contains("PartitionFilters: [isnotnull(event_type") &&
+           pStatic.contains("(event_type"), s"static partition pruning missing:\n$pStatic")
+    // dynamic: joining a filtered dim on the partition column plants a
+    // dynamicpruning subquery in the scan's partition filters. Two
+    // traps make this test deliberately production-shaped: the dim must
+    // be a real datasource relation (a literal in-memory relation
+    // constant-folds its filter away, failing DPP's selectivity
+    // heuristic), and the dim filter must be on a NON-join column — a
+    // filter on the join key itself gets transitively inferred into the
+    // fact scan as a STATIC partition filter, which is better than DPP
+    // and leaves it nothing to do.
+    import spark.implicits._
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    Seq(("purchase", 1), ("click", 0), ("view", 0)).toDF("t", "billable")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("billable") === 1)
+    val pDyn = part.join(dim, part("event_type") === dim("t"))
+      .groupBy("event_type").count()
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(pDyn.contains("dynamicpruning"), s"DPP subquery missing:\n${pDyn.take(900)}")
   }
 
   test("whole-stage codegen is active in the scan-heavy queries") {
