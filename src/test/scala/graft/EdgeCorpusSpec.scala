@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Extended
+
+/** Edge-corpus hardening for the text/near-dup family: the testdata's
+  * documents are well-formed 400-char paragraphs, so the degenerate
+  * shapes — empty text, whitespace-only, single token, consecutive
+  * spaces, exact duplicates — never exercise the `size(toks) > 0`
+  * guards, the bigram slice arithmetic, or the signature folds. This
+  * spec runs the document-driven queries against a synthetic corpus
+  * made of exactly those shapes and pins the semantics:
+  * empty/whitespace docs drop out of signature queries without
+  * crashing, exact duplicates pair at Hamming 0 / Jaccard 1, and only
+  * docs with at least one adjacent non-empty token pair appear in the
+  * LM score.
+  */
+class EdgeCorpusSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_edge").toString
+    val docs = Seq(
+      (0L, "", "en", "synth", 0L),                                // empty
+      (1L, "   ", "en", "synth", 3L),                             // whitespace only
+      (2L, "solitary", "en", "synth", 8L),                        // single token
+      (3L, "alpha  beta   gamma", "en", "synth", 19L),            // multi-space runs
+      (4L, "the quick brown fox jumps over the lazy dog", "en", "synth", 44L),
+      (5L, "the quick brown fox jumps over the lazy dog", "en", "synth", 44L), // exact dup of 4
+      (6L, "the quick brown fox jumps over the lazy cat", "en", "synth", 44L)  // near dup of 4
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q58 SimHash: degenerate docs drop out; exact duplicates pair at Hamming 0") {
+    val rows = Extended.q58SimhashMd5(spark, dir).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // 0 ("" splits to [""], filtered empty) and 1 (whitespace tokens
+    // filtered) have no signature; they must appear in no pair.
+    assert(!pairs.exists(p => Set(p._1, p._2).exists(Set(0L, 1L))),
+      s"empty/whitespace docs leaked into SimHash pairs: $pairs")
+    assert(pairs.exists(p => p._1 == 4L && p._2 == 5L && p._3 == 0),
+      s"exact duplicates 4/5 missing or nonzero Hamming: $pairs")
+  }
+
+  test("q59 MinHash: exact duplicates score Jaccard 1.0; banding finds the 8/9-token near-dup") {
+    val rows = Extended.q59MinhashMd5(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rows.get((4L, 5L)).contains(1.0),
+      s"exact duplicates 4/5 missing or J != 1: $rows")
+    // 4 vs 6 share 8 of 9 distinct tokens: J = 8/10 = 0.8, exactly at
+    // the threshold — included IF one of the 4 bands matched (identical
+    // minhashes for 4/5 guarantee their pair; 4/6 depends on banding
+    // luck, so only the score is pinned when present).
+    rows.get((4L, 6L)).foreach(j => assert(j == 0.8, s"J(4,6) = $j, expected 0.8"))
+    assert(!rows.keys.exists(k => Set(k._1, k._2).exists(Set(0L, 1L))),
+      "empty/whitespace docs leaked into MinHash pairs")
+  }
+
+  test("q62 LM score: only docs with an adjacent non-empty token pair are scored") {
+    val rows = Extended.q62LmBigramScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc 0 (no tokens), 1 (no non-empty tokens), 2 (one token — no
+    // adjacent pair) are unscoreable. doc 3's multi-space runs yield
+    // empty tokens BETWEEN words: "alpha  beta" has no ADJACENT
+    // non-empty pair at all (every neighbour of a word is ''), so 3 is
+    // unscoreable too — the q56 bigram convention, pinned here.
+    assert(rows.keySet === Set(4L, 5L, 6L), s"unexpected scored set: $rows")
+    assert(rows(4L) === 8L, s"doc 4 should have 8 bigrams, got ${rows(4L)}")
+    // identical docs get identical n_bigrams (scores share the corpus
+    // model, so equality of counts is the invariant worth pinning)
+    assert(rows(4L) === rows(5L))
+  }
+
+  test("q60 clustering groups the duplicate family into one component") {
+    val rows = Extended.q60DedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // The component is exactly the q59 pair graph's nodes: always
+    // {4, 5}, plus 6 iff banding surfaced the 0.8-threshold pair.
+    val nodes = rows.map(_._1).toSet
+    assert(nodes.contains(4L) && nodes.contains(5L), s"4/5 missing from components: $rows")
+    rows.foreach { case (_, keeper, size) =>
+      assert(keeper == 4L, s"min-label keeper should be 4: $rows")
+      assert(size == nodes.size, s"component size mismatch: $rows")
+    }
+  }
+}
