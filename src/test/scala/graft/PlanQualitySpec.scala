@@ -106,6 +106,24 @@ class PlanQualitySpec extends SparkSpec {
       "q57 benchmark join is not a broadcast hash join")
   }
 
+  test("q58/q59 shuffle signatures and band keys — document text never crosses an exchange") {
+    // Both md5-family near-dup queries compute signatures scan-side with
+    // higher-order functions; the exchanges must carry only (doc_id,
+    // sig/band) and candidate ids. PLANS.md documents the shape; this
+    // pins it. (q59's token-SET column does cross its re-score join —
+    // that is the sorted-merge intersect's input, bounded to candidate
+    // pairs, not the corpus; only raw text# is the regression signal.)
+    Seq("q58_simhash_md5", "q59_minhash_md5").foreach { name =>
+      val p = plan(name)
+      val exchanges = p.split("\\(\\d+\\) ").filter(_.startsWith("Exchange"))
+      assert(exchanges.nonEmpty, s"$name plan has no exchange to audit")
+      exchanges.foreach { e =>
+        val input = e.linesIterator.find(_.startsWith("Input")).getOrElse("")
+        assert(!input.contains("text#"), s"$name exchange carries full text: $input")
+      }
+    }
+  }
+
   test("q62 shuffles token pairs and log-probs — document text never crosses an exchange") {
     // The LM pipeline explodes bigrams scan-side; every exchange carries
     // (doc_id, w1, w2) instances, (w1, w2, n) model counts, or 6dp
