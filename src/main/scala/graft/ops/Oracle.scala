@@ -578,6 +578,25 @@ object Oracle {
         |  END AS lm_score
         |FROM ds ORDER BY doc_id""".stripMargin,
 
+    // q64: the n-gram (character-trigram) Jaccard — q35's shape with
+    // substr shingles instead of word tokens. Both engines take 1-based
+    // 3-char substrings over identical length semantics (q24-verified).
+    "q64_ngram_jaccard" ->
+      """WITH p AS (SELECT doc_id, text, unnest(generate_series(1, length(text) - 2)) AS i
+        |           FROM documents WHERE length(text) >= 3),
+        | g AS (SELECT DISTINCT doc_id, substr(text, i, 3) AS w FROM p),
+        | probe AS (SELECT * FROM g WHERE doc_id < 100),
+        | sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+        | inter AS (
+        |  SELECT pr.doc_id AS a, t.doc_id AS b, count(*) AS i
+        |  FROM probe pr JOIN g t ON pr.w = t.w AND pr.doc_id < t.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b,
+        |  floor(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) * 10000.0 + 0.5) / 10000.0 AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+        |ORDER BY a, b""".stripMargin,
+
     // q63: z-score outliers from exact decimal power sums (q51's
     // determinism recipe); z is floor-rounded to 4dp before the
     // threshold so both engines compare the same value at the boundary.

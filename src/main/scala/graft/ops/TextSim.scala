@@ -139,6 +139,39 @@ object TextSim {
       .select("pid", "nid", "sim")
   }
 
+  /** q64: character-trigram Jaccard near-dup — the n-gram flavor of
+    * q35 (tokenization-free: catches near-dups that differ in
+    * whitespace/punctuation where word-level Jaccard fragments).
+    * Trigram sets are canonicalized once per document scan-side
+    * (transform over the character positions — no explode), then the
+    * same broadcast-probe + codegen'd sorted-merge intersect as q35.
+    * Background trigram Jaccard tops out ≈ 0.64 on unrelated docs at
+    * sf0.01, so 0.8 is a clean near-dup separator. Docs shorter than 3
+    * chars have no trigram and drop out on BOTH engines (explicit
+    * length guard; Spark's sequence(1, 0) would count DOWN, not empty).
+    * Scale notes as q35: probe-bounded pair loop; the banded/LSH twins
+    * (q43/q44/q58/q59) are the whole-corpus path. */
+  def q64NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val grams = documents(s, d)
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), sort_array(array_distinct(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))).as("gs"))
+    val probe = grams.filter(col("doc_id") < 100)
+      .select(col("doc_id").as("a"), col("gs").as("ta"), size(col("gs")).cast("long").as("sa"))
+    val corpus = grams
+      .select(col("doc_id").as("b"), col("gs").as("tb"), size(col("gs")).cast("long").as("sb"))
+      .repartition(math.min(s.sparkContext.defaultParallelism, 8))
+    val i = graft.expressions.GraftFunctions.sortedIntersectSize(s, "ta", "tb")
+    val ratio = col("i").cast("double") / (col("sa") + col("sb") - col("i"))
+    broadcast(probe).crossJoin(corpus)
+      .filter(col("a") < col("b") &&
+              col("sa") * 5 >= col("sb") * 4 && col("sb") * 5 >= col("sa") * 4)
+      .select(col("a"), col("b"), i.as("i"), col("sa"), col("sb"))
+      .filter(ratio >= 0.8)
+      .select(col("a"), col("b"), dround(ratio, 4).as("jaccard"))
+      .orderBy("a", "b")
+  }
+
   /** q37: tf-idf top term per document. Score is rounded to 6dp BEFORE
     * the per-doc rank — equal-in-reals scores from different (tf, df)
     * pairs would otherwise order nondeterministically across engines. */

@@ -78,7 +78,8 @@ class GoldenCountsSpec extends SparkSpec {
     "q60_dedup_clusters" -> 359,
     "q61_fuzzy_join" -> 873,
     "q62_lm_bigram_score" -> 500,
-    "q63_outlier_zscore" -> 303
+    "q63_outlier_zscore" -> 303,
+    "q64_ngram_jaccard" -> 13
   )
 
   test("queries/oracleSql keys line up") {

@@ -22,6 +22,8 @@ class PlanQualitySpec extends SparkSpec {
   private val intendedCross =
     Set("q14_join_cross", "q35_jaccard_neardup", "q36_cosine_topk", "q37_tfidf_top_term",
       "q45_cosine_neardup",
+      // q64 is q35's probe-bounded broadcast pair loop over trigram sets.
+      "q64_ngram_jaccard",
       // q62 crossJoins its broadcast 1-row vocabulary scalar into the
       // bigram-count model — same shape as q37's document-count scalar.
       "q62_lm_bigram_score")
