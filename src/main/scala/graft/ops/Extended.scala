@@ -11,14 +11,17 @@ import Tables._
   * graft.operators.Approx, graft.operators.Multimodal) exposed as
   * first-class driver queries over the testdata tables.
   *
-  * q41, q42, q45, q47, q50, q58, and q59 are SQL-expressible and carry
-  * DuckDB oracles ([[Oracle.sql]]); the rest have no DuckDB equivalent
-  * (ML LSH models, xxhash64 fingerprints, media stubs) and are declared
-  * WITHOUT oracle SQL — the driver records the weaker rows-only check,
-  * and GoldenCountsSpec pins their cardinalities instead. q58/q59 are
-  * the value-checked md5-family twins of the rows-only q44/q43. The 40-query
-  * BASELINE bench set is unchanged; these run in Verify only (see
-  * Bench.scala's anchor filter).
+  * q41, q42, q45, q47, q50, q58, q59, q60, and q62 are SQL-expressible
+  * and carry DuckDB oracles ([[Oracle.sql]]); the remaining five
+  * (q43/q44/q46/q48/q49) have no DuckDB equivalent (seeded ML LSH
+  * models, xxhash64 fingerprints, RE2-incompatible lookaround regexes,
+  * media stubs) and are declared WITHOUT oracle SQL — the driver
+  * records the weaker rows-only check, and GoldenCountsSpec pins their
+  * cardinalities instead. q58/q59 are the value-checked md5-family
+  * twins of the rows-only q44/q43; q60 value-checks the clustering step
+  * on top of q59's pair graph. The 40-query BASELINE bench set is
+  * unchanged; these run in Verify only (see Bench.scala's anchor
+  * filter).
   */
 object Extended {
 
