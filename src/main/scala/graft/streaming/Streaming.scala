@@ -73,8 +73,15 @@ object Streaming {
     * its state row is dropped) — without the time bound, stream-stream
     * join state grows without limit at 100 TB/day rates. The same
     * function on batch inputs plans as a plain theta join with identical
-    * semantics, which is what StreamingSpec's batch≡stream test pins. */
-  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    * semantics, which is what StreamingSpec's batch≡stream test pins.
+    *
+    * `joinType` "left_outer" gives the attribution complement: views
+    * with NO purchase in their window. In streaming, an outer null row
+    * is emitted only once BOTH watermarks pass the view's join window
+    * (before that a matching purchase could still arrive) — the test
+    * advances the watermark with a late sentinel row to flush them. */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame,
+                       joinType: String = "inner"): DataFrame = {
     val v = views
       .withWatermark("ts", "10 minutes")
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
@@ -86,8 +93,10 @@ object Streaming {
     v.join(p,
         col("v_user") === col("p_user") &&
         col("p_ts") >= col("v_ts") &&
-        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
-      .select(col("p_user").as("user_id"), col("view_id"), col("purchase_id"),
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+        joinType)
+      .select(coalesce(col("v_user"), col("p_user")).as("user_id"),
+              col("view_id"), col("purchase_id"),
               col("v_ts"), col("p_ts"), col("value"))
   }
 

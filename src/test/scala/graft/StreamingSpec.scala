@@ -155,6 +155,77 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("left-outer stream-stream join flushes unmatched views after the watermark passes") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = eventRows(sf0001)
+    val viewRows = rows.filter(_._4 == "view").toSeq
+    val purchaseRows = rows.filter(_._4 == "purchase").toSeq
+    val maxTs = rows.map(_._2.getTime).max
+    val vStream = MemoryStream[Ev]
+    val pStream = MemoryStream[Ev]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streaming.viewPurchaseJoin(
+        vStream.toDF().toDF(cols: _*), pStream.toDF().toDF(cols: _*), "left_outer")
+      .writeStream.format("memory").queryName("ssj_outer_t").outputMode("append").start()
+    try {
+      vStream.addData(viewRows)
+      pStream.addData(purchaseRows)
+      q.processAllAvailable()
+      // Outer null rows wait for BOTH watermarks to pass the join window;
+      // a far-future sentinel on each stream advances them, and the
+      // sentinel view itself (still inside its own open window) stays
+      // held back — excluded from the assertion set below.
+      val flush = Timestamp.from(java.time.Instant.ofEpochMilli(maxTs + 3600L * 1000))
+      vStream.addData(Seq[Ev]((-1L, flush, -1L, "view", 0.0)))
+      pStream.addData(Seq[Ev]((-2L, flush, -2L, "purchase", 0.0)))
+      q.processAllAvailable()
+      val out = spark.table("ssj_outer_t").filter(col("view_id") >= 0)
+      val batch = Streaming.viewPurchaseJoin(
+        Tables.events(spark, sf0001).filter(col("event_type") === "view")
+          .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+                  col("user_id"), col("event_type"), col("value")),
+        Tables.events(spark, sf0001).filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+                  col("user_id"), col("event_type"), col("value")),
+        "left_outer")
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("view_id"), col("purchase_id"))
+          .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      val streamed = key(out)
+      assert(streamed.exists(_._2.isEmpty), "no unmatched view flushed as an outer null row")
+      assert(streamed === key(batch))
+    } finally q.stop()
+  }
+
+  test("stateful aggregation is correct under the RocksDB state store provider") {
+    // The large-state path: HDFSBackedStateStore holds state on the
+    // executor heap (fine for small keyspaces); at 100 TB/day the state
+    // store must spill — RocksDB keeps it off-heap/on-disk with
+    // incremental checkpointing. Same query, same answer, different
+    // provider is exactly the guarantee worth pinning.
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = scala.util.Try(spark.conf.get(key)).toOption
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Ev]
+      runToMemory("rocksdb_t",
+        Streaming.tumblingCounts(stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))) {
+        stream.addData(eventRows(sf0001).toSeq)
+      }
+      val streamed = spark.table("rocksdb_t")
+        .select(col("win").cast("timestamp"), col("event_type"), col("n"), col("sv"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = Events.q30TumblingWindow(spark, sf0001)
+        .select(col("win").cast("timestamp"), col("event_type"), col("n"), col("sv"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed.nonEmpty && streamed === batch)
+    } finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("flatMapGroupsWithState sessionization matches the q32 session windows") {
     val out = graft.streaming.StatefulOps.sessionize(spark, Tables.events(spark, sf0001)).toDF()
     val expected = Events.q32SessionWindow(spark, sf0001)
