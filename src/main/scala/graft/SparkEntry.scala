@@ -87,7 +87,8 @@ object SparkEntry {
     "q61_fuzzy_join"          -> Analytics.q61FuzzyJoin _,
     "q62_lm_bigram_score"     -> Extended.q62LmBigramScore _,
     "q63_outlier_zscore"      -> Analytics.q63OutlierZscore _,
-    "q64_ngram_jaccard"       -> TextSim.q64NgramJaccard _
+    "q64_ngram_jaccard"       -> TextSim.q64NgramJaccard _,
+    "q65_conversion_latency"  -> Analytics.q65ConversionLatency _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -204,6 +204,38 @@ object Analytics {
       .orderBy("a", "b")
   }
 
+  /** q65: conversion-latency analytics — for every purchase, the time
+    * since the same user's most recent view within the preceding 30
+    * minutes (the attribution window), aggregated to daily median/p90
+    * latency. Combines the as-of shape (max prior event per anchor —
+    * q16's family, bounded so the join stays an interval band) with
+    * q53's exact-percentile parity; latencies are exact µs integers
+    * (unix_micros ≡ epoch_us under the UTC session), so the only
+    * floating-point is the final interpolation + seconds division,
+    * dround(·,4)-ed identically on both engines. Scale shape: shuffle
+    * both event slices on user_id, per-purchase max inside the band,
+    * then an O(days) aggregate. */
+  def q65ConversionLatency(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"))
+    val lat = p.join(v, Seq("user_id"))
+      .filter(col("v_ts") <= col("p_ts") &&
+              col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .groupBy(col("purchase_id"), col("p_ts"))
+      .agg(max(col("v_ts")).as("v_ts"))
+      .select(col("p_ts"),
+              (unix_micros(col("p_ts").cast("timestamp")) -
+               unix_micros(col("v_ts").cast("timestamp"))).as("lat_us"))
+    lat.groupBy(to_date(col("p_ts")).as("day"))
+      .agg(count(lit(1)).as("n_conv"),
+           dround(percentile(col("lat_us"), lit(0.5)) / 1000000.0, 4).as("p50_s"),
+           dround(percentile(col("lat_us"), lit(0.9)) / 1000000.0, 4).as("p90_s"))
+      .orderBy("day")
+  }
+
   /** q63: per-group z-score outlier detection — events whose value sits
     * ≥ 2.5 sample standard deviations from their event type's mean.
     * Group stats come from exact decimal power sums (q51's machinery:

@@ -597,6 +597,26 @@ object Oracle {
         |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
         |ORDER BY a, b""".stripMargin,
 
+    // q65: attribution-window conversion latency. Latencies are exact
+    // µs integers (epoch_us ≡ Spark's unix_micros under UTC); only the
+    // percentile interpolation and the seconds division are floating
+    // point, rounded with the shared floor formula (always >= 0 here).
+    "q65_conversion_latency" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        | v AS (SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'),
+        | lat AS (
+        |   SELECT purchase_id, p_ts, max(v_ts) AS v_ts
+        |   FROM p JOIN v USING (user_id)
+        |   WHERE v_ts <= p_ts AND v_ts >= p_ts - INTERVAL 30 MINUTE
+        |   GROUP BY purchase_id, p_ts),
+        | l2 AS (SELECT CAST(p_ts AS DATE) AS day,
+        |               epoch_us(p_ts) - epoch_us(v_ts) AS lat_us FROM lat)
+        |SELECT day, count(*) AS n_conv,
+        |  floor(quantile_cont(lat_us, 0.5) / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS p50_s,
+        |  floor(quantile_cont(lat_us, 0.9) / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS p90_s
+        |FROM l2 GROUP BY day ORDER BY day""".stripMargin,
+
     // q63: z-score outliers from exact decimal power sums (q51's
     // determinism recipe); z is floor-rounded to 4dp before the
     // threshold so both engines compare the same value at the boundary.

@@ -79,7 +79,8 @@ class GoldenCountsSpec extends SparkSpec {
     "q61_fuzzy_join" -> 873,
     "q62_lm_bigram_score" -> 500,
     "q63_outlier_zscore" -> 303,
-    "q64_ngram_jaccard" -> 13
+    "q64_ngram_jaccard" -> 13,
+    "q65_conversion_latency" -> 13
   )
 
   test("queries/oracleSql keys line up") {
