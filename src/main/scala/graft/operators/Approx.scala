@@ -318,8 +318,16 @@ object Approx {
     * join + one aggregate, both partitioned by node id — no state ever
     * concentrates on the driver beyond the change counter. */
   def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
-      .union(pairs.select(col("b").as("x"), col("a").as("y")))
+    // Materialize the pair pipeline ONCE before the two-sided union:
+    // union plans each child independently, so without this checkpoint
+    // the entire upstream near-dup pipeline (for q60 that is q59's full
+    // MinHash signature + banding + re-score) would execute twice inside
+    // the edges job — at 100 TB that doubles the most expensive stage of
+    // the dedup path. After the checkpoint both union sides read the
+    // same materialized RDD.
+    val p = pairs.select(col("a"), col("b")).localCheckpoint(true)
+    val edges = p.select(col("a").as("x"), col("b").as("y"))
+      .union(p.select(col("b").as("x"), col("a").as("y")))
       .localCheckpoint(true)
     var labels = edges.select(col("x").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)

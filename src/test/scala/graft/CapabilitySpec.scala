@@ -174,6 +174,25 @@ class CapabilitySpec extends SparkSpec {
     assert(ok === Set(0L))
   }
 
+  test("dedupClusters: upstream pairs pipeline is evaluated exactly once (VERDICT r4 #1)") {
+    import spark.implicits._
+    // The two-sided edge union used to plan the pairs subtree twice, so
+    // the entire upstream near-dup pipeline (q59's MinHash + banding +
+    // re-score in q60's case) executed twice inside the edges checkpoint
+    // job. Count row evaluations with an accumulator: each input row
+    // must pass through the pipeline once, not twice. (local mode — no
+    // task retries to inflate the counter.)
+    val acc = spark.sparkContext.longAccumulator("pairEvals")
+    val base = (0L until 100L).map(i => (i, i + 100L)).toDF("a", "b")
+    val pairs = base.as[(Long, Long)]
+      .map { t => acc.add(1); t }(org.apache.spark.sql.Encoders.product[(Long, Long)])
+      .toDF("a", "b")
+    val labels = Approx.dedupClusters(pairs).collect()
+    assert(labels.length === 200)
+    assert(acc.value === 100L,
+      s"pairs rows evaluated ${acc.value} times — the upstream pipeline must run once")
+  }
+
   test("hashSample: deterministic, partition-invariant, fraction-accurate, salt-independent") {
     import graft.operators.Sampling
     val events = Tables.events(spark, sf001)
