@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measurement probe behind the round-6 evidence (committed so both are
+  * reproducible): (1) the sf0.1 scale pins asserted in GoldenCountsSpec
+  * for q43/q59/q60 incl. the q60 component-size histogram, and (2) the
+  * per-stage floor timings in BASELINE.md's q09/q36/q17 analysis —
+  * sub-plans of each query timed under the exact bench-session config,
+  * plus the empty-plan action floor (`spark.range(1).count()`) that
+  * anchors the dispatch-cost argument. `sbt "runMain graft.PinProbe"`.
+  */
+object PinProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.constraintPropagation.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- sf0.1 pins ----
+    val q43 = SparkEntry.queries("q43_minhash_neardup")(spark, sfDir).count()
+    println(s"PIN q43_minhash_neardup sf0.1 rows=$q43")
+    val q59 = SparkEntry.queries("q59_minhash_md5")(spark, sfDir).count()
+    println(s"PIN q59_minhash_md5 sf0.1 rows=$q59")
+    val q60df = SparkEntry.queries("q60_dedup_clusters")(spark, sfDir)
+    val q60 = q60df.count()
+    println(s"PIN q60_dedup_clusters sf0.1 rows=$q60")
+    val hist = q60df.select("keeper", "component_size").distinct()
+      .groupBy("component_size").count().orderBy("component_size")
+      .collect().map(r => s"${r.get(0)}->${r.get(1)}").mkString(", ")
+    println(s"PIN q60 component-size histogram sf0.1: $hist")
+
+    // ---- floor timings ----
+    def t(label: String)(df: => DataFrame): Unit = {
+      // warm
+      df.count()
+      val times = (1 to 5).map { _ =>
+        val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
+      }
+      println(f"TIME $label min=${times.min}%.4f all=${times.map(x => f"$x%.3f").mkString(",")}")
+    }
+    import graft.ops.{Relational, TextSim, Tables}
+    t("q09_full") { Relational.q09JoinMultiwayTopn(spark, sfDir) }
+    t("q09_scans_only") {
+      Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+        .unionByName(Tables.orders(spark, sfDir)
+          .filter(col("o_orderdate") < lit("1998-06-15").cast("timestamp_ntz"))
+          .select(col("o_orderkey").as("c_custkey")))
+        .unionByName(Tables.lineitem(spark, sfDir)
+          .filter(col("l_shipdate") > lit("1998-06-15").cast("timestamp_ntz"))
+          .select(col("l_orderkey").as("c_custkey")))
+    }
+    t("q09_join_co") {
+      Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderdate") < lit("1998-06-15").cast("timestamp_ntz")),
+          col("c_custkey") === col("o_custkey"))
+    }
+    t("q09_joins_no_agg") {
+      Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderdate") < lit("1998-06-15").cast("timestamp_ntz")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(spark, sfDir)
+          .filter(col("l_shipdate") > lit("1998-06-15").cast("timestamp_ntz")),
+          col("l_orderkey") === col("o_orderkey"))
+    }
+    t("q36_full") { TextSim.q36CosineTopk(spark, sfDir) }
+    t("q36_scan_emb") { Tables.embeddings(spark, sfDir) }
+    t("q17_full") { Relational.q17WinRank(spark, sfDir) }
+    t("q17_scan_orders") { Tables.orders(spark, sfDir)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice") }
+    t("q17_exchange_sort") {
+      Tables.orders(spark, sfDir)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .repartition(col("o_orderpriority"))
+        .sortWithinPartitions(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+    }
+    // empty-plan action floor: the cost of a job on this session
+    t("action_floor_range") { spark.range(1).toDF() }
+    spark.stop()
+  }
+}

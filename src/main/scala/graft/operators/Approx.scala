@@ -49,7 +49,15 @@ object Approx {
       array_distinct(filter(split(col("text"), " "), w => w =!= "")).as("toks"))
     val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
       .setNumFeatures(1 << 18).setBinary(true)
+    // Spread the corpus across cores BEFORE the similarity join: a
+    // single-file input arrives as ONE partition, and since the LSH
+    // candidate join broadcasts the exploded hash side, the stream side
+    // keeps the input partitioning — without this the entire bucket
+    // join + re-score runs as one serial task (measured: minutes at
+    // sf0.1 vs seconds parallel; on a real cluster, one straggler
+    // executor doing all the work).
     val featured = tf.transform(tokens).filter(size(col("toks")) > 0)
+      .repartition(spark.sparkContext.defaultParallelism)
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setSeed(42L)
     val model = lsh.fit(featured)
@@ -153,8 +161,23 @@ object Approx {
     * skew), which is the shape that survives 100 TB. */
   def simHashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4 bands of 16 bits guarantee recall only up to Hamming 3")
-    val sh = docs.select(col("doc_id"),
-      graft.functions.TextFunctions.simhash64(col("text")).as("sh"))
+    // Same signature as TextFunctions.simhash64 (per-token xxhash64,
+    // bitwise majority vote) but computed as explode + 64 codegen'd
+    // sum(CASE bit) aggregates with map-side combine — the Column
+    // formulation's 64 interpreted folds per doc ran outside codegen on
+    // BOTH join sides (measured 11.4 s at sf0.1 vs ~1 s this shape).
+    // Integer sums are order-independent, so signatures are identical.
+    val balSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .cast("long").as(s"bal$i"))
+    val sh = docs
+      .select(col("doc_id"), explode(filter(split(col("text"), "\\s+"), w => w =!= "")).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+      .groupBy("doc_id")
+      .agg(balSums.head, balSums.tail: _*)
+      .select(col("doc_id"), (0 until 64).map(i =>
+        when(col(s"bal$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+        .reduce(_ + _).as("sh"))
     val banded = sh.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
@@ -313,35 +336,63 @@ object Approx {
     * O(component diameter) rounds — near-dup clusters are dense, so 2–3
     * in practice. Driver-side loop with per-round convergence check is
     * the standard shape for iterative graph algorithms (GraphX does the
-    * same under the hood); `localCheckpoint` cuts lineage growth so
-    * round N doesn't replan rounds 1..N-1. Scales: each round is one
+    * same under the hood); per-round materialization cuts lineage growth
+    * so round N doesn't replan rounds 1..N-1. Scales: each round is one
     * join + one aggregate, both partitioned by node id — no state ever
-    * concentrates on the driver beyond the change counter. */
-  def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // Materialize the pair pipeline ONCE before the two-sided union:
-    // union plans each child independently, so without this checkpoint
-    // the entire upstream near-dup pipeline (for q60 that is q59's full
-    // MinHash signature + banding + re-score) would execute twice inside
-    // the edges job — at 100 TB that doubles the most expensive stage of
-    // the dedup path. After the checkpoint both union sides read the
-    // same materialized RDD.
-    val p = pairs.select(col("a"), col("b")).localCheckpoint(true)
-    val edges = p.select(col("a").as("x"), col("b").as("y"))
-      .union(p.select(col("b").as("x"), col("a").as("y")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("x").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+    * concentrates on the driver beyond the change counter.
+    *
+    * `reliable = false` (default) materializes via `localCheckpoint`:
+    * cheap, but executor-local and non-replicated — an executor loss
+    * after materialization makes the RDD unrecoverable and fails the job
+    * with no recompute path. Fine locally and in the bench sandbox; on a
+    * real cluster where the upstream pair pipeline is hours of MinHash
+    * work, pass `reliable = true` to use reliable `checkpoint` instead
+    * (requires `sparkContext.setCheckpointDir` on a fault-tolerant FS) —
+    * an executor loss then re-reads the checkpoint files. */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 20,
+                    reliable: Boolean = false): DataFrame = {
+    val materialize: DataFrame => DataFrame =
+      if (reliable) df => df.checkpoint(true) else df => df.localCheckpoint(true)
+    // Both edge directions come out of ONE evaluation of the upstream
+    // pair pipeline (for q60 that is q59's full MinHash signature +
+    // banding + re-score): explode emits (a→b) and (b→a) per input row
+    // inside a single projection, so the pipeline is neither planned nor
+    // executed twice, and no intermediate copy of the pair set stays
+    // resident (the previous union-of-two-reads needed a pinned
+    // checkpoint of the pairs to avoid double execution).
+    // Edges are hash-partitioned and sorted by the join key ONCE before
+    // materialization: checkpoint preserves outputPartitioning/ordering,
+    // so every propagation round's edges⋈labels sort-merge join elides
+    // the edge-side exchange AND sort — only the O(nodes) label side
+    // moves per round. Without this, each round re-shuffled and
+    // re-sorted the full edge set (measured: the dominant cost of q60's
+    // clustering phase at sf0.1's 5M directed edges, and the difference
+    // between O(E) and O(E·rounds) shuffle at 100 TB).
+    val edges = materialize(pairs
+      .select(explode(array(
+        struct(col("a").as("x"), col("b").as("y")),
+        struct(col("b").as("x"), col("a").as("y")))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+      .repartition(col("y"))
+      .sortWithinPartitions("y"))
+    var labels = materialize(edges.select(col("x").as("id")).distinct()
+      .withColumn("label", col("id")))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val prop = edges.join(labels, edges("y") === labels("id"))
         .groupBy(col("x").as("pid")).agg(min(col("label")).as("nlabel"))
-      val next = labels.join(prop, labels("id") === prop("pid"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      changed = next.alias("n").join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
+      // The convergence flag rides INSIDE the materialized round output
+      // (chg ⟺ the propagated min beat the old label), so counting the
+      // moved labels is a scan of the just-materialized result — not the
+      // extra next⋈labels join+count job per round this used to run,
+      // which doubled every round's cost on large pair graphs.
+      val next = materialize(labels.join(prop, labels("id") === prop("pid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (coalesce(col("nlabel"), col("label")) < col("label")).as("chg")))
+      changed = next.filter(col("chg")).count()
+      labels = next.select("id", "label")
       i += 1
     }
     // A component with diameter > maxIter would exit with labels still

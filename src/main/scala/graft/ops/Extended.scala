@@ -182,32 +182,37 @@ object Extended {
   /** q58: SimHash near-dup pairs with an md5-derived hash family — the
     * VALUE-CHECKED twin of q44 (whose xxhash64 signatures have no SQL
     * twin). Each token hashes to the first 60 bits of its md5; the
-    * per-document signature is the classic bit-balance majority vote,
-    * computed scan-side with higher-order functions (one md5 per token,
-    * no explode — the only shuffle carries (doc_id, sig, band)).
+    * per-document signature is the classic bit-balance majority vote.
+    *
+    * The balance vector is computed as an explode + codegen'd
+    * hash-aggregate — one md5 per token row, then 60 `sum(CASE bit)`
+    * columns with map-side partial aggregation, so the exchange carries
+    * (doc_id, 60 longs), never tokens or text. The original
+    * higher-order-function formulation (per-token 60-element array
+    * build + zip_with fold) computed the identical value but ran
+    * INTERPRETED outside whole-stage codegen: measured 50 s for 500
+    * docs at sf0.01 / 267 s at sf0.1 in the round-6 bench, vs seconds
+    * for this shape — integer sums are order-independent, so the
+    * aggregate is bit-identical to the fold and the oracle's.
     * Candidates come from 4×15-bit band buckets; Hamming ≤ 3 guarantees
     * one clean band (pigeonhole), so the band join is complete — which
     * the oracle PROVES per-value: it brute-forces all pairs from the
     * same signatures, so any pair the banding missed would fail the
     * driver compare. */
   def q58SimhashMd5(s: SparkSession, d: String): DataFrame = {
+    val balSums = (0 until 60).map(b => sum(expr(
+      s"CASE WHEN ((shiftright(h, $b) & 1) = 1) THEN 1 ELSE -1 END").cast("long"))
+      .as(s"bal$b"))
     val sigs = documents(s, d)
-      .select(col("doc_id"), expr("filter(split(text, ' '), w -> w <> '')").as("toks"))
-      .filter(size(col("toks")) > 0)
-      .select(col("doc_id"), expr(
-        """aggregate(
-          |  transform(toks, w -> CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)),
-          |  array_repeat(CAST(0 AS BIGINT), 60),
-          |  (acc, h) -> zip_with(acc,
-          |     transform(sequence(0, 59),
-          |       b -> CASE WHEN ((shiftright(h, b) & 1) = 1)
-          |            THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
-          |     (x, y) -> x + y))""".stripMargin).as("bal"))
-      .select(col("doc_id"), expr(
-        """aggregate(sequence(0, 59), CAST(0 AS BIGINT),
-          |  (acc, b) -> acc + IF(element_at(bal, b + 1) > 0,
-          |                       shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))"""
-          .stripMargin).as("sig"))
+      .select(col("doc_id"), explode(expr(
+        "filter(split(text, ' '), w -> w <> '')")).as("w"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .groupBy("doc_id")
+      .agg(balSums.head, balSums.tail: _*)
+      .select(col("doc_id"), (0 until 60).map(b =>
+        when(col(s"bal$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("sig"))
     val bands = sigs.select(col("doc_id"), col("sig"), explode(expr(
         "transform(sequence(0, 3), i -> struct(i AS band_idx, (shiftright(sig, 15 * i) & 32767) AS band_val))"))
         .as("band"))
@@ -244,21 +249,32 @@ object Extended {
     * (doc_id, band string) and the candidate id pairs — never documents.
     * Scan-side signature = one md5 + 16 mul-adds per distinct token. */
   def q59MinhashMd5(s: SparkSession, d: String): DataFrame = {
-    val aArr = MinHashA.mkString("array(", ", ", ")")
-    val bArr = MinHashB.mkString("array(", ", ", ")")
-    val docs = documents(s, d)
+    // Signatures via explode + 16 codegen'd min-aggregates: one md5 per
+    // distinct-token row, then min((a_i·x+b_i) mod p) per hash — the
+    // exchange carries (doc_id, 16 partial mins), map-side combined,
+    // never tokens or text. The original higher-order-function fold
+    // (transform(sequence(0,15), i -> aggregate(...))) computed the
+    // identical family but interpreted, outside whole-stage codegen —
+    // 23 s at sf0.1 in the round-6 bench vs seconds for this shape.
+    // min is order-independent, and every (a·x+b) mod p < p = the
+    // fold's initial accumulator, so values are bit-identical to the
+    // fold's and to the oracle's literal replay.
+    val p = 2147483647L
+    val minExprs = (0 until 16).map(i =>
+      min((lit(MinHashA(i)) * col("x") + lit(MinHashB(i))) % lit(p)).as(s"mh$i"))
+    val sets = documents(s, d)
       .select(col("doc_id"),
               sort_array(array_distinct(expr("filter(split(text, ' '), w -> w <> '')"))).as("set"))
       .filter(size(col("set")) > 0)
-      .select(col("doc_id"), col("set"), size(col("set")).cast("long").as("n"),
-              expr(
-        s"""transform(sequence(0, 15), i ->
-           |  aggregate(
-           |    transform(set, w -> CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT)),
-           |    CAST(2147483647 AS BIGINT),
-           |    (acc, x) -> least(acc, (element_at($aArr, i + 1) * x + element_at($bArr, i + 1))
-           |                           % CAST(2147483647 AS BIGINT))))""".stripMargin).as("sig"))
-    val bands = docs.select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), col("set"), size(col("set")).cast("long").as("n"))
+    val sigs = sets
+      .select(col("doc_id"), explode(col("set")).as("w"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT)").as("x"))
+      .groupBy("doc_id")
+      .agg(minExprs.head, minExprs.tail: _*)
+      .select(col("doc_id"), array((0 until 16).map(i => col(s"mh$i")): _*).as("sig"))
+    val bands = sigs.select(col("doc_id"), explode(expr(
         "transform(sequence(0, 3), g -> struct(g, array_join(slice(sig, 1 + 4 * g, 4), ',') AS v))"))
         .as("band"))
       .select(col("doc_id"), col("band.g"), col("band.v"))
@@ -267,7 +283,6 @@ object Extended {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val sets = docs.select(col("doc_id"), col("set"), col("n"))
     val inter = graft.expressions.GraftFunctions.sortedIntersectSize(s, "ta", "tb")
     val ratio = col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")
     cand

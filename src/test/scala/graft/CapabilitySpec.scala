@@ -193,6 +193,33 @@ class CapabilitySpec extends SparkSpec {
       s"pairs rows evaluated ${acc.value} times — the upstream pipeline must run once")
   }
 
+  test("dedupClusters: reliable=true uses durable checkpoints and matches the local path (VERDICT r5 #6)") {
+    import spark.implicits._
+    // On a real cluster localCheckpoint storage dies with its executor;
+    // reliable=true must route every materialization through the
+    // fault-tolerant checkpoint dir and produce the identical clustering.
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    try {
+      // two components: a chain 0-1-2-3 and a triangle 10-11-12
+      val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+        .toDF("a", "b")
+      val durable = Approx.dedupClusters(pairs, reliable = true).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val local = Approx.dedupClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(durable === local)
+      assert(durable === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+        10L -> 10L, 11L -> 10L, 12L -> 10L))
+      // the durable path really wrote checkpoint data to the reliable dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, s"no checkpoint files written under $ckptDir")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptDir))
+    }
+  }
+
   test("hashSample: deterministic, partition-invariant, fraction-accurate, salt-independent") {
     import graft.operators.Sampling
     val events = Tables.events(spark, sf001)
@@ -534,5 +561,40 @@ class CapabilitySpec extends SparkSpec {
     assert(chunks.count() >= 10)
     val binFiles = Multimodal.readBinaryFiles(spark, s"$tmp/media", "*.parquet")
     assert(binFiles.count() > 0 && binFiles.schema("content").dataType === BinaryType)
+  }
+
+  test("multimodal decode stub: value-level unit oracle on 3 fixed docs (VERDICT r5 #5)") {
+    import spark.implicits._
+    // Fixed inputs chosen to cover the three media kinds, a multi-byte
+    // UTF-8 payload (n_bytes != n_chars), and an empty payload. Every
+    // expected value is derived OUTSIDE the query path: byte lengths via
+    // JVM String.getBytes, fingerprints pinned as golden literals
+    // (xxhash64 seed 42 of the UTF-8 payload — stable across Spark
+    // versions by spec), embeddings re-derived from the pinned
+    // fingerprint with plain Scala arithmetic.
+    val texts = Seq("alpha beta gamma", "käse & ökonomie", "")
+    val docs = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "unit", t.length.toLong)
+    }.toDF("doc_id", "text", "source", "n_chars")
+    val rows = Multimodal.decodeFeatures(Multimodal.syntheticMedia(docs))
+      .orderBy("media_id").collect()
+    assert(rows.length === 3)
+    // kind cycles image/audio/video on doc_id mod 3
+    assert(rows.map(_.getString(1)).toSeq === Seq("image", "audio", "video"))
+    // n_bytes = UTF-8 byte length, independently computed ("käse &
+    // ökonomie" is 15 chars but 17 bytes)
+    val expBytes = texts.map(_.getBytes("UTF-8").length.toLong)
+    assert(rows.map(_.getLong(2)).toSeq === expBytes)
+    // content_fp golden pins (xxhash64, Spark's fixed seed 42)
+    val expFp = Seq(8706253153473502017L, 4740255062725531794L, -7444071767201028348L)
+    assert(rows.map(_.getLong(3)).toSeq === expFp,
+      s"fingerprints drifted: ${rows.map(_.getLong(3)).toSeq}")
+    // features[i] = ((fp >> 8i) & 255) / 255.0 — re-derived in plain
+    // Scala from the pinned fingerprint, compared exactly (both sides
+    // are exact double arithmetic on small integers)
+    rows.zip(expFp).foreach { case (r, fp) =>
+      val expFeats = (0 until 8).map(i => ((fp >> (i * 8)) & 255L).toDouble / 255.0)
+      assert(r.getSeq[Double](4) === expFeats, s"features drifted for fp $fp")
+    }
   }
 }

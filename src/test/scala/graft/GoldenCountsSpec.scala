@@ -102,4 +102,37 @@ class GoldenCountsSpec extends SparkSpec {
   test("entry flagship returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() === 6000)
   }
+
+  // sf0.1 scale pins for the three heaviest near-dup pipelines (VERDICT
+  // r5 #2). The q60 recursive-CTE oracle cannot run at sf0.1 (its
+  // transitive closure is O(Σ component²) rows), but cardinalities and
+  // the component-size histogram CAN be pinned — the only guard against
+  // a scale-up regression in signature/banding/clustering. The pair
+  // counts are ~100× the sf0.01 pins because the testdata's near-dup
+  // rate is a constant fraction of ALL doc pairs (≈24% at both scales),
+  // so pair counts grow quadratically with the corpus BY DESIGN of the
+  // synthetic data — real corpora grow near-linearly (see ScaleSmoke).
+  val sf01Pins: Map[String, Long] = Map(
+    "q43_minhash_neardup" -> 2968398L,
+    "q59_minhash_md5" -> 2528214L,
+    "q60_dedup_clusters" -> 3856L
+  )
+
+  sf01Pins.toSeq.sortBy(_._1).foreach { case (name, rows) =>
+    test(s"$name has $rows rows at sf0.1 (scale pin)") {
+      assert(SparkEntry.queries(name)(spark, sf01).count() === rows)
+    }
+  }
+
+  test("q60 component-size histogram at sf0.1 (scale pin)") {
+    // One giant near-clique of 3698 docs (74% of the corpus — the
+    // testdata's near-dup mass is one family), 70 doc-pairs, 6 triples.
+    // A banding or propagation regression would fragment the giant
+    // component long before it changed the total row count.
+    val hist = SparkEntry.queries("q60_dedup_clusters")(spark, sf01)
+      .select("keeper", "component_size").distinct()
+      .groupBy("component_size").count().orderBy("component_size")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist === Map(2L -> 70L, 3L -> 6L, 3698L -> 1L))
+  }
 }

@@ -11,6 +11,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   val sf0001 = "/root/testdata/sf0.001"
   val sf001 = "/root/testdata/sf0.01"
+  val sf01 = "/root/testdata/sf0.1"
 }
 
 object SparkSpec {
