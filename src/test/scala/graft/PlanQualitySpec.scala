@@ -109,12 +109,13 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("q58/q59 shuffle signatures and band keys — document text never crosses an exchange") {
-    // Both md5-family near-dup queries compute signatures scan-side with
-    // higher-order functions; the exchanges must carry only (doc_id,
-    // sig/band) and candidate ids. PLANS.md documents the shape; this
-    // pins it. (q59's token-SET column does cross its re-score join —
-    // that is the sorted-merge intersect's input, bounded to candidate
-    // pairs, not the corpus; only raw text# is the regression signal.)
+    // Both md5-family near-dup queries hash tokens scan-side (explode +
+    // codegen'd partial aggregate since round 6); the exchanges must
+    // carry only (doc_id, partial balance/min columns, sig/band) and
+    // candidate ids. PLANS.md documents the shape; this pins it. (q59's
+    // token-SET column does cross its re-score join — that is the
+    // sorted-merge intersect's input, bounded to candidate pairs, not
+    // the corpus; only raw text# is the regression signal.)
     Seq("q58_simhash_md5", "q59_minhash_md5").foreach { name =>
       val p = plan(name)
       val exchanges = p.split("\\(\\d+\\) ").filter(_.startsWith("Exchange"))
@@ -122,6 +123,24 @@ class PlanQualitySpec extends SparkSpec {
       exchanges.foreach { e =>
         val input = e.linesIterator.find(_.startsWith("Input")).getOrElse("")
         assert(!input.contains("text#"), s"$name exchange carries full text: $input")
+      }
+    }
+  }
+
+  test("q58/q59 signature aggregation is partial before its exchange — tokens stay scan-local") {
+    // The round-6 explode + sum/min reshape only holds its 100 TB claim
+    // if the per-bit/per-hash aggregation map-side combines: the
+    // signature exchange must carry partial aggregates keyed by doc_id,
+    // never the exploded per-token hash column itself.
+    Seq("q58_simhash_md5", "q59_minhash_md5").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("partial_"),
+        s"$name has no partial aggregate — map-side combine lost")
+      val exchanges = p.split("\\(\\d+\\) ").filter(_.startsWith("Exchange"))
+      exchanges.foreach { e =>
+        val input = e.linesIterator.find(_.startsWith("Input")).getOrElse("")
+        assert(!input.matches(".*\\b(w|h|x)#\\d+.*"),
+          s"$name exchange carries a per-token column: $input")
       }
     }
   }
