@@ -34,41 +34,62 @@ object Approx {
       .orderBy(groupCol)
 
   /** MinHash-LSH near-duplicate join over document token sets — the
-    * production twin of q35's exact Jaccard, in the standard two-phase
-    * shape: (1) candidate generation via `approxSimilarityJoin` at a
-    * RELAXED threshold (2× the target distance — the MinHash distance is
-    * an estimate, so cutting at the exact target loses the boundary
-    * pairs), then (2) exact Jaccard re-scoring on candidates only. The
-    * candidate join is bucketed-shuffle — linear-ish in candidates
-    * instead of quadratic in docs, which is what survives 100 TB.
-    * CapabilitySpec asserts recall ≥ 0.9 against the exact q35 pairs
-    * (measured 1.0 at sf0.01 with the 2× slack). */
+    * production twin of q35's exact Jaccard, in the classic two-phase
+    * LSH shape: (1) candidate generation = bucket collision in ANY of
+    * the model's hash tables, (2) exact Jaccard re-scoring on
+    * candidates only. The hash family comes from Spark ML's seeded
+    * `MinHashLSH` model; the candidate join and re-score are built
+    * directly on its `transform` output rather than
+    * `approxSimilarityJoin`, because the ML join shuffles the full row
+    * structs of BOTH sides (token arrays + 2^18-dim sparse vectors + 8
+    * hash vectors) for every pre-distinct candidate (~27M rows at
+    * sf0.1, measured 48–60 s end-to-end) and filters with a
+    * non-codegen UDF distance. Here only (doc_id, table, hash-value)
+    * triples and id pairs cross exchanges — the repo-wide dedup
+    * exchange discipline — and the re-score runs the codegen'd
+    * sorted-merge intersect: measured 23.6 s at sf0.1 (2×), with the
+    * IDENTICAL result — 30328 / 2968398 pairs at sf0.01 / sf0.1, the
+    * pinned counts, confirming the dropped ESTIMATED-distance filter
+    * (an ~5%-false-negative estimate on boundary pairs in theory) was
+    * pure overhead on this family-threshold combination. Recall vs
+    * exact q35 can only improve without it (CapabilitySpec pins ≥ 0.9;
+    * measured 1.0 at sf0.01).
+    * At 100 TB: signatures are linear in the corpus, the band join
+    * shuffles ids only, and bucket skew is bounded by the band
+    * granularity — the same scale shape as q59's explicit family. */
   def minHashNearDup(spark: SparkSession, docs: DataFrame,
                      minJaccard: Double = 0.8, numHashTables: Int = 8): DataFrame = {
     val tokens = docs.select(col("doc_id"),
-      array_distinct(filter(split(col("text"), " "), w => w =!= "")).as("toks"))
+      sort_array(array_distinct(filter(split(col("text"), " "), w => w =!= ""))).as("toks"))
     val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
       .setNumFeatures(1 << 18).setBinary(true)
-    // Spread the corpus across cores BEFORE the similarity join: a
-    // single-file input arrives as ONE partition, and since the LSH
-    // candidate join broadcasts the exploded hash side, the stream side
-    // keeps the input partitioning — without this the entire bucket
-    // join + re-score runs as one serial task (measured: minutes at
-    // sf0.1 vs seconds parallel; on a real cluster, one straggler
-    // executor doing all the work).
+    // Spread the corpus across cores: a single-file input arrives as ONE
+    // partition and the signature UDF + band explode would otherwise run
+    // serially (single-straggler shape on a real cluster).
     val featured = tf.transform(tokens).filter(size(col("toks")) > 0)
       .repartition(spark.sparkContext.defaultParallelism)
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setSeed(42L)
     val model = lsh.fit(featured)
-    val candidateDist = math.min(1.0, 2.0 * (1.0 - minJaccard))
-    val cands = model.approxSimilarityJoin(featured, featured, candidateDist, "dist")
-      .select(col("datasetA.doc_id").as("a"), col("datasetA.toks").as("ta"),
-              col("datasetB.doc_id").as("b"), col("datasetB.toks").as("tb"))
-      .filter(col("a") < col("b"))
-    val exactJ = size(array_intersect(col("ta"), col("tb"))).cast("double") /
-      size(array_union(col("ta"), col("tb")))
-    cands.select(col("a"), col("b"), round(exactJ, 4).as("jaccard"))
+    // hashes = Array[Vector] (one 1-dim vector per table); band key =
+    // (table index, hash value). vector_to_array keeps it codegen-safe.
+    val banded = model.transform(featured)
+      .select(col("doc_id"), posexplode(col("hashes")).as(Seq("t", "v")))
+      .select(col("doc_id"), col("t"),
+        org.apache.spark.ml.functions.vector_to_array(col("v")).getItem(0).as("hv"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.t") === col("y.t") && col("x.hv") === col("y.hv") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sets = tokens.select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"))
+    val inter = graft.expressions.GraftFunctions.sortedIntersectSize(spark, "ta", "tb")
+    val jac = col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("toks").as("ta"), col("n").as("na")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("toks").as("tb"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"), inter.as("i"), col("na"), col("nb"))
+      .select(col("a"), col("b"), round(jac, 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 

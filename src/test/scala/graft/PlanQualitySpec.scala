@@ -66,12 +66,18 @@ class PlanQualitySpec extends SparkSpec {
   test("q43 candidate generation is an LSH-bucketed hash join, not an all-pairs product") {
     // The whole point of MinHash-LSH over exact Jaccard is that the pair
     // loop becomes an equi-join on the banded hash keys; if this plan
-    // ever degrades to a cartesian, the 100 TB story is gone.
+    // ever degrades to a cartesian, the 100 TB story is gone. Since the
+    // round-6 rewrite the join keys are the exploded (table, hash-value)
+    // pairs from the ML model's transform output — id-only, no row
+    // structs crossing the exchange (the approxSimilarityJoin shape this
+    // replaced shuffled both sides' full rows per candidate).
     val p = plan("q43_minhash_neardup")
-    assert(p.contains("entry#") && p.contains("hashValue#"),
-      "LSH entry/hashValue join keys missing from the q43 plan")
+    assert(p.contains("hv#"),
+      "LSH (table, hash-value) band join keys missing from the q43 plan")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
       || p.contains("ShuffledHashJoin"), "no hash join in q43")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q43 candidate join degraded to an all-pairs product")
   }
 
   test("q47 shuffles fingerprints only — document text never crosses an exchange") {
