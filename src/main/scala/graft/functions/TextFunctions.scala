@@ -147,6 +147,26 @@ object TextFunctions {
       fingerprint(col("text")).as("fp64"),
       simhash64(col("text")).as("simhash"))
 
+  /** End-to-end curation decision per document — the q49 pipeline as a
+    * reusable operator: PII-redact, fingerprint the CLEAN text (dedup
+    * keys computed post-redaction, or two docs differing only in PII
+    * stay distinct), score quality/repetition/length, emit keep/drop.
+    * Entirely codegen'd per-row expressions — scan-side at any scale.
+    * Unit-oracled on fixed docs in CapabilitySpec (expected values
+    * re-derived in plain Scala outside the query path). */
+  def curate(docs: DataFrame, minQuality: Double = 0.5,
+             maxRepetition: Double = 0.2, minTokens: Int = 10): DataFrame = {
+    val clean = redactPii(col("text"))
+    docs.select(col("doc_id"),
+        fingerprint(clean).as("clean_fp"),
+        qualityScore(col("text")).as("quality"),
+        round(repetitionRatio(col("text")), 4).as("repetition"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("keep",
+        col("quality") >= minQuality && col("repetition") <= maxRepetition &&
+          col("n_tokens") >= minTokens)
+  }
+
   /** Repetition score per document: frequency share of the most common
     * word n-gram (degenerate/looped text scores near 1, natural text
     * near 1/n_shingles). Entirely inside one row — sort the shingles,

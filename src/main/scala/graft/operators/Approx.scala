@@ -396,10 +396,18 @@ object Approx {
       .select(col("e.x").as("x"), col("e.y").as("y"))
       .repartition(col("y"))
       .sortWithinPartitions("y"))
-    var labels = materialize(edges.select(col("x").as("id")).distinct()
-      .withColumn("label", col("id")))
+    // Round 1 is free: against identity labels, the propagated minimum
+    // for node x is just min(x, min over neighbours y) — one partial
+    // aggregate over the edges, no edges⋈labels join. This both seeds
+    // the labels (replacing the old distinct-ids init, same shuffle
+    // cost) and skips one full O(E) propagation round; every node with
+    // an edge appears as an x (edges are directed both ways), so no id
+    // is lost relative to the distinct init.
+    var labels = materialize(edges.groupBy(col("x"))
+      .agg(min(col("y")).as("mn"))
+      .select(col("x").as("id"), least(col("x"), col("mn")).as("label")))
     var changed = 1L
-    var i = 0
+    var i = 1
     while (changed > 0 && i < maxIter) {
       val prop = edges.join(labels, edges("y") === labels("id"))
         .groupBy(col("x").as("pid")).agg(min(col("label")).as("nlabel"))

@@ -190,17 +190,28 @@ object Analytics {
     * (25 brands here) means few, large, skew-prone blocks; production
     * linkage picks finer keys (brand × length bucket) or salts hot
     * blocks (Approx.saltedJoin). levenshtein() is a codegen'd builtin
-    * in both engines with identical unit-cost edit semantics. */
+    * in both engines with identical unit-cost edit semantics.
+    *
+    * Two value-preserving cuts keep the in-block comparison cheap:
+    * (1) a length-difference prefilter — edit distance is bounded below
+    * by ||a|−|b||, so pairs further than 2 apart in length can never
+    * qualify and skip the edit computation entirely; (2) the
+    * threshold form `levenshtein(a, b, 2)`, which runs the banded
+    * O(k·n) algorithm and returns −1 past the bound instead of filling
+    * the full O(n²) matrix — for qualifying pairs it returns the exact
+    * distance, so emitted values are identical to the unbounded form
+    * (and to the oracle, which DuckDB evaluates unbounded). */
   def q61FuzzyJoin(s: SparkSession, d: String): DataFrame = {
     val x = part(s, d).select(col("p_partkey").as("a"), col("p_brand").as("brand"),
                               col("p_name").as("name_a"))
     val y = part(s, d).select(col("p_partkey").as("b"), col("p_brand").as("brand"),
                               col("p_name").as("name_b"))
     x.join(y, Seq("brand"))
-      .filter(col("a") < col("b") && col("name_a") =!= col("name_b"))
+      .filter(col("a") < col("b") && col("name_a") =!= col("name_b") &&
+              abs(length(col("name_a")) - length(col("name_b"))) <= 2)
       .select(col("a"), col("b"), col("name_a"), col("name_b"),
-              levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
-      .filter(col("dist") <= 2)
+              levenshtein(col("name_a"), col("name_b"), 2).cast("long").as("dist"))
+      .filter(col("dist") >= 0)
       .orderBy("a", "b")
   }
 

@@ -144,20 +144,11 @@ object Extended {
     * computed post-redaction or two docs differing only in PII stay
     * distinct), and emit the keep/drop decision. Entirely codegen'd
     * per-row expressions — scan-side at any scale. Rows-only (xxhash64
-    * + the scoring chain have no SQL twin). */
-  def q49CurationPipeline(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.TextFunctions._
-    val clean = redactPii(col("text"))
-    documents(s, d)
-      .select(col("doc_id"),
-              fingerprint(clean).as("clean_fp"),
-              qualityScore(col("text")).as("quality"),
-              round(repetitionRatio(col("text")), 4).as("repetition"),
-              tokenCount(col("text")).cast("long").as("n_tokens"))
-      .withColumn("keep",
-        col("quality") >= 0.5 && col("repetition") <= 0.2 && col("n_tokens") >= 10)
-      .orderBy("doc_id")
-  }
+    * + the scoring chain have no SQL twin); the underlying
+    * [[graft.functions.TextFunctions.curate]] operator carries a
+    * fixed-doc value-level unit oracle in CapabilitySpec. */
+  def q49CurationPipeline(s: SparkSession, d: String): DataFrame =
+    graft.functions.TextFunctions.curate(documents(s, d)).orderBy("doc_id")
 
   /** q50: deterministic train/val/test split assignment — the
     * reproducible-sampling shape every training-data pipeline needs:

