@@ -78,6 +78,8 @@ object GraftFunctions {
   val info = new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot")
   val intersectInfo =
     new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size")
+  val bandInfo =
+    new ExpressionInfo(classOf[BandMatchBefore].getName, "band_match_before")
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -86,6 +88,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("sorted_intersect_size"), intersectInfo,
       (exprs: Seq[Expression]) => SortedIntersectSize(exprs(0), exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("band_match_before"), bandInfo,
+      (exprs: Seq[Expression]) => BandMatchBefore(exprs(0), exprs(1), exprs(2), exprs(3)))
   }
 
   /** SQL-callable after register: `float_dot(<colA>, <colB>)` — column
@@ -101,6 +106,14 @@ object GraftFunctions {
     register(spark)
     expr(s"sorted_intersect_size($a, $b)")
   }
+
+  /** `band_match_before(<sigA>, <sigB>, width, upTo)` — the emit-once
+    * LSH dedup predicate; see [[BandMatchBefore]]. */
+  def bandMatchBefore(spark: SparkSession, a: String, b: String,
+                      width: Int, upTo: String): Column = {
+    register(spark)
+    expr(s"band_match_before($a, $b, $width, $upTo)")
+  }
 }
 
 /** `SparkSessionExtensions` plugin: injects the engine's native functions
@@ -114,5 +127,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("sorted_intersect_size"), GraftFunctions.intersectInfo,
         (exprs: Seq[Expression]) => SortedIntersectSize(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("band_match_before"), GraftFunctions.bandInfo,
+        (exprs: Seq[Expression]) => BandMatchBefore(exprs(0), exprs(1), exprs(2), exprs(3))))
   }
 }

@@ -71,17 +71,32 @@ object Approx {
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setSeed(42L)
     val model = lsh.fit(featured)
-    // hashes = Array[Vector] (one 1-dim vector per table); band key =
-    // (table index, hash value). vector_to_array keeps it codegen-safe.
+    // hashes = Array[Vector] (one 1-dim vector per table). Flatten the
+    // whole signature into ONE array<long> per doc (minhash values are
+    // exact integers in double carriers — the long cast is lossless and
+    // gives the band join a primitive key): the flat signature rides
+    // along into the band join so the emit-once filter below can check
+    // earlier bands, and posexplode of it yields the (table index,
+    // hash value) band keys.
+    val sigCols = (0 until numHashTables).map(i =>
+      org.apache.spark.ml.functions.vector_to_array(element_at(col("hashes"), i + 1))
+        .getItem(0).cast("long"))
     val banded = model.transform(featured)
-      .select(col("doc_id"), posexplode(col("hashes")).as(Seq("t", "v")))
-      .select(col("doc_id"), col("t"),
-        org.apache.spark.ml.functions.vector_to_array(col("v")).getItem(0).as("hv"))
+      .select(col("doc_id"), array(sigCols: _*).as("sig"))
+      .select(col("doc_id"), col("sig"), posexplode(col("sig")).as(Seq("t", "hv")))
+    // Emit-once candidate generation: a colliding pair is emitted only
+    // at its MINIMAL matching band (codegen'd earlier-band check inside
+    // the band-bucket partitions) instead of once per matching band
+    // with a post-join distinct(). Identical candidate set; the
+    // distinct()'s full O(candidates × band-duplication) exchange —
+    // 62M rows for ~7M candidates at sf0.1 on this near-clique corpus —
+    // disappears entirely. See [[graft.expressions.BandMatchBefore]].
+    graft.expressions.GraftFunctions.register(spark)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.t") === col("y.t") && col("x.hv") === col("y.hv") &&
-        col("x.doc_id") < col("y.doc_id"))
+        col("x.doc_id") < col("y.doc_id") &&
+        !expr("band_match_before(x.sig, y.sig, 1, x.t)"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
     val sets = tokens.select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"))
     val inter = graft.expressions.GraftFunctions.sortedIntersectSize(spark, "ta", "tb")
     val jac = col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")

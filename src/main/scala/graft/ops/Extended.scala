@@ -265,15 +265,22 @@ object Extended {
       .groupBy("doc_id")
       .agg(minExprs.head, minExprs.tail: _*)
       .select(col("doc_id"), array((0 until 16).map(i => col(s"mh$i")): _*).as("sig"))
-    val bands = sigs.select(col("doc_id"), explode(expr(
+    val bands = sigs.select(col("doc_id"), col("sig"), explode(expr(
         "transform(sequence(0, 3), g -> struct(g, array_join(slice(sig, 1 + 4 * g, 4), ',') AS v))"))
         .as("band"))
-      .select(col("doc_id"), col("band.g"), col("band.v"))
+      .select(col("doc_id"), col("sig"), col("band.g"), col("band.v"))
+    // Emit-once banding: a pair is emitted only at its MINIMAL matching
+    // band (codegen'd earlier-band check on the flat signature, inside
+    // the band-bucket partitions) — same candidate set as the previous
+    // emit-per-band + distinct(), minus the distinct's full candidate
+    // exchange. The oracle replays banding with DISTINCT; the candidate
+    // SET is identical, so the declared result is unchanged.
+    graft.expressions.GraftFunctions.register(s)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.g") === col("y.g") && col("x.v") === col("y.v") &&
-        col("x.doc_id") < col("y.doc_id"))
+        col("x.doc_id") < col("y.doc_id") &&
+        !expr("band_match_before(x.sig, y.sig, 4, x.g)"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
     val inter = graft.expressions.GraftFunctions.sortedIntersectSize(s, "ta", "tb")
     val ratio = col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")
     cand

