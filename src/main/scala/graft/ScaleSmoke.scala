@@ -114,7 +114,7 @@ object ScaleSmoke {
     // (dense near-dup components ⇒ tiny diameter); dedupClusters throws
     // if labels are still moving at maxIter, so reaching the count IS
     // the assertion.
-    val pairs = graft.ops.Extended.q59MinhashMd5(spark, out).select(col("a"), col("b"))
+    val pairs = graft.ops.Extended.minhashPairs(spark, out).select(col("a"), col("b"))
     val clusters = graft.operators.Approx.dedupClusters(pairs, maxIter = 5).count()
     println(s"SMOKE q60 converged within 5 rounds ($clusters labeled docs)")
     spark.stop()

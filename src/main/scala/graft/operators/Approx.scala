@@ -404,12 +404,20 @@ object Approx {
     // re-sorted the full edge set (measured: the dominant cost of q60's
     // clustering phase at sf0.1's 5M directed edges, and the difference
     // between O(E) and O(E·rounds) shuffle at 100 TB).
+    // The partition count is pinned to at least the cluster parallelism:
+    // the edge sort is the clustering's one O(E log E) stage, and a
+    // session tuned for small aggregates (e.g. the bench session's
+    // 4 shuffle partitions) would otherwise sort the full edge set on a
+    // handful of cores (measured: the dominant q60 cost in the bench).
+    val sess = pairs.sparkSession
+    val edgeParts = math.max(sess.sessionState.conf.numShufflePartitions,
+      sess.sparkContext.defaultParallelism)
     val edges = materialize(pairs
       .select(explode(array(
         struct(col("a").as("x"), col("b").as("y")),
         struct(col("b").as("x"), col("a").as("y")))).as("e"))
       .select(col("e.x").as("x"), col("e.y").as("y"))
-      .repartition(col("y"))
+      .repartition(edgeParts, col("y"))
       .sortWithinPartitions("y"))
     // Round 1 is free: against identity labels, the propagated minimum
     // for node x is just min(x, min over neighbours y) — one partial

@@ -238,8 +238,25 @@ object Extended {
     * reproducible); exact Jaccard ≥ 0.8 re-score on candidates via the
     * codegen'd sorted-merge intersect. The only shuffles carry
     * (doc_id, band string) and the candidate id pairs — never documents.
-    * Scan-side signature = one md5 + 16 mul-adds per distinct token. */
-  def q59MinhashMd5(s: SparkSession, d: String): DataFrame = {
+    * Scan-side signature = one md5 + 16 mul-adds per distinct token.
+    *
+    * The declared query adds a presentation sort; graph consumers (q60,
+    * the scale smoke) use [[minhashPairs]] — same pair SET, no sort. */
+  def q59MinhashMd5(s: SparkSession, d: String): DataFrame =
+    minhashPairs(s, d).orderBy("a", "b")
+
+  /** q59's pair set WITHOUT the final global sort. The sort is
+    * presentation-only, and it is far from free for a consumer that
+    * materializes the pairs (dedupClusters' checkpoint): under a plain
+    * `.count()` Catalyst's EliminateSorts removes it, but a checkpoint
+    * executes it — and a global sort is a RangePartitioner whose
+    * boundary-sampling job re-evaluates the ENTIRE upstream MinHash
+    * pipeline (signatures + band join + re-score) before the sort pass
+    * runs it a second time. Measured at sf0.1: pairs evaluate in ~8 s,
+    * but materializing them through the sort costs ~22 s. Consumers
+    * that immediately repartition by their own key lose the ordering
+    * anyway, so they take this form. */
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
     // Signatures via explode + 16 codegen'd min-aggregates: one md5 per
     // distinct-token row, then min((a_i·x+b_i) mod p) per hash — the
     // exchange carries (doc_id, 16 partial mins), map-side combined,
@@ -289,7 +306,6 @@ object Extended {
       .select(col("a"), col("b"), inter.as("i"), col("na"), col("nb"))
       .filter(ratio >= 0.8)
       .select(col("a"), col("b"), dround(ratio, 4).as("jaccard"))
-      .orderBy("a", "b")
   }
 
   /** q60: connected-components dedup clustering over the q59 near-dup
@@ -305,7 +321,7 @@ object Extended {
     * oracle at sf0.01, exactly why the Spark side propagates labels
     * instead. */
   def q60DedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = q59MinhashMd5(s, d).select(col("a"), col("b"))
+    val pairs = minhashPairs(s, d).select(col("a"), col("b"))
     val labels = graft.operators.Approx.dedupClusters(pairs)
     val sizes = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("component_size"))
