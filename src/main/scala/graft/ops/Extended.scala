@@ -282,10 +282,22 @@ object Extended {
       .groupBy("doc_id")
       .agg(minExprs.head, minExprs.tail: _*)
       .select(col("doc_id"), array((0 until 16).map(i => col(s"mh$i")): _*).as("sig"))
+    // Spread the banded signatures across the full parallelism before
+    // the candidate join: at small SF the planner broadcasts BOTH the
+    // band build side and the re-score sets, fusing band join + both
+    // joins + the sorted-intersect filter into ONE codegen stage that
+    // runs at the signature aggregate's partitioning — a session tuned
+    // for small aggregates (the bench's 4 shuffle partitions) would run
+    // ~40 s of intersect CPU on 4 cores (measured: 10.4 s -> 1.5 s for
+    // the re-score at 32-way). The exchange moves only (doc_id, sig,
+    // band) rows — one per doc per band — per the pinned discipline.
+    val bandParts = math.max(s.sessionState.conf.numShufflePartitions,
+      s.sparkContext.defaultParallelism)
     val bands = sigs.select(col("doc_id"), col("sig"), explode(expr(
         "transform(sequence(0, 3), g -> struct(g, array_join(slice(sig, 1 + 4 * g, 4), ',') AS v))"))
         .as("band"))
       .select(col("doc_id"), col("sig"), col("band.g"), col("band.v"))
+      .repartition(bandParts)
     // Emit-once banding: a pair is emitted only at its MINIMAL matching
     // band (codegen'd earlier-band check on the flat signature, inside
     // the band-bucket partitions) — same candidate set as the previous
