@@ -202,10 +202,24 @@ object Analytics {
     * distance, so emitted values are identical to the unbounded form
     * (and to the oracle, which DuckDB evaluates unbounded). */
   def q61FuzzyJoin(s: SparkSession, d: String): DataFrame = {
-    val x = part(s, d).select(col("p_partkey").as("a"), col("p_brand").as("brand"),
-                              col("p_name").as("name_a"))
-    val y = part(s, d).select(col("p_partkey").as("b"), col("p_brand").as("brand"),
-                              col("p_name").as("name_b"))
+    // The in-block quadratic compare is the whole cost, so the block join
+    // must run at full parallelism: a session tuned for small aggregates
+    // (the bench's 4 shuffle partitions) would pile ~6 brand blocks'
+    // pair loops onto each of 4 tasks. Repartitioning the shared scan by
+    // the block key ONCE (both join sides reuse the exchange, and the
+    // alias-aware projections keep the partitioning recognized — no
+    // re-shuffle at the join) spreads the blocks across min(|blocks|,
+    // parallelism) tasks; parallelism beyond the 25 brands needs a finer
+    // key or salting, per the blocking dial note above.
+    val blockParts = math.max(s.sessionState.conf.numShufflePartitions,
+                              s.sparkContext.defaultParallelism)
+    val blocked = part(s, d)
+      .select(col("p_partkey"), col("p_brand"), col("p_name"))
+      .repartition(blockParts, col("p_brand"))
+    val x = blocked.select(col("p_partkey").as("a"), col("p_brand").as("brand"),
+                           col("p_name").as("name_a"))
+    val y = blocked.select(col("p_partkey").as("b"), col("p_brand").as("brand"),
+                           col("p_name").as("name_b"))
     x.join(y, Seq("brand"))
       .filter(col("a") < col("b") && col("name_a") =!= col("name_b") &&
               abs(length(col("name_a")) - length(col("name_b"))) <= 2)
