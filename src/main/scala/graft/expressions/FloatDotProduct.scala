@@ -80,6 +80,8 @@ object GraftFunctions {
     new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size")
   val bandInfo =
     new ExpressionInfo(classOf[BandMatchBefore].getName, "band_match_before")
+  val trigramInfo =
+    new ExpressionInfo(classOf[PackedTrigrams].getName, "packed_trigrams")
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -91,6 +93,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("band_match_before"), bandInfo,
       (exprs: Seq[Expression]) => BandMatchBefore(exprs(0), exprs(1), exprs(2), exprs(3)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("packed_trigrams"), trigramInfo,
+      (exprs: Seq[Expression]) => PackedTrigrams(exprs(0)))
   }
 
   /** SQL-callable after register: `float_dot(<colA>, <colB>)` — column
@@ -114,6 +119,13 @@ object GraftFunctions {
     register(spark)
     expr(s"band_match_before($a, $b, $width, $upTo)")
   }
+
+  /** `packed_trigrams(<col>)` — sorted distinct code-point-triple longs;
+    * see [[PackedTrigrams]] for the bijection argument. */
+  def packedTrigrams(spark: SparkSession, c: String): Column = {
+    register(spark)
+    expr(s"packed_trigrams($c)")
+  }
 }
 
 /** `SparkSessionExtensions` plugin: injects the engine's native functions
@@ -130,5 +142,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("band_match_before"), GraftFunctions.bandInfo,
         (exprs: Seq[Expression]) => BandMatchBefore(exprs(0), exprs(1), exprs(2), exprs(3))))
+    ext.injectFunction(
+      (FunctionIdentifier("packed_trigrams"), GraftFunctions.trigramInfo,
+        (exprs: Seq[Expression]) => PackedTrigrams(exprs(0))))
   }
 }

@@ -35,17 +35,27 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult = {
     // Element-type match only: containsNull varies by producer (split()
     // yields containsNull=false, parquet reads containsNull=true); null
-    // elements are skipped by the merge (see class doc).
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(StringType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"sorted_intersect_size expects two array<string> args, got (${left.dataType.sql}, ${right.dataType.sql})")
+    // elements are skipped by the merge (see class doc). array<bigint>
+    // inputs (e.g. [[PackedTrigrams]] output) take a primitive-compare
+    // merge — same algorithm, no per-element UTF8String wrapper.
+    def elem(e: Expression): Option[DataType] = e.dataType match {
+      case ArrayType(t @ (StringType | LongType), _) => Some(t)
+      case _ => None
+    }
+    (elem(left), elem(right)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "sorted_intersect_size expects two array<string> or two array<bigint> args, got (" +
+          s"${left.dataType.sql}, ${right.dataType.sql})")
+    }
   }
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_size"
+
+  private lazy val longElems: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -57,7 +67,9 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       if (x.isNullAt(ia)) ia += 1
       else if (y.isNullAt(ib)) ib += 1
       else {
-        val cmp = x.getUTF8String(ia).compareTo(y.getUTF8String(ib))
+        val cmp =
+          if (longElems) java.lang.Long.compare(x.getLong(ia), y.getLong(ib))
+          else x.getUTF8String(ia).compareTo(y.getUTF8String(ib))
         if (cmp == 0) { cnt += 1; ia += 1; ib += 1 }
         else if (cmp < 0) ia += 1
         else ib += 1
@@ -71,6 +83,9 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val ia = ctx.freshName("ia"); val ib = ctx.freshName("ib")
       val cnt = ctx.freshName("cnt"); val cmp = ctx.freshName("cmp")
+      val compare =
+        if (longElems) s"java.lang.Long.compare($x.getLong($ia), $y.getLong($ib))"
+        else s"$x.getUTF8String($ia).compareTo($y.getUTF8String($ib))"
       s"""
          |int $na = $x.numElements(); int $nb = $y.numElements();
          |int $ia = 0; int $ib = 0; long $cnt = 0L;
@@ -78,7 +93,7 @@ case class SortedIntersectSize(left: Expression, right: Expression)
          |  if ($x.isNullAt($ia)) { $ia++; }
          |  else if ($y.isNullAt($ib)) { $ib++; }
          |  else {
-         |    int $cmp = $x.getUTF8String($ia).compareTo($y.getUTF8String($ib));
+         |    int $cmp = $compare;
          |    if ($cmp == 0) { $cnt++; $ia++; $ib++; }
          |    else if ($cmp < 0) { $ia++; } else { $ib++; }
          |  }

@@ -152,10 +152,17 @@ object TextSim {
     * Scale notes as q35: probe-bounded pair loop; the banded/LSH twins
     * (q43/q44/q58/q59) are the whole-corpus path. */
   def q64NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    // Trigram sets canonicalize scan-side as packed code-point-triple
+    // longs ([[graft.expressions.PackedTrigrams]] — a bijection of the
+    // string trigrams, so every count and Jaccard value is identical to
+    // the string formulation the oracle computes), and the per-pair
+    // merge below runs [[SortedIntersectSize]]'s primitive long path:
+    // no UTF8String wrapper per element visited, which is the whole
+    // cost at candidate-loop scale.
+    graft.expressions.GraftFunctions.register(s)
     val grams = documents(s, d)
       .filter(length(col("text")) >= 3)
-      .select(col("doc_id"), sort_array(array_distinct(expr(
-        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))).as("gs"))
+      .select(col("doc_id"), expr("packed_trigrams(text)").as("gs"))
     val probe = grams.filter(col("doc_id") < 100)
       .select(col("doc_id").as("a"), col("gs").as("ta"), size(col("gs")).cast("long").as("sa"))
     val corpus = grams

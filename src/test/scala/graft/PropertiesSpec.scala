@@ -111,6 +111,43 @@ class PropertiesSpec extends SparkSpec {
     assert(gotInterp === exp.count(identity).toLong)
   }
 
+  test("packed_trigrams ≡ string trigram sets: counts and pairwise intersections (incl. unicode)") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    // Mixed corpus: ASCII, multi-byte BMP, astral (surrogate-pair) code
+    // points, repeats (dedup), and degenerate shorties. The packed-long
+    // formulation must be a bijection of the string formulation: same
+    // distinct-trigram count per string, and same intersection size for
+    // every pair — which is exactly what q64's Jaccard consumes.
+    val texts = Seq(
+      "abcabcabc", "the quick brown fox", "ααββγγααβ", "日本語のテキスト断片",
+      "a𝕏b𝕏c𝕏a𝕏b", "aaaaaaa", "ab", "", "xyzzy plugh xyzzy",
+      "mixed 日本 and ascii", "ΑΒΓαβγ ΑΒΓ", "tail🙂emoji🙂pairs")
+    def strTris(t: String): Set[String] = {
+      val cps = t.codePoints().toArray
+      (0 until cps.length - 2)
+        .map(i => new String(cps.slice(i, i + 3), 0, 3)).toSet
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      .select(col("id"), col("t"), expr("packed_trigrams(t)").as("gs"))
+    val sizes = df.select(col("id"), size(col("gs")).as("n")).as[(Long, Int)]
+      .collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(sizes(i.toLong) === strTris(t).size, s"count mismatch for '$t'")
+    }
+    // Pairwise: the long-path sorted merge must equal the string-set
+    // intersection cardinality (codegen path via select).
+    val x = df.select(col("id").as("ia"), col("gs").as("ga"))
+    val y = df.select(col("id").as("ib"), col("gs").as("gb"))
+    val got = x.crossJoin(y)
+      .select(col("ia"), col("ib"), expr("sorted_intersect_size(ga, gb)").as("i"))
+      .as[(Long, Long, Long)].collect().map { case (a, b, n) => (a, b) -> n }.toMap
+    for ((ta, a) <- texts.zipWithIndex; (tb, b) <- texts.zipWithIndex) {
+      val exp = (strTris(ta) intersect strTris(tb)).size.toLong
+      assert(got((a.toLong, b.toLong)) === exp, s"intersect mismatch for '$ta' × '$tb'")
+    }
+  }
+
   test("emit-once banding yields exactly the distinct candidate set (q59 shape, sf0.001)") {
     // The emit-once filter must reproduce emit-per-band + distinct():
     // every colliding pair once, at its minimal matching band. Checked
