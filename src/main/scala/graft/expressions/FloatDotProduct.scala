@@ -82,6 +82,8 @@ object GraftFunctions {
     new ExpressionInfo(classOf[BandMatchBefore].getName, "band_match_before")
   val trigramInfo =
     new ExpressionInfo(classOf[PackedTrigrams].getName, "packed_trigrams")
+  val doubleDotInfo =
+    new ExpressionInfo(classOf[DoubleDotProduct].getName, "double_dot")
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -96,6 +98,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("packed_trigrams"), trigramInfo,
       (exprs: Seq[Expression]) => PackedTrigrams(exprs(0)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("double_dot"), doubleDotInfo,
+      (exprs: Seq[Expression]) => DoubleDotProduct(exprs(0), exprs(1)))
   }
 
   /** SQL-callable after register: `float_dot(<colA>, <colB>)` — column
@@ -145,5 +150,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("packed_trigrams"), GraftFunctions.trigramInfo,
         (exprs: Seq[Expression]) => PackedTrigrams(exprs(0))))
+    ext.injectFunction(
+      (FunctionIdentifier("double_dot"), GraftFunctions.doubleDotInfo,
+        (exprs: Seq[Expression]) => DoubleDotProduct(exprs(0), exprs(1))))
   }
 }

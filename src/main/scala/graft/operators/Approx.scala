@@ -142,10 +142,19 @@ object Approx {
       val rnd = new scala.util.Random(seed + t)
       Array.fill(nPlanes, dim)(rnd.nextGaussian())
     }
+    // Every dot product below (plane signatures, norms, re-score) runs
+    // as the codegen'd [[graft.expressions.DoubleDotProduct]] — bit-
+    // identical to the HOF `aggregate(zip_with(...))` fold it replaces
+    // (same product types, same left-to-right double accumulation; the
+    // pinned sim values and recall cannot move), but a primitive loop
+    // instead of an interpreted boxed lambda per element. The corpus
+    // side alone evaluates L·b dots per vector for the signatures.
+    graft.expressions.GraftFunctions.register(emb.sparkSession)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("double_dot", a, b)
     def signature(v: org.apache.spark.sql.Column, planes: Array[Array[Double]]) = {
       val bits = planes.zipWithIndex.map { case (p, i) =>
-        val dot = aggregate(zip_with(v, lit(p), (x, y) => x * y), lit(0.0), (a, x) => a + x)
-        when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+        when(dot(v, lit(p)) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
       }
       bits.reduce(_ + _)
     }
@@ -154,9 +163,19 @@ object Approx {
     // large-norm far vector would outrank a unit-norm near-duplicate
     // whenever embeddings are not unit-normalized (nothing in this API
     // requires them to be).
-    val norm = (v: org.apache.spark.sql.Column) =>
-      sqrt(aggregate(zip_with(v, v, (x, y) => x * y), lit(0.0), (a, x) => a + x))
-    val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val norm = (v: org.apache.spark.sql.Column) => sqrt(dot(v, v))
+    // Spread the corpus across cores before the signature projection: a
+    // single-file input arrives as ONE split, and with the probe side
+    // broadcast the whole corpus stage (L·b signature dots + bucket
+    // join + re-score) would run as one task — the q43/q59 single-
+    // straggler shape (measured: 0.8 s of q46's wall on one core).
+    // Width capped at 8 like the other probe-bounded loops: at this
+    // corpus size wider tasks are dispatch overhead (A/B: 8p 1.13 s,
+    // 32p 1.18 s, 1p 1.75 s); at real scale the input arrives
+    // pre-split and this exchange is noise against the pair work.
+    val corpus = emb
+      .repartition(math.min(emb.sparkSession.sparkContext.defaultParallelism, 8))
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"))
       .withColumn("nnorm", norm(col("ne")))
       .withColumn("tb", explode(array((0 until nTables).map(t =>
         struct(lit(t).as("t"), signature(col("ne"), planesFor(t)).as("bucket"))): _*)))
@@ -175,10 +194,17 @@ object Approx {
         struct(lit(t).as("t"), col("sigs")(t).bitwiseXOR(lit(m)).as("bucket"))): _*)))
       .select(col("pid"), col("pe"), col("pnorm"),
         col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-    val dotCol = aggregate(zip_with(col("pe"), col("ne"), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+    val dotCol = dot(col("pe"), col("ne"))
     val cosine = dotCol / (col("pnorm") * col("nnorm"))
     val w = Window.partitionBy("pid").orderBy(col("sim").desc, col("nid"))
-    probed.join(corpus, Seq("t", "bucket"))
+    // The probe side is the designed-small side (L·|masks| keys per
+    // probe) — broadcast it explicitly. Left to stats, the planner
+    // builds on the CORPUS side: at bench scale that collects every
+    // corpus vector + norm to the driver (measured ~0.8 s of q46's
+    // wall-clock), and at 100 TB it is an OOM. With the probe side
+    // built, the corpus streams scan-side, computing signatures and
+    // the re-score inside one codegen stage with no corpus shuffle.
+    broadcast(probed).join(corpus, Seq("t", "bucket"))
       .filter(col("pid") =!= col("nid"))
       .select(col("pid"), col("nid"), round(cosine, 4).as("sim"))
       // A pair can match in several tables — dedup before the rank.
@@ -322,16 +348,16 @@ object Approx {
       .withColumn("rc", row_number().over(wCell))
       .filter(col("rc") <= nprobe)
       .select("pid", "pe", "cell")
-    // Double accumulator (not 0.0f): float products widen into it, and
-    // double products (scaled/transformed embeddings) still type-check —
-    // a FLOAT zero rejects any array<double> input at analysis time.
-    val dotCol = aggregate(zip_with(col("pe"), col("ne"), (x, y) => x * y),
-      lit(0.0), (a, x) => a + x)
+    // Codegen'd double-accumulated dot (float products widen into a
+    // double accumulator, and array<double> inputs still type-check) —
+    // bit-identical to the HOF fold it replaces, see DoubleDotProduct.
+    graft.expressions.GraftFunctions.register(emb.sparkSession)
+    val dotCol = call_function("double_dot", col("pe"), col("ne"))
     // True cosine, not the raw dot: without the norm division a
     // large-norm far vector outranks a unit-norm near neighbour whenever
     // embeddings are not normalized (same fix as annLshCosine).
     val fnorm = (v: org.apache.spark.sql.Column) =>
-      sqrt(aggregate(zip_with(v, v, (x, y) => x * y), lit(0.0), (a, x) => a + x))
+      sqrt(call_function("double_dot", v, v))
     val cosine = dotCol / (fnorm(col("pe")) * fnorm(col("ne")))
     val w = Window.partitionBy("pid").orderBy(col("sim").desc, col("nid"))
     probeCells.join(corpus, "cell")
@@ -465,15 +491,18 @@ object Approx {
     * unnormalized embeddings (q45, the declared oracle-checked variant,
     * does the same with float32 parity machinery). */
   def cosineNearDup(emb: DataFrame, minSim: Double, maxProbeId: Long = 100): DataFrame = {
-    val norm = (v: org.apache.spark.sql.Column) =>
-      sqrt(aggregate(zip_with(v, v, (x, y) => x * y), lit(0.0), (a, x) => a + x))
+    // Same codegen'd double-accumulated dot as annLshCosine — bit-
+    // identical to the HOF fold it replaces (see DoubleDotProduct).
+    graft.expressions.GraftFunctions.register(emb.sparkSession)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("double_dot", a, b)
+    val norm = (v: org.apache.spark.sql.Column) => sqrt(dot(v, v))
     val probes = emb.filter(col("vec_id") < maxProbeId)
       .select(col("vec_id").as("pid"), col("embedding").as("pe"),
         norm(col("embedding")).as("pn"))
     val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
       norm(col("embedding")).as("nn"))
-    val dotCol = aggregate(zip_with(col("pe"), col("ne"), (x, y) => x * y),
-      lit(0.0), (a, x) => a + x)
+    val dotCol = dot(col("pe"), col("ne"))
     broadcast(probes).crossJoin(corpus)
       .filter(col("nid") > col("pid"))
       .select(col("pid"), col("nid"),

@@ -111,6 +111,27 @@ class PropertiesSpec extends SparkSpec {
     assert(gotInterp === exp.count(identity).toLong)
   }
 
+  test("double_dot is bit-identical to the HOF fold it replaced (float·float and float·double)") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    // Seeded random float vectors with rough magnitudes: bit-equality of
+    // the DOUBLE result (compared via exact equality, no rounding) only
+    // holds if product types and accumulation order match the HOF
+    // formulation exactly — which is what q46's pinned sims rely on.
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(200)(Seq.fill(64)((rnd.nextGaussian() * 10).toFloat))
+    val planes = Array.fill(64)(rnd.nextGaussian())
+    val df = rows.zip(rows.reverse).toDF("a", "b")
+    val hofFF = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val hofFD = aggregate(zip_with(col("a"), lit(planes), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val cmp = df.select(
+      (expr("double_dot(a, b)") === hofFF).as("ff"),
+      (call_function("double_dot", col("a"), lit(planes)) === hofFD).as("fd"))
+    assert(cmp.filter(!col("ff") || !col("fd")).count() === 0)
+  }
+
   test("packed_trigrams ≡ string trigram sets: counts and pairwise intersections (incl. unicode)") {
     import spark.implicits._
     graft.expressions.GraftFunctions.register(spark)
