@@ -103,6 +103,22 @@ object Approx {
     cand
       .join(sets.select(col("doc_id").as("a"), col("toks").as("ta"), col("n").as("na")), "a")
       .join(sets.select(col("doc_id").as("b"), col("toks").as("tb"), col("n").as("nb")), "b")
+      // Size-ratio pruning before any intersection runs (the q35 idiom):
+      // J ≥ t forces min(|A|,|B|)/max(|A|,|B|) ≥ t, so candidates whose
+      // set sizes alone rule them out skip the sorted-merge entirely —
+      // with the ML family's single-hash OR-banding, most emitted
+      // candidates fail the final threshold (12.35M candidates → 2.97M
+      // pairs at sf0.1), and this culls them at integer-compare cost.
+      // The bound is conservatively slackened for the PARAMETRIC
+      // threshold: the declared filter accepts on the 4-dp ROUNDED
+      // Jaccard (so true J as low as t − 5e-5 can pass), and t·max is
+      // double arithmetic (≤ a few ulps of rounding); the 1e-9·max
+      // slack dwarfs both, so no pair the exact filter below would keep
+      // is ever pruned — borderline candidates just fall through to the
+      // exact decision.
+      .filter(least(col("na"), col("nb")).cast("double") >=
+              (lit(minJaccard) - lit(5.1e-5)) * greatest(col("na"), col("nb"))
+                - lit(1e-9) * greatest(col("na"), col("nb")))
       .select(col("a"), col("b"), inter.as("i"), col("na"), col("nb"))
       .select(col("a"), col("b"), round(jac, 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)

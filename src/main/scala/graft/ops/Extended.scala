@@ -315,6 +315,12 @@ object Extended {
     cand
       .join(sets.select(col("doc_id").as("a"), col("set").as("ta"), col("n").as("na")), "a")
       .join(sets.select(col("doc_id").as("b"), col("set").as("tb"), col("n").as("nb")), "b")
+      // Size-ratio pruning before any intersection runs (the q35 idiom):
+      // J ≥ 0.8 forces min(|A|,|B|)/max(|A|,|B|) ≥ 0.8, i.e. 5·min ≥
+      // 4·max in exact integer math — candidates failing it skip the
+      // sorted-merge entirely; the exact ratio filter below still
+      // decides membership, so the declared result cannot change.
+      .filter(col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
       .select(col("a"), col("b"), inter.as("i"), col("na"), col("nb"))
       .filter(ratio >= 0.8)
       .select(col("a"), col("b"), dround(ratio, 4).as("jaccard"))
