@@ -237,6 +237,82 @@ class StreamingSpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0, "stateful sessions differ from window-formulation sessions")
   }
 
+  private type Doc = (Long, Timestamp, String)
+
+  private def docRows(sf: String, t0: Timestamp): Array[Doc] = {
+    import spark.implicits._
+    Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().map { case (id, tx) => (id, t0, tx) }
+  }
+
+  private def batchSimhashPairs(sf: String): Set[(Long, Long, Int)] =
+    graft.operators.Approx.simHashNearDup(Tables.documents(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  private def streamedPairs(table: String): Set[(Long, Long, Int)] =
+    spark.table(table).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  /** Feeds each batch as its OWN micro-batch (processAllAvailable between
+    * adds) — addData calls without an intervening trigger coalesce into
+    * one micro-batch, which would defeat any cross-batch or
+    * watermark-advance claim. */
+  private def runDocBatches(name: String, stream: MemoryStream[Doc],
+                            batches: Seq[Seq[Doc]], horizon: String = "10 minutes"): Unit = {
+    val out = graft.streaming.StreamingDedup.simhashNearDupStream(
+      stream.toDF().toDF("doc_id", "ts", "text"), horizon = horizon).toDF()
+    val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    finally q.stop()
+  }
+
+  test("streaming simhash near-dup == batch q44 pair set (single batch)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val stream = MemoryStream[Doc]
+    runToMemory("snd_single",
+      graft.streaming.StreamingDedup.simhashNearDupStream(
+        stream.toDF().toDF("doc_id", "ts", "text")).toDF(), mode = "append") {
+      stream.addData(docRows(sf0001, t0).toSeq)
+    }
+    val batch = batchSimhashPairs(sf0001)
+    assert(batch.nonEmpty, "fixture must contain simhash near-dups")
+    assert(streamedPairs("snd_single") === batch)
+  }
+
+  test("streaming simhash near-dup finds cross-micro-batch pairs (state carries)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val rows = docRows(sf0001, t0)
+    val (even, odd) = rows.partition(_._1 % 2 == 0)
+    val stream = MemoryStream[Doc]
+    runDocBatches("snd_split", stream, Seq(even.toSeq, odd.toSeq))
+    val batch = batchSimhashPairs(sf0001)
+    // the interesting half: pairs whose sides arrived in DIFFERENT batches
+    assert(batch.exists(p => p._1 % 2 != p._2 % 2), "fixture must have cross-parity pairs")
+    assert(streamedPairs("snd_split") === batch)
+  }
+
+  test("streaming simhash near-dup expires state past the watermark horizon") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dupText = "the quick brown fox jumps over the lazy dog again and again"
+    val stream = MemoryStream[Doc]
+    runDocBatches("snd_expiry", stream, Seq(
+      // batch 1: the original document
+      Seq((1L, Timestamp.valueOf("2026-01-01 00:00:00"), dupText)),
+      // batch 2: an unrelated document 50 min later — advances the
+      // watermark to 00:40, past doc 1's retention
+      Seq((2L, Timestamp.valueOf("2026-01-01 00:50:00"),
+        "completely different content about spark physical plans and shuffles")),
+      // batch 3: an exact duplicate of doc 1, one hour later — doc 1
+      // must already be pruned, so NO pair comes out
+      Seq((3L, Timestamp.valueOf("2026-01-01 01:00:00"), dupText))))
+    assert(streamedPairs("snd_expiry") === Set.empty[(Long, Long, Int)])
+  }
+
   test("Graft facade: registerTables + SQL + named operator") {
     Graft.registerTables(spark, sf0001)
     val viaSql = spark.sql(
