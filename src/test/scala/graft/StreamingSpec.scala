@@ -295,6 +295,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamedPairs("snd_split") === batch)
   }
 
+  test("streaming simhash near-dup is identical under the RocksDB state store provider") {
+    // The ingest-dedup state (band-bucket membership over the watermark
+    // horizon) is exactly the state that outgrows executor heaps at
+    // 100 TB/day — same query, same pair set under the spill-capable
+    // provider is the guarantee worth pinning.
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = scala.util.Try(spark.conf.get(key)).toOption
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+      val rows = docRows(sf0001, t0)
+      val (even, odd) = rows.partition(_._1 % 2 == 0)
+      val stream = MemoryStream[Doc]
+      runDocBatches("snd_rocksdb", stream, Seq(even.toSeq, odd.toSeq))
+      assert(streamedPairs("snd_rocksdb") === batchSimhashPairs(sf0001))
+    } finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("streaming simhash near-dup expires state past the watermark horizon") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
