@@ -21,13 +21,19 @@ object Oracle {
         |  AND c_name LIKE 'Customer%' AND c_nationkey IS NOT NULL AND NOT (c_acctbal < 0)
         |ORDER BY c_custkey""".stripMargin,
 
+    // Sums mirror dsumRound exactly (the q52 pattern): per-term cast to
+    // DECIMAL(38,8), EXACT decimal sum, double only for the final round.
+    // A raw double sum drifts with accumulation order — at sf0.1's 600k
+    // lineitem rows sum_disc crossed a cent boundary against the Spark
+    // side's exact decimal sum (…231.625: DuckDB's double sum rendered
+    // .62, the exact sum .63). The avg numerator gets the same mirror.
     "q03_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity),2) AS sum_qty,
-        |  round(sum(l_extendedprice),2) AS sum_base,
-        |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc,
-        |  round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
-        |  round(avg(l_quantity),4) AS avg_qty,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE),2) AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE),2) AS sum_base,
+        |  round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,8))) AS DOUBLE),2) AS sum_disc,
+        |  round(CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(38,8))) AS DOUBLE),2) AS sum_charge,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) / count(l_quantity),4) AS avg_qty,
         |  count(*) AS cnt
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -40,7 +46,8 @@ object Oracle {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q05_agg_rollup" ->
-      """SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal),2) AS bal
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,8))) AS DOUBLE),2) AS bal
         |FROM customer c
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -48,7 +55,8 @@ object Oracle {
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
 
     "q06_agg_cube" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice),2) AS tp
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE),2) AS tp
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
@@ -60,12 +68,15 @@ object Oracle {
         |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin,
 
     "q08_join_inner" ->
-      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE),2) AS total
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q09_join_multiway_topn" ->
-      """SELECT o.o_orderkey, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, o.o_orderdate
+      """SELECT o.o_orderkey,
+        |  round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,8))) AS DOUBLE),2) AS revenue,
+        |  o.o_orderdate
         |FROM customer c
         |JOIN orders o ON c.c_custkey = o.o_custkey
         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -76,7 +87,7 @@ object Oracle {
 
     "q10_join_left_outer" ->
       """SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
-        |       round(coalesce(sum(o.o_totalprice), 0), 2) AS spent
+        |       round(coalesce(CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 0), 2) AS spent
         |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
 
@@ -222,12 +233,14 @@ object Oracle {
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
 
     "q30_tumbling_window" ->
-      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win, event_type, count(*) AS n, round(sum(value),2) AS sv
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win, event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE),2) AS sv
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q31_sliding_window" ->
       """SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS win_start,
-        |       count(*) AS n, round(sum(value), 2) AS sv
+        |       count(*) AS n,
+        |       round(CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE),2) AS sv
         |FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) ks
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -243,7 +256,8 @@ object Oracle {
         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
         |  FROM flagged)
         |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n_events,
-        |       min(ts) AS sess_start, max(ts) AS sess_end, round(sum(value),2) AS sv
+        |       min(ts) AS sess_start, max(ts) AS sess_end,
+        |       round(CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE),2) AS sv
         |FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
 
     "q33_dedup_keep_first" ->
@@ -314,7 +328,7 @@ object Oracle {
 
     "q40_histogram" ->
       """SELECT CAST(floor(value / 5) AS BIGINT) AS bucket, count(*) AS n,
-        |       round(avg(value), 4) AS avg_v
+        |       round(CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE) / count(value), 4) AS avg_v
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Extended (q41+) oracle-matched entries. Rounding is spelled out as
