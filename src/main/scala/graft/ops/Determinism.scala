@@ -20,9 +20,12 @@ object Determinism {
   def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 8)))
 
   /** Exact sum, rounded to `scale` and returned as DOUBLE for schema
-    * parity with DuckDB's `round(sum(x), scale)`. */
+    * parity with DuckDB's `round(sum(x), scale)`. Rounds via `dround`
+    * (the DuckDB floor formula): Spark's builtin `round` disagrees with
+    * it when the exact decimal sum lands on a half-way boundary (e.g.
+    * an exact ….6250 at scale 2), which cent-valued inputs can hit. */
   def dsumRound(c: Column, scale: Int): Column =
-    round(dsum(c).cast("double"), scale)
+    dround(dsum(c).cast("double"), scale)
 
   /** Deterministic average: exact decimal numerator, double division,
     * rounded — mirrors `round(avg(x), scale)` on the oracle side.

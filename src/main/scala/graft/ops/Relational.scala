@@ -127,7 +127,7 @@ object Relational {
       .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
       .groupBy("c_custkey")
       .agg(count(col("o_orderkey")).as("n_orders"),
-           round(coalesce(dsum(col("o_totalprice")).cast("double"), lit(0.0)), 2).as("spent"))
+           dround(coalesce(dsum(col("o_totalprice")).cast("double"), lit(0.0)), 2).as("spent"))
       .orderBy("c_custkey")
 
   /** q11: full outer join of two pre-aggregated sides. Aggregating BEFORE
