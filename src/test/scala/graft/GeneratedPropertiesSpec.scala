@@ -68,6 +68,24 @@ class GeneratedPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("dsumRound follows the DuckDB floor formula at half-way boundaries") {
+    // 8000.00 + 202.845 sums to EXACTLY 8202.845 in DECIMAL(38,8); its
+    // nearest double is 8202.84499…, so the DuckDB formula gives 8202.84
+    // while Spark's builtin round (BigDecimal half-up on the shortest
+    // repr "8202.845") gives 8202.85. dsumRound must take the DuckDB
+    // side — this is the divergence the dround docstring documents, at
+    // the aggregate level where cent-valued sums can actually land on it.
+    import org.apache.spark.sql.types._
+    val df = spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(8000.0), org.apache.spark.sql.Row(202.845)).asJava,
+      StructType(Seq(StructField("v", DoubleType))))
+    val got = df.agg(Determinism.dsumRound(col("v"), 2)).head.getDouble(0)
+    assert(got === 8202.84)
+    val builtin = df.agg(round(sum(col("v").cast(DecimalType(38, 8))).cast("double"), 2))
+      .head.getDouble(0)
+    assert(builtin === 8202.85) // proves the two paths genuinely differ here
+  }
+
   test("decimal sum is invariant under repartitioning (order independence)") {
     for (rows <- samples(rowsGen, 5) if rows.nonEmpty) {
       val df = mkDf(rows)
