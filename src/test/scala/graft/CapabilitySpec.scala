@@ -193,6 +193,22 @@ class CapabilitySpec extends SparkSpec {
       s"pairs rows evaluated ${acc.value} times — the upstream pipeline must run once")
   }
 
+  test("dedupClusters: intermediate checkpoints are freed, only the result stays resident") {
+    import spark.implicits._
+    // Without cleanup each evaluation pinned the O(E) edge checkpoint
+    // plus one O(nodes) label checkpoint PER ROUND for the session
+    // lifetime (measured: repeated q60 passes degraded 4.5 → 10.7 s at
+    // sf0.1 as storage filled). After the fix at most the final label
+    // checkpoint — the blocks backing the returned DataFrame — may
+    // remain per call.
+    val pairs = (0L until 50L).map(i => (i, i + 50L)).toDF("a", "b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Approx.dedupClusters(pairs).count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"${leaked.size} checkpoint RDDs left resident — expected at most the final labels")
+  }
+
   test("dedupClusters: reliable=true uses durable checkpoints and matches the local path (VERDICT r5 #6)") {
     import spark.implicits._
     // On a real cluster localCheckpoint storage dies with its executor;
