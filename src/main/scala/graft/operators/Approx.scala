@@ -515,10 +515,15 @@ object Approx {
     // across several cluster_ids) and a dedup built on it under-drops.
     // Fail loudly rather than silently returning a wrong answer; callers
     // that genuinely want a bounded-effort pass can raise maxIter.
-    if (changed > 0) throw new IllegalStateException(
-      s"dedupClusters did not converge after $maxIter rounds " +
-        s"($changed labels still changing); raise maxIter beyond the " +
-        "component diameter")
+    if (changed > 0) {
+      // Nothing is returned on this path, so the final label checkpoint
+      // would otherwise stay resident with no handle to free it.
+      unpersistCheckpoint(checkpointedLabels)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge after $maxIter rounds " +
+          s"($changed labels still changing); raise maxIter beyond the " +
+          "component diameter")
+    }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
