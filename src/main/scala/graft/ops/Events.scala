@@ -16,10 +16,10 @@ import Tables._
   * `window()` identically in batch and Structured Streaming, so each
   * builder has a direct `readStream` twin (see graft.streaming). All
   * timestamp arithmetic is done in microseconds (`unix_micros`): the
-  * parquet ns timestamps carry only µs-scale jitter (FIXTURES.md), Spark
-  * truncates ns→µs on read, and µs arithmetic matches DuckDB INTERVAL
-  * comparisons exactly — no whole-second truncation that would shift
-  * range-frame boundaries.
+  * parquet timestamps are µs-encoded (FIXTURES.md; Tables.events adapts
+  * if the physical encoding drifts again), and µs arithmetic matches
+  * DuckDB INTERVAL comparisons exactly — no whole-second truncation that
+  * would shift range-frame boundaries.
   */
 object Events {
 

@@ -11,6 +11,9 @@ import org.apache.spark.sql.types._
   * shapes are externally fixed, and skipping Spark's footer-inference
   * pass removes a driver-side job per read (~80ms each here; at 100 TB,
   * inference over a large file listing is a full extra metadata pass).
+  * The one exception is `events`, whose physical time encoding has
+  * drifted between testdata generations — it pays a single cached
+  * footer probe (see `events` below).
   * Scans still get the vectorized reader + pushdown/pruning. Nothing
   * here assumes a single file — the same readers work against a
   * `partitionBy` directory layout (SURVEY.md §7.5).
@@ -49,10 +52,12 @@ object Tables {
       StructField("l_discount", DoubleType), StructField("l_tax", DoubleType),
       StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
       StructField("l_shipdate", ntz))),
-    // ts is parquet timestamp[ns]: with spark.sql.legacy.parquet.nanosAsLong
-    // (required — set by Verify/Bench/test sessions) it reads as Long ns.
+    // ts encoding has DRIFTED across testdata generations (timestamp[ns]
+    // through 2026-08-12, timestamp[us] since 2026-08-13) — events() below
+    // probes the footer once and adapts; this map records the current
+    // (µs-native) expectation. Do not hardcode a conversion here again.
     "events" -> StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", ntz),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType))),
     "documents" -> StructType(Seq(
@@ -84,8 +89,8 @@ object Tables {
 
   /** Name-keyed accessor (the same cached readers as the typed methods
     * below — callers like Graft.registerTables must not re-implement the
-    * read and bypass the cache). `events` routes through the ns→µs
-    * conversion. */
+    * read and bypass the cache). `events` routes through the
+    * encoding-adaptive reader. */
   def table(s: SparkSession, d: String, name: String): DataFrame =
     if (name == "events") events(s, d) else t(s, d, name)
 
@@ -99,12 +104,50 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
-  /** `events.ts` arrives as Long epoch-ns (see schema note) — convert to
-    * a naive µs timestamp. `div` = integral division: `/` would go
-    * through DOUBLE, which cannot represent epoch-ns exactly
-    * (2^53 < 1.7e18) and yields ±1µs errors. The data's jitter is
-    * µs-scale (FIXTURES.md: ns%1000 == 0), so truncation is lossless. */
-  def events(s: SparkSession, d: String): DataFrame =
-    t(s, d, "events").withColumn("ts",
-      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  /** What `events.ts` decodes to under this session's configs — one
+    * footer-inference pass (a single driver job), cached with the reader.
+    * The other nine tables keep purely explicit schemas; events alone
+    * pays the probe because its physical encoding has actually drifted
+    * between testdata generations (ns → µs, 2026-08-13) and a blind
+    * conversion silently collapsed every timestamp 1000× (round-7
+    * postmortem). Production parquet lakes mix ns/µs/ms encodings across
+    * files, so an adaptive reader is also the 100 TB-realistic shape. */
+  private[graft] def probeEventsTsType(s: SparkSession, d: String): DataType =
+    s.read.parquet(s"$d/events.parquet").schema("ts").dataType
+
+  /** Encoding-adaptive events reader. Branches on the type the parquet
+    * footer actually yields for `ts`:
+    *   - timestamp / timestamp_ntz (µs- or ms-annotated) → read it as
+    *     TIMESTAMP_NTZ directly (naive, matching DuckDB).
+    *   - int64 (a timestamp[ns] column surfaced as raw Long under
+    *     `spark.sql.legacy.parquet.nanosAsLong`, which our sessions keep
+    *     set for exactly this case) → `ts div 1000` → µs. `div` =
+    *     integral division: `/` would go through DOUBLE, which cannot
+    *     represent epoch-ns exactly (2^53 < 1.7e18) and yields ±1µs
+    *     errors; the ns data carried only µs-scale jitter, so truncation
+    *     is lossless.
+    * Anything else throws — a third encoding must fail loudly, not
+    * produce wrong answers (see SchemaDriftSpec). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    readerCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    readerCache.computeIfAbsent((s, s"$d/events.parquet#normalized"), { case (sess, _) =>
+      val path = s"$d/events.parquet"
+      val base = schemas("events")
+      probeEventsTsType(sess, d) match {
+        case TimestampNTZType | TimestampType =>
+          sess.read.schema(base).parquet(path)
+        case LongType =>
+          val nsSchema = StructType(base.map(f =>
+            if (f.name == "ts") f.copy(dataType = LongType) else f))
+          sess.read.schema(nsSchema).parquet(path)
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts decoded as $other — expected a timestamp type (µs/ms data) " +
+              "or Long (ns data under nanosAsLong). The testdata encoding has " +
+              "drifted again; extend Tables.events rather than letting queries " +
+              "run against a misread column.")
+      }
+    })
+  }
 }

@@ -5,7 +5,8 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local session for all specs — same shape as the Verify/Bench
-  * harness sessions (UTC, nanosAsLong for the ns events table). */
+  * harness sessions (UTC; nanosAsLong kept so Tables.events' legacy-ns
+  * branch still decodes ns-encoded data if the testdata drifts back). */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
 
