@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.Tables
+
+/** Testdata-drift guard (round-8 postmortem: the sandbox regenerated the
+  * parquet fixtures and changed events.ts from timestamp[ns] to
+  * timestamp[us]; the then-hardcoded ns conversion silently collapsed
+  * every timestamp 1000× and eight queries went wrong WITHOUT A SINGLE
+  * ERROR). These tests make the next silent regeneration fail loudly:
+  *
+  *  1. Every table's parquet footer must still infer to the schema the
+  *     explicit readers assume (`Tables.schemas`), with events.ts allowed
+  *     either encoding the adaptive reader handles.
+  *  2. Both `Tables.events` branches are exercised against written
+  *     fixtures and must produce identical normalized timestamps. (A
+  *     Spark-written Long column is plain int64, not ns-annotated int64 —
+  *     but under `nanosAsLong` both surface to the reader as LongType,
+  *     which is exactly the signal the branch dispatches on, so the
+  *     fixture drives the same code path as real ns data.)
+  *  3. A third, unsupported encoding must throw, not mis-read.
+  */
+class SchemaDriftSpec extends SparkSpec {
+
+  private val tableNames = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  test("parquet footers at sf0.001 still match the explicit reader schemas") {
+    for (name <- tableNames) {
+      val inferred = spark.read.parquet(s"$sf0001/$name.parquet").schema
+      val expected = Tables.schemas(name)
+      assert(inferred.fieldNames.toSeq === expected.fieldNames.toSeq,
+        s"$name: column set/order drifted")
+      for ((inf, exp) <- inferred.fields.zip(expected.fields)) {
+        if (name == "events" && inf.name == "ts") {
+          // Either encoding the adaptive reader supports: µs/ms timestamp
+          // (→ TimestampNTZType) or ns-annotated int64 (→ LongType under
+          // nanosAsLong). Anything else = regeneration drift.
+          assert(inf.dataType == TimestampNTZType || inf.dataType == LongType,
+            s"events.ts drifted to unsupported encoding ${inf.dataType}")
+        } else {
+          assert(inf.dataType === exp.dataType,
+            s"$name.${inf.name}: footer gives ${inf.dataType}, readers assume ${exp.dataType}")
+        }
+      }
+    }
+  }
+
+  // Six-column events fixture rows, ts expressed as epoch-µs.
+  private val fixtureUs = Seq(
+    (1L, 1704067200000000L, 10L, "click", 1.5, """{"k":1}"""),
+    (2L, 1704067201500000L, 10L, "purchase", 2.5, """{"k":2}"""),
+    (3L, 1704067203000001L, 11L, "view", 3.5, """{"k":3}"""))
+
+  test("Tables.events: µs-timestamp and ns-long encodings normalize identically") {
+    import spark.implicits._
+    val dirUs = java.nio.file.Files.createTempDirectory("drift_us").toString
+    val dirNs = java.nio.file.Files.createTempDirectory("drift_ns").toString
+
+    // µs branch: write ts as a real naive timestamp (parquet timestamp[us]
+    // under the session's TIMESTAMP_MICROS output type).
+    fixtureUs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(s"$dirUs/events.parquet")
+    assert(Tables.probeEventsTsType(spark, dirUs) === TimestampNTZType)
+
+    // ns branch: write ts as raw epoch-ns longs (int64 footer → LongType).
+    fixtureUs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts") * lit(1000L))
+      .write.mode("overwrite").parquet(s"$dirNs/events.parquet")
+    assert(Tables.probeEventsTsType(spark, dirNs) === LongType)
+
+    val us = Tables.events(spark, dirUs).orderBy("event_id")
+    val ns = Tables.events(spark, dirNs).orderBy("event_id")
+    assert(us.schema("ts").dataType === TimestampNTZType)
+    assert(ns.schema("ts").dataType === TimestampNTZType)
+    assert(us.collect().toSeq === ns.collect().toSeq)
+    // And the values are the written instants, not a 1000×-collapsed echo.
+    val micros = us.select(unix_micros(col("ts").cast("timestamp"))).as[Long].collect()
+    assert(micros.toSeq === fixtureUs.map(_._2))
+  }
+
+  test("Tables.events: an unsupported ts encoding fails loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("drift_bad").toString
+    fixtureUs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("string"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("events.ts decoded as"))
+  }
+}
