@@ -105,15 +105,15 @@ object Bench {
       }
       (best.toMap, passTotals.toSeq)
     }
-    def emit(metric: String, queries: Seq[(String, Any)], best: Map[String, Double],
-             passTotals: Seq[Double], loadBefore: String, loadAfter: String): Unit = {
+    def render(metric: String, queries: Seq[(String, Any)], best: Map[String, Double],
+               passTotals: Seq[Double], loadBefore: String, loadAfter: String): String = {
       val results = queries.map { case (name, _) => name -> best.getOrElse(name, -1.0) }
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       // Failure sentinels stay visible per-query but don't corrupt the sum.
       val total = results.map(_._2).filter(_ >= 0).sum
       val passes = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
-      println(s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"load":"before=$loadBefore after=$loadAfter"}""")
+      s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"load":"before=$loadBefore after=$loadAfter"}"""
     }
     // Two anchor sets, two JSON lines. "total" is the q01–q40 BASELINE.md
     // DuckDB anchor set — kept first and format-identical so the
@@ -131,8 +131,17 @@ object Bench {
     val loadMid = loadavg()
     val (extBest, extPasses) = runSet(ext)
     val loadAfter = loadavg()
-    emit("total", core, coreBest, corePasses, loadBefore, loadMid)
-    emit("total_ext", ext, extBest, extPasses, loadMid, loadAfter)
+    val lines = Seq(
+      render("total", core, coreBest, corePasses, loadBefore, loadMid),
+      render("total_ext", ext, extBest, extPasses, loadMid, loadAfter))
+    // The driver's stdout capture is tail-truncated and has twice lost the
+    // (very long) core line. Persist both lines to a file it can read
+    // whole, then print them LAST — after spark.stop(), so no shutdown
+    // chatter can follow them on any stream.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
+    lines.foreach(println)
   }
 }
