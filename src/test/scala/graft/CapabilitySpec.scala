@@ -87,6 +87,81 @@ class CapabilitySpec extends SparkSpec {
     assert(chunks(4) === payload.slice(256, 300))
   }
 
+  /** Independent XXH64 (public xxHash spec, not Spark's implementation) —
+    * the q48 value oracle. Spark's `xxhash64` seeds with 42; if the two
+    * implementations ever disagree, q48's fingerprints are wrong. */
+  private def xxh64(data: Array[Byte], seed: Long): Long = {
+    val P1 = 0x9E3779B185EBCA87L; val P2 = 0xC2B2AE3D27D4EB4FL
+    val P3 = 0x165667B19E3779F9L; val P4 = 0x85EBCA77C2B2AE63L
+    val P5 = 0x27D4EB2F165667C5L
+    def rotl(x: Long, r: Int) = java.lang.Long.rotateLeft(x, r)
+    def le64(o: Int) = (0 until 8).map(i => (data(o + i) & 0xffL) << (8 * i)).reduce(_ | _)
+    def le32(o: Int) = (0 until 4).map(i => (data(o + i) & 0xffL) << (8 * i)).reduce(_ | _)
+    val len = data.length
+    var off = 0
+    var h =
+      if (len >= 32) {
+        var (a1, a2, a3, a4) = (seed + P1 + P2, seed + P2, seed, seed - P1)
+        while (off + 32 <= len) {
+          a1 = rotl(a1 + le64(off) * P2, 31) * P1
+          a2 = rotl(a2 + le64(off + 8) * P2, 31) * P1
+          a3 = rotl(a3 + le64(off + 16) * P2, 31) * P1
+          a4 = rotl(a4 + le64(off + 24) * P2, 31) * P1
+          off += 32
+        }
+        var acc = rotl(a1, 1) + rotl(a2, 7) + rotl(a3, 12) + rotl(a4, 18)
+        for (a <- Seq(a1, a2, a3, a4))
+          acc = (acc ^ (rotl(a * P2, 31) * P1)) * P1 + P4
+        acc
+      } else seed + P5
+    h += len
+    while (off + 8 <= len) { h = rotl(h ^ (rotl(le64(off) * P2, 31) * P1), 27) * P1 + P4; off += 8 }
+    while (off + 4 <= len) { h = rotl(h ^ (le32(off) * P1), 23) * P2 + P3; off += 4 }
+    while (off < len) { h = rotl(h ^ ((data(off) & 0xffL) * P5), 11) * P1; off += 1 }
+    h ^= h >>> 33; h *= P2; h ^= h >>> 29; h *= P3; h ^= h >>> 32
+    h
+  }
+
+  test("q48 value oracle: decodeFeatures matches an independent xxHash64 derivation") {
+    import spark.implicits._
+    // Three fixed docs covering all three kinds and the <32-byte and
+    // >=32-byte XXH64 regimes (multi-byte UTF-8 included).
+    val fixed = Seq(
+      (0L, "tiny", "web", 4L),
+      (1L, "a 32+ byte payload for the stripe loop of xxhash64!", "web", 51L),
+      (2L, "naïve café bytes", "books", 16L))
+    val out = Multimodal.decodeFeatures(Multimodal.syntheticMedia(
+        fixed.toDF("doc_id", "text", "source", "n_chars")))
+      .orderBy("media_id").collect()
+    for (((id, text, _, _), row) <- fixed.zip(out)) {
+      val bytes = text.getBytes("UTF-8")
+      val fp = xxh64(bytes, 42L)
+      assert(row.getLong(0) === id)
+      assert(row.getString(1) === Seq("image", "audio", "video")(id.toInt % 3))
+      assert(row.getLong(2) === bytes.length.toLong, s"n_bytes doc $id")
+      assert(row.getLong(3) === fp, s"content_fp doc $id")
+      val feats = row.getSeq[Double](4)
+      for (i <- 0 until 8)
+        assert(feats(i) === ((fp >> (8 * i)) & 255L).toDouble / 255.0, s"f$i doc $id")
+    }
+  }
+
+  test("q48 value oracle: real sf0.001 documents re-derive exactly") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 3)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(docs.size === 3)
+    val rows = graft.ops.Extended.q48MediaFeatures(spark, sf0001)
+      .filter(col("media_id") < 3).orderBy("media_id").collect()
+    for (row <- rows) {
+      val bytes = docs(row.getLong(0)).getBytes("UTF-8")
+      val fp = xxh64(bytes, 42L)
+      assert(row.getLong(2) === bytes.length.toLong)
+      assert(row.getLong(3) === fp)
+      for (i <- 0 until 8)
+        assert(row.getDouble(4 + i) === ((fp >> (8 * i)) & 255L).toDouble / 255.0)
+    }
+  }
+
   test("cosineNearDup and IVF ANN score true cosine (norm-invariant / bounded)") {
     val emb = Tables.embeddings(spark, sf0001)
     val scale = lit(1.0) + pmod(col("vec_id"), lit(5)).cast("double")
