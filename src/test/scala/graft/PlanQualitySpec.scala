@@ -47,6 +47,21 @@ class PlanQualitySpec extends SparkSpec {
       "range predicates missing from pushdown")
   }
 
+  test("events ts predicates reach the parquet scan (µs-native read)") {
+    // A round-8 scale win from the encoding-adaptive events reader: with
+    // µs-encoded data, `ts` is read as a timestamp directly, so event-time
+    // range predicates push down to the parquet scan (row-group pruning at
+    // 100 TB). The old ns path (Long read + div-1000 projection) placed
+    // every ts filter AFTER a computed column — unpushable by construction.
+    // (On legacy ns data the adaptive reader still answers correctly; only
+    // this pushdown is forfeited there.)
+    val p = graft.ops.Tables.events(spark, sf001)
+      .filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("GreaterThanOrEqual(ts"),
+      s"ts range predicate not pushed to the events scan:\n$p")
+  }
+
   test("q09 and q38 broadcast their dimension sides") {
     assert(plan("q09_join_multiway_topn").contains("BroadcastHashJoin"))
     assert(plan("q38_star_denorm").contains("BroadcastHashJoin"))
