@@ -43,6 +43,9 @@ object ScaleSmoke {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Keep the synthesized events µs-encoded (Spark's default INT96
+      // would flip the adaptive events reader onto a third encoding).
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -72,7 +75,11 @@ object ScaleSmoke {
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     shiftUnion(ord, Seq("o_orderkey"), keySpan)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
-    shiftUnion(ev, Seq("event_id"), keySpan)
+    // Shift user_id too: each copy is a distinct user population, so the
+    // stateful event-time operators (sessionization, per-user joins) see
+    // 10× the state cardinality — the dimension that actually grows at
+    // 100 TB — rather than 10 ts-identical echoes per user.
+    shiftUnion(ev, Seq("event_id", "user_id"), keySpan)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
     Seq("customer", "nation", "region", "part", "supplier").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")
@@ -110,6 +117,11 @@ object ScaleSmoke {
     run("q63_outlier_zscore") { SparkEntry.queries("q63_outlier_zscore")(spark, out) }
     run("q59_minhash_md5") { SparkEntry.queries("q59_minhash_md5")(spark, out) }
     run("q60_dedup_clusters") { SparkEntry.queries("q60_dedup_clusters")(spark, out) }
+    // Event-time family at 1M events / 10× users (round 8 — the family
+    // the encoding drift broke; now smoke-covered at scale): q32 is the
+    // stateful sessionization path, q15 the per-user interval join.
+    run("q32_session_window") { SparkEntry.queries("q32_session_window")(spark, out) }
+    run("q15_join_range_theta") { SparkEntry.queries("q15_join_range_theta")(spark, out) }
     // convergence bound: the 10× pair graph must settle within 5 rounds
     // (dense near-dup components ⇒ tiny diameter); dedupClusters throws
     // if labels are still moving at maxIter, so reaching the count IS
