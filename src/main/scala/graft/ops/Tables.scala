@@ -104,49 +104,104 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
-  /** What `events.ts` decodes to under this session's configs — one
-    * footer-inference pass (a single driver job), cached with the reader.
+  /** Per-file `ts` encodings under the events path — parquet footers read
+    * directly (no Spark job), keyed by the Spark type each file's `ts`
+    * surfaces as under this session: `TimestampNTZType` for µs/ms
+    * timestamp annotations, `LongType` for ns annotations (via
+    * `nanosAsLong`) and for unannotated int64 (the raw-epoch-ns
+    * contract). Any other physical shape throws.
+    *
     * The other nine tables keep purely explicit schemas; events alone
     * pays the probe because its physical encoding has actually drifted
     * between testdata generations (ns → µs, 2026-08-13) and a blind
     * conversion silently collapsed every timestamp 1000× (round-7
-    * postmortem). Production parquet lakes mix ns/µs/ms encodings across
-    * files, so an adaptive reader is also the 100 TB-realistic shape. */
-  private[graft] def probeEventsTsType(s: SparkSession, d: String): DataType =
-    s.read.parquet(s"$d/events.parquet").schema("ts").dataType
+    * postmortem). Footer reads are driver-side and sequential — the same
+    * metadata pass Spark's own inference makes; a lake with millions of
+    * files would distribute this loop (parallelize the file list, read
+    * footers on executors), which changes nothing downstream. */
+  private[graft] def eventsTsEncodings(
+      s: SparkSession, d: String): Map[DataType, Seq[String]] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val root = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, /* recursive = */ true)
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (f.isFile && !n.startsWith("_") && !n.startsWith("."))
+        files += f.getPath.toString
+    }
+    files.toSeq.groupBy { file =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(file), s.sparkContext.hadoopConfiguration)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val ts = try {
+        val sch = reader.getFileMetaData.getSchema
+        sch.getFields.get(sch.getFieldIndex("ts"))
+      } finally reader.close()
+      if (ts.isPrimitive && ts.asPrimitiveType.getPrimitiveTypeName == PrimitiveTypeName.INT64) {
+        ts.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            if (t.getUnit == TimeUnit.NANOS) LongType else TimestampNTZType
+          case null => LongType // unannotated int64: the raw-epoch-ns contract
+          case other => throw new IllegalStateException(
+            s"events.ts decoded as int64[$other] in $file — unsupported annotation")
+        }
+      } else throw new IllegalStateException(
+        s"events.ts decoded as $ts in $file — expected a µs/ms timestamp " +
+          "or int64 ns. The testdata encoding has drifted again; extend " +
+          "Tables.events rather than letting queries run against a misread column.")
+    }
+  }
 
-  /** Encoding-adaptive events reader. Branches on the type the parquet
-    * footer actually yields for `ts`:
-    *   - timestamp / timestamp_ntz (µs- or ms-annotated) → read it as
-    *     TIMESTAMP_NTZ directly (naive, matching DuckDB).
-    *   - int64 (a timestamp[ns] column surfaced as raw Long under
+  /** Encoding-adaptive events reader. Each footer-probed encoding group
+    * (see `eventsTsEncodings`) is normalized to a naive µs timestamp:
+    *   - µs/ms timestamp annotations → read as TIMESTAMP_NTZ directly
+    *     (naive, matching DuckDB; event-time predicates push down to the
+    *     scan — the ns path below can't offer that).
+    *   - ns-annotated or raw int64 (surfaced as Long under
     *     `spark.sql.legacy.parquet.nanosAsLong`, which our sessions keep
     *     set for exactly this case) → `ts div 1000` → µs. `div` =
     *     integral division: `/` would go through DOUBLE, which cannot
     *     represent epoch-ns exactly (2^53 < 1.7e18) and yields ±1µs
-    *     errors; the ns data carried only µs-scale jitter, so truncation
+    *     errors; the ns data carries only µs-scale jitter, so truncation
     *     is lossless.
-    * Anything else throws — a third encoding must fail loudly, not
-    * produce wrong answers (see SchemaDriftSpec). */
+    * A single-encoding table (the overwhelmingly common case) reads the
+    * directory itself — identical plan to a plain `spark.read.parquet`.
+    * A MIXED table — the realistic 100 TB lake shape, where files written
+    * across years carry different encodings — unions one normalized scan
+    * per group (`basePath` preserves partition columns), instead of
+    * failing mid-scan with a low-level converter error or, worse, decoding
+    * one group 1000× off. Unknown encodings throw (SchemaDriftSpec). */
   def events(s: SparkSession, d: String): DataFrame = {
     readerCache.keySet.removeIf(_._1.sparkContext.isStopped)
     readerCache.computeIfAbsent((s, s"$d/events.parquet#normalized"), { case (sess, _) =>
       val path = s"$d/events.parquet"
       val base = schemas("events")
-      probeEventsTsType(sess, d) match {
-        case TimestampNTZType | TimestampType =>
-          sess.read.schema(base).parquet(path)
-        case LongType =>
-          val nsSchema = StructType(base.map(f =>
-            if (f.name == "ts") f.copy(dataType = LongType) else f))
-          sess.read.schema(nsSchema).parquet(path)
-            .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-        case other =>
-          throw new IllegalStateException(
-            s"events.ts decoded as $other — expected a timestamp type (µs/ms data) " +
-              "or Long (ns data under nanosAsLong). The testdata encoding has " +
-              "drifted again; extend Tables.events rather than letting queries " +
-              "run against a misread column.")
+      val nsSchema = StructType(base.map(f =>
+        if (f.name == "ts") f.copy(dataType = LongType) else f))
+      def readNtz(paths: Seq[String]): DataFrame =
+        if (paths.isEmpty) sess.read.schema(base).parquet(path)
+        else sess.read.schema(base).option("basePath", path).parquet(paths: _*)
+      def readNs(paths: Seq[String]): DataFrame = {
+        val r = if (paths.isEmpty) sess.read.schema(nsSchema).parquet(path)
+                else sess.read.schema(nsSchema).option("basePath", path).parquet(paths: _*)
+        r.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      }
+      eventsTsEncodings(sess, d).toSeq.sortBy(_._1.typeName) match {
+        case Seq((TimestampNTZType, _)) => readNtz(Nil) // whole-directory fast path
+        case Seq((LongType, _))         => readNs(Nil)
+        case groups if groups.nonEmpty =>
+          groups.map {
+            case (TimestampNTZType, files) => readNtz(files)
+            case (LongType, files)         => readNs(files)
+            case (other, files) => throw new IllegalStateException(
+              s"events.ts group $other (${files.size} files) has no reader")
+          }.reduce(_ unionByName _)
+        case _ => throw new IllegalStateException(s"no parquet files under $path")
       }
     })
   }

@@ -64,13 +64,13 @@ class SchemaDriftSpec extends SparkSpec {
     fixtureUs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
       .write.mode("overwrite").parquet(s"$dirUs/events.parquet")
-    assert(Tables.probeEventsTsType(spark, dirUs) === TimestampNTZType)
+    assert(Tables.eventsTsEncodings(spark, dirUs).keySet === Set(TimestampNTZType))
 
     // ns branch: write ts as raw epoch-ns longs (int64 footer → LongType).
     fixtureUs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .withColumn("ts", col("ts") * lit(1000L))
       .write.mode("overwrite").parquet(s"$dirNs/events.parquet")
-    assert(Tables.probeEventsTsType(spark, dirNs) === LongType)
+    assert(Tables.eventsTsEncodings(spark, dirNs).keySet === Set(LongType))
 
     val us = Tables.events(spark, dirUs).orderBy("event_id")
     val ns = Tables.events(spark, dirNs).orderBy("event_id")
@@ -80,6 +80,36 @@ class SchemaDriftSpec extends SparkSpec {
     // And the values are the written instants, not a 1000×-collapsed echo.
     val micros = us.select(unix_micros(col("ts").cast("timestamp"))).as[Long].collect()
     assert(micros.toSeq === fixtureUs.map(_._2))
+  }
+
+  test("Tables.events: a MIXED-encoding directory normalizes every file (100 TB lake shape)") {
+    import spark.implicits._
+    // One table directory whose files disagree on the ts encoding — the
+    // realistic shape of a lake written across years. A naive single-
+    // schema read fails mid-scan on the minority files (or worse, decodes
+    // them 1000× off); the adaptive reader must union one normalized scan
+    // per encoding group and lose nothing.
+    val dir = java.nio.file.Files.createTempDirectory("drift_mixed").toString
+    val tablePath = s"$dir/events.parquet"
+    fixtureUs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
+      .coalesce(1).write.mode("append").parquet(tablePath)
+    val shifted = fixtureUs.map { case (id, ts, u, e, v, p) => (id + 10, ts, u, e, v, p) }
+    shifted.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts") * lit(1000L))
+      .coalesce(1).write.mode("append").parquet(tablePath)
+
+    val enc = Tables.eventsTsEncodings(spark, dir)
+    assert(enc.keySet === Set(TimestampNTZType, LongType))
+    val out = Tables.events(spark, dir)
+    assert(out.schema("ts").dataType === TimestampNTZType)
+    val got = out.select(col("event_id"), unix_micros(col("ts").cast("timestamp")))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 6)
+    for ((id, ts, _, _, _, _) <- fixtureUs) {
+      assert(got(id) === ts, s"µs-file row $id")
+      assert(got(id + 10) === ts, s"ns-file row ${id + 10} not normalized")
+    }
   }
 
   test("Tables.events: an unsupported ts encoding fails loudly") {
