@@ -29,6 +29,10 @@ object Graft {
       .config("spark.sql.shuffle.partitions", sp)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Write timestamps as annotated µs, not legacy INT96: outputs stay
+      // readable by DuckDB/pyarrow AND by our own encoding-adaptive
+      // events reader without a third branch.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -40,8 +44,9 @@ object Graft {
     * `spark.sql("SELECT ... FROM lineitem JOIN orders ...")`. */
   def registerTables(spark: SparkSession, dir: String): Unit = {
     // Through Tables.table, not a re-implemented read: the accessors
-    // carry the per-session reader cache and the events ns→µs
-    // conversion, and stay the single place the load pattern lives.
+    // carry the per-session reader cache and the encoding-adaptive
+    // events normalization, and stay the single place the load pattern
+    // lives.
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings", "events").foreach { t =>
       Tables.table(spark, dir, t).createOrReplaceTempView(t)
