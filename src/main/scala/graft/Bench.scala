@@ -113,7 +113,9 @@ object Bench {
       // Failure sentinels stay visible per-query but don't corrupt the sum.
       val total = results.map(_._2).filter(_ >= 0).sum
       val passes = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
-      s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"load":"before=$loadBefore after=$loadAfter"}"""
+      // wall = emission time (epoch ms): lets a consumer of bench_out.json
+      // tell a fresh record from a stale one left by an earlier run.
+      s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"load":"before=$loadBefore after=$loadAfter","wall":${System.currentTimeMillis()}}"""
     }
     // Two anchor sets, two JSON lines. "total" is the q01–q40 BASELINE.md
     // DuckDB anchor set — kept first and format-identical so the

@@ -12,8 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is timestamp[ns] parquet, unreadable by Spark natively:
-      // read as Long ns (Tables.events converts back to TimestampType).
+      // Kept so Tables.events' legacy-ns branch can still decode
+      // ns-annotated files (the encoding-adaptive reader handles the
+      // current µs testdata without it).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // µs timestamps in dumps — what DuckDB/pyarrow compare against.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

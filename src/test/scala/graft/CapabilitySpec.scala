@@ -133,6 +133,7 @@ class CapabilitySpec extends SparkSpec {
     val out = Multimodal.decodeFeatures(Multimodal.syntheticMedia(
         fixed.toDF("doc_id", "text", "source", "n_chars")))
       .orderBy("media_id").collect()
+    assert(out.length === fixed.length) // zip must not silently truncate
     for (((id, text, _, _), row) <- fixed.zip(out)) {
       val bytes = text.getBytes("UTF-8")
       val fp = xxh64(bytes, 42L)
@@ -152,6 +153,7 @@ class CapabilitySpec extends SparkSpec {
     assert(docs.size === 3)
     val rows = graft.ops.Extended.q48MediaFeatures(spark, sf0001)
       .filter(col("media_id") < 3).orderBy("media_id").collect()
+    assert(rows.length === 3)
     for (row <- rows) {
       val bytes = docs(row.getLong(0)).getBytes("UTF-8")
       val fp = xxh64(bytes, 42L)

@@ -27,6 +27,20 @@ class SchemaDriftSpec extends SparkSpec {
   private val tableNames = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Fixture dirs live under one suite root, removed in afterAll — repeated
+  // runs must not accumulate parquet junk in /tmp.
+  private val fixtureRoot = java.nio.file.Files.createTempDirectory("drift_spec")
+  private def fixtureDir(name: String): String =
+    java.nio.file.Files.createDirectory(fixtureRoot.resolve(name)).toString
+
+  override def afterAll(): Unit = {
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(fixtureRoot).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    } finally super.afterAll()
+  }
+
   test("parquet footers at sf0.001 still match the explicit reader schemas") {
     for (name <- tableNames) {
       val inferred = spark.read.parquet(s"$sf0001/$name.parquet").schema
@@ -56,8 +70,8 @@ class SchemaDriftSpec extends SparkSpec {
 
   test("Tables.events: µs-timestamp and ns-long encodings normalize identically") {
     import spark.implicits._
-    val dirUs = java.nio.file.Files.createTempDirectory("drift_us").toString
-    val dirNs = java.nio.file.Files.createTempDirectory("drift_ns").toString
+    val dirUs = fixtureDir("us")
+    val dirNs = fixtureDir("ns")
 
     // µs branch: write ts as a real naive timestamp (parquet timestamp[us]
     // under the session's TIMESTAMP_MICROS output type).
@@ -89,7 +103,7 @@ class SchemaDriftSpec extends SparkSpec {
     // schema read fails mid-scan on the minority files (or worse, decodes
     // them 1000× off); the adaptive reader must union one normalized scan
     // per encoding group and lose nothing.
-    val dir = java.nio.file.Files.createTempDirectory("drift_mixed").toString
+    val dir = fixtureDir("mixed")
     val tablePath = s"$dir/events.parquet"
     fixtureUs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
@@ -112,9 +126,40 @@ class SchemaDriftSpec extends SparkSpec {
     }
   }
 
+  test("Tables.events: instant-semantics (adjusted-to-UTC) µs surfaces as UTC wall-clock") {
+    import spark.implicits._
+    val dir = fixtureDir("ltz")
+    // timestamp_micros WITHOUT the ntz cast = TimestampType (LTZ) → the
+    // session's TIMESTAMP_MICROS output writes isAdjustedToUTC=true. This
+    // is exactly what a user pipeline writing instants produces.
+    fixtureUs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(Tables.eventsTsEncodings(spark, dir).keySet === Set(TimestampType))
+    val out = Tables.events(spark, dir).orderBy("event_id")
+    assert(out.schema("ts").dataType === TimestampNTZType)
+    // Under the pinned UTC session, the UTC instants render as the same
+    // wall-clock values the naive-µs twin carries.
+    val micros = out.select(unix_micros(col("ts").cast("timestamp"))).as[Long].collect()
+    assert(micros.toSeq === fixtureUs.map(_._2))
+  }
+
+  test("Tables.events: unannotated int64 of µs magnitude is refused, not collapsed") {
+    import spark.implicits._
+    // The round-7 failure class: a raw Long column the ns contract would
+    // div-1000 into 1970. The footer-stats magnitude guard must refuse to
+    // guess the unit (epoch-µs for 2024 is ~1.7e15, far below the 1e17
+    // plausibility floor for ns).
+    val dir = fixtureDir("raw_us")
+    fixtureUs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("too small to be epoch-ns"))
+  }
+
   test("Tables.events: an unsupported ts encoding fails loudly") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("drift_bad").toString
+    val dir = fixtureDir("bad")
     fixtureUs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .withColumn("ts", col("ts").cast("string"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
