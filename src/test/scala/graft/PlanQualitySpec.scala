@@ -57,7 +57,8 @@ class PlanQualitySpec extends SparkSpec {
     // this pushdown is forfeited — so the assertion only applies to
     // µs-encoded testdata, and the test cancels rather than fails if the
     // sandbox regenerates back to ns.)
-    assume(graft.ops.Tables.eventsTsEncodings(spark, sf001).keySet ==
+    assume(graft.sources.AdaptiveTimestamps.tsEncodings(
+      spark, s"$sf001/events.parquet", "ts").keySet ==
       Set(org.apache.spark.sql.types.TimestampNTZType),
       "testdata is not µs-encoded; ts pushdown legitimately unavailable")
     val p = graft.ops.Tables.events(spark, sf001)

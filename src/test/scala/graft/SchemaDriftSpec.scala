@@ -62,6 +62,9 @@ class SchemaDriftSpec extends SparkSpec {
     }
   }
 
+  private def probe(dir: String): Set[org.apache.spark.sql.types.DataType] =
+    graft.sources.AdaptiveTimestamps.tsEncodings(spark, s"$dir/events.parquet", "ts").keySet
+
   // Six-column events fixture rows, ts expressed as epoch-µs.
   private val fixtureUs = Seq(
     (1L, 1704067200000000L, 10L, "click", 1.5, """{"k":1}"""),
@@ -78,13 +81,13 @@ class SchemaDriftSpec extends SparkSpec {
     fixtureUs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
       .write.mode("overwrite").parquet(s"$dirUs/events.parquet")
-    assert(Tables.eventsTsEncodings(spark, dirUs).keySet === Set(TimestampNTZType))
+    assert(probe(dirUs) === Set(TimestampNTZType))
 
     // ns branch: write ts as raw epoch-ns longs (int64 footer → LongType).
     fixtureUs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .withColumn("ts", col("ts") * lit(1000L))
       .write.mode("overwrite").parquet(s"$dirNs/events.parquet")
-    assert(Tables.eventsTsEncodings(spark, dirNs).keySet === Set(LongType))
+    assert(probe(dirNs) === Set(LongType))
 
     val us = Tables.events(spark, dirUs).orderBy("event_id")
     val ns = Tables.events(spark, dirNs).orderBy("event_id")
@@ -113,8 +116,7 @@ class SchemaDriftSpec extends SparkSpec {
       .withColumn("ts", col("ts") * lit(1000L))
       .coalesce(1).write.mode("append").parquet(tablePath)
 
-    val enc = Tables.eventsTsEncodings(spark, dir)
-    assert(enc.keySet === Set(TimestampNTZType, LongType))
+    assert(probe(dir) === Set(TimestampNTZType, LongType))
     val out = Tables.events(spark, dir)
     assert(out.schema("ts").dataType === TimestampNTZType)
     val got = out.select(col("event_id"), unix_micros(col("ts").cast("timestamp")))
@@ -135,7 +137,7 @@ class SchemaDriftSpec extends SparkSpec {
     fixtureUs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .withColumn("ts", timestamp_micros(col("ts")))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    assert(Tables.eventsTsEncodings(spark, dir).keySet === Set(TimestampType))
+    assert(probe(dir) === Set(TimestampType))
     val out = Tables.events(spark, dir).orderBy("event_id")
     assert(out.schema("ts").dataType === TimestampNTZType)
     // Under the pinned UTC session, the UTC instants render as the same
@@ -164,6 +166,6 @@ class SchemaDriftSpec extends SparkSpec {
       .withColumn("ts", col("ts").cast("string"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val e = intercept[IllegalStateException](Tables.events(spark, dir))
-    assert(e.getMessage.contains("events.ts decoded as"))
+    assert(e.getMessage.contains("ts decoded as"))
   }
 }
