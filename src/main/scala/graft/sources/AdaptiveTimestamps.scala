@@ -32,7 +32,8 @@ object AdaptiveTimestamps {
     *   - `TimestampNTZType`: naive (isAdjustedToUTC=false) µs/ms
     *     timestamp annotations;
     *   - `TimestampType`: instant-semantics (isAdjustedToUTC=true) µs/ms
-    *     annotations — read as LTZ, then rendered as UTC wall-clock;
+    *     annotations AND legacy INT96 (Hive/Impala/old-Spark) — read as
+    *     LTZ, then rendered as UTC wall-clock;
     *   - `LongType`: ns annotations (via `nanosAsLong`) and unannotated
     *     int64 whose column statistics are ns-magnitude (the raw-epoch-ns
     *     contract). Unannotated int64 that could be µs/ms/s THROWS —
@@ -66,12 +67,18 @@ object AdaptiveTimestamps {
       try {
         val sch = reader.getFileMetaData.getSchema
         val ts = sch.getFields.get(sch.getFieldIndex(tsCol))
-        if (!(ts.isPrimitive && ts.asPrimitiveType.getPrimitiveTypeName == PrimitiveTypeName.INT64))
+        val primitive = if (ts.isPrimitive) ts.asPrimitiveType.getPrimitiveTypeName else null
+        if (primitive == PrimitiveTypeName.INT96) {
+          // Legacy Hive/Impala/old-Spark encoding, still common in real
+          // lakes. Spark decodes it natively as an instant → same LTZ
+          // read + UTC-wall-clock rendering as adjusted-to-UTC int64.
+          TimestampType
+        } else if (primitive != PrimitiveTypeName.INT64) {
           throw new IllegalStateException(
-            s"$tsCol decoded as $ts in $file — expected a µs/ms timestamp " +
-              "or int64 ns. The data's encoding has drifted; extend " +
+            s"$tsCol decoded as $ts in $file — expected a µs/ms timestamp, " +
+              "int64 ns, or legacy INT96. The data's encoding has drifted; extend " +
               "AdaptiveTimestamps rather than letting queries run against a misread column.")
-        ts.getLogicalTypeAnnotation match {
+        } else ts.getLogicalTypeAnnotation match {
           case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
             if (t.getUnit == TimeUnit.NANOS) LongType
             else if (t.isAdjustedToUTC) TimestampType

@@ -146,6 +146,41 @@ class SchemaDriftSpec extends SparkSpec {
     assert(micros.toSeq === fixtureUs.map(_._2))
   }
 
+  test("Tables.events: ms-annotated timestamps normalize to the same instants") {
+    import spark.implicits._
+    val dir = fixtureDir("ms")
+    // ms-aligned values only — a TIMESTAMP_MILLIS write truncates µs
+    // jitter, which would make equality vacuously false, not a reader bug.
+    val msAligned = fixtureUs.map { case (id, ts, u, e, v, p) => (id, ts / 1000 * 1000, u, e, v, p) }
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try msAligned.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    assert(probe(dir) === Set(TimestampNTZType))
+    val micros = Tables.events(spark, dir).orderBy("event_id")
+      .select(unix_micros(col("ts").cast("timestamp"))).as[Long].collect()
+    assert(micros.toSeq === msAligned.map(_._2))
+  }
+
+  test("Tables.events: legacy INT96 timestamps normalize to the same instants") {
+    import spark.implicits._
+    val dir = fixtureDir("int96")
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    // INT96 writes require an instant (LTZ) column, not NTZ.
+    try fixtureUs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    assert(probe(dir) === Set(TimestampType))
+    val out = Tables.events(spark, dir).orderBy("event_id")
+    assert(out.schema("ts").dataType === TimestampNTZType)
+    val micros = out.select(unix_micros(col("ts").cast("timestamp"))).as[Long].collect()
+    assert(micros.toSeq === fixtureUs.map(_._2))
+  }
+
   test("Tables.events: unannotated int64 of µs magnitude is refused, not collapsed") {
     import spark.implicits._
     // The round-7 failure class: a raw Long column the ns contract would
