@@ -128,6 +128,37 @@ class SchemaDriftSpec extends SparkSpec {
     }
   }
 
+  test("AdaptiveTimestamps: a PARTITIONED mixed-encoding layout keeps partition columns") {
+    import spark.implicits._
+    // The true lake shape: hive-partitioned directories where each
+    // partition era carries its own encoding (day=1 written by the new
+    // µs pipeline, day=2 by the old ns one). The group reads go through
+    // explicit file lists, so `basePath` must reconstruct the partition
+    // column for every group.
+    val dir = fixtureDir("part_mixed")
+    val tablePath = s"$dir/events.parquet"
+    fixtureUs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
+      .coalesce(1).write.parquet(s"$tablePath/day=1")
+    val shifted = fixtureUs.map { case (id, ts, u, e, v, p) => (id + 10, ts, u, e, v, p) }
+    shifted.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts") * lit(1000L))
+      .coalesce(1).write.parquet(s"$tablePath/day=2")
+
+    val out = graft.sources.AdaptiveTimestamps.readNormalized(
+      spark, tablePath, Tables.schemas("events"), "ts")
+    assert(out.schema.fieldNames.contains("day"), "partition column lost")
+    assert(out.schema("ts").dataType === TimestampNTZType)
+    val got = out.select(col("event_id"), col("day").cast("int"),
+        unix_micros(col("ts").cast("timestamp")))
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.size === 6)
+    for ((id, ts, _, _, _, _) <- fixtureUs) {
+      assert(got(id) === ((1, ts)), s"µs partition row $id")
+      assert(got(id + 10) === ((2, ts)), s"ns partition row ${id + 10}")
+    }
+  }
+
   test("Tables.events: instant-semantics (adjusted-to-UTC) µs surfaces as UTC wall-clock") {
     import spark.implicits._
     val dir = fixtureDir("ltz")
