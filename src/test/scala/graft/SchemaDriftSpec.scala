@@ -9,18 +9,24 @@ import graft.ops.Tables
   * parquet fixtures and changed events.ts from timestamp[ns] to
   * timestamp[us]; the then-hardcoded ns conversion silently collapsed
   * every timestamp 1000× and eight queries went wrong WITHOUT A SINGLE
-  * ERROR). These tests make the next silent regeneration fail loudly:
+  * ERROR). These tests make the next silent regeneration fail loudly,
+  * and pin the full [[graft.sources.AdaptiveTimestamps]] encoding
+  * matrix:
   *
   *  1. Every table's parquet footer must still infer to the schema the
   *     explicit readers assume (`Tables.schemas`), with events.ts allowed
   *     either encoding the adaptive reader handles.
-  *  2. Both `Tables.events` branches are exercised against written
-  *     fixtures and must produce identical normalized timestamps. (A
-  *     Spark-written Long column is plain int64, not ns-annotated int64 —
-  *     but under `nanosAsLong` both surface to the reader as LongType,
-  *     which is exactly the signal the branch dispatches on, so the
+  *  2. Every supported encoding round-trips to the same normalized
+  *     instants: naive µs, naive ms, adjusted-UTC µs, ns-as-long,
+  *     legacy INT96, a mixed flat directory, and a hive-partitioned
+  *     mixed layout (partition columns must survive the per-group file
+  *     lists). (A Spark-written Long column is plain int64, not
+  *     ns-annotated — but under `nanosAsLong` both surface as LongType,
+  *     which is exactly the signal the reader dispatches on, so the
   *     fixture drives the same code path as real ns data.)
-  *  3. A third, unsupported encoding must throw, not mis-read.
+  *  3. Ambiguous or unsupported encodings must THROW, not mis-read:
+  *     unannotated int64 whose stats are µs-magnitude, and non-timestamp
+  *     physical types.
   */
 class SchemaDriftSpec extends SparkSpec {
 
