@@ -77,21 +77,33 @@ object Tables {
   private val readerCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  // Tables with a time column route through the encoding-adaptive reader
+  // (a single cached footer probe each; on the current single-encoding
+  // µs data the produced scan is IDENTICAL to the plain explicit-schema
+  // read). orders/lineitem already survived one silent drift (ms → µs,
+  // absorbed by the annotated-timestamp coercion) — an ns drift would
+  // have failed mid-scan without this.
+  private val timeCols = Map(
+    "events" -> "ts", "orders" -> "o_orderdate", "lineitem" -> "l_shipdate")
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Drop entries owned by stopped sessions so long-lived processes that
     // cycle SparkSessions don't retain dead DataFrames forever.
     readerCache.keySet.removeIf(_._1.sparkContext.isStopped)
     readerCache.computeIfAbsent((spark, s"$dir/$name.parquet"), { case (s, path) =>
-      s.read.schema(schemas(name)).parquet(path)
+      timeCols.get(name) match {
+        case Some(tsCol) =>
+          graft.sources.AdaptiveTimestamps.readNormalized(s, path, schemas(name), tsCol)
+        case None => s.read.schema(schemas(name)).parquet(path)
+      }
     })
   }
 
   /** Name-keyed accessor (the same cached readers as the typed methods
     * below — callers like Graft.registerTables must not re-implement the
-    * read and bypass the cache). `events` routes through the
+    * read and bypass the cache). Time-columned tables route through the
     * encoding-adaptive reader. */
-  def table(s: SparkSession, d: String, name: String): DataFrame =
-    if (name == "events") events(s, d) else t(s, d, name)
+  def table(s: SparkSession, d: String, name: String): DataFrame = t(s, d, name)
 
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
@@ -103,21 +115,14 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
-  /** Encoding-adaptive events reader: the table whose physical time
-    * encoding has actually drifted between testdata generations (ns → µs,
-    * 2026-08-13; a blind conversion silently collapsed every timestamp
-    * 1000× — the round-7 postmortem). Delegates to
-    * [[graft.sources.AdaptiveTimestamps.readNormalized]], which probes
+  /** The table whose physical time encoding has actually drifted between
+    * testdata generations (ns → µs, 2026-08-13; a blind conversion
+    * silently collapsed every timestamp 1000× — the round-7 postmortem).
+    * [[graft.sources.AdaptiveTimestamps.readNormalized]] (via `t`) probes
     * every parquet footer, reads each encoding group with the right
-    * schema (naive µs/ms → direct NTZ scan with pushdown; adjusted-UTC →
-    * LTZ read rendered as UTC wall-clock; ns/raw int64 → integral
-    * `div 1000`), refuses ambiguous raw-int64 units, and unions mixed
-    * directories. SchemaDriftSpec pins every branch. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    readerCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    readerCache.computeIfAbsent((s, s"$d/events.parquet#normalized"), { case (sess, _) =>
-      graft.sources.AdaptiveTimestamps.readNormalized(
-        sess, s"$d/events.parquet", schemas("events"), "ts")
-    })
-  }
+    * schema (naive µs/ms → direct NTZ scan with pushdown; adjusted-UTC /
+    * INT96 → LTZ read rendered as UTC wall-clock; ns/raw int64 →
+    * integral `div 1000`), refuses ambiguous raw-int64 units, and unions
+    * mixed directories. SchemaDriftSpec pins every branch. */
+  def events(s: SparkSession, d: String): DataFrame = t(s, d, "events")
 }
