@@ -66,6 +66,10 @@ object AdaptiveTimestamps {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         val sch = reader.getFileMetaData.getSchema
+        if (!sch.containsField(tsCol))
+          throw new IllegalStateException(
+            s"$tsCol is missing from $file (columns: ${sch.getFields.asScala.map(_.getName).mkString(", ")}) — " +
+              "the table's column set has drifted, not just its encoding.")
         val ts = sch.getFields.get(sch.getFieldIndex(tsCol))
         val primitive = if (ts.isPrimitive) ts.asPrimitiveType.getPrimitiveTypeName else null
         if (primitive == PrimitiveTypeName.INT96) {

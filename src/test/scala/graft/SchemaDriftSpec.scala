@@ -231,6 +231,17 @@ class SchemaDriftSpec extends SparkSpec {
     assert(e.getMessage.contains("too small to be epoch-ns"))
   }
 
+  test("Tables.events: a file missing the ts column names the drift, not a parquet internal") {
+    import spark.implicits._
+    val dir = fixtureDir("no_ts")
+    fixtureUs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .drop("ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("ts is missing from"))
+    assert(e.getMessage.contains("column set has drifted"))
+  }
+
   test("Tables.events: an unsupported ts encoding fails loudly") {
     import spark.implicits._
     val dir = fixtureDir("bad")
