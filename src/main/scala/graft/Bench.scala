@@ -140,9 +140,16 @@ object Bench {
     // (very long) core line. Persist both lines to a file it can read
     // whole, then print them LAST — after spark.stop(), so no shutdown
     // chatter can follow them on any stream.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // Delete any stale file from a previous run FIRST: a swallowed write
+    // failure must surface as a missing file, never as outdated numbers
+    // masquerading as this run's record.
+    try {
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get("bench_out.json"))
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"bench_out.json write failed (stdout lines below remain authoritative): $e")
+    }
     spark.stop()
     lines.foreach(println)
   }

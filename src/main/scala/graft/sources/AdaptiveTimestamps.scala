@@ -36,7 +36,8 @@ object AdaptiveTimestamps {
     *     LTZ, then rendered as UTC wall-clock;
     *   - `LongType`: ns annotations (via `nanosAsLong`) and unannotated
     *     int64 whose column statistics are ns-magnitude (the raw-epoch-ns
-    *     contract). Unannotated int64 that could be µs/ms/s THROWS —
+    *     contract). Unannotated int64 that could be µs/ms/s THROWS, and so
+    *     does unannotated int64 with no usable stats to corroborate ns —
     *     guessing the unit is exactly how silent 1000× collapses happen.
     * Any other physical shape throws.
     *
@@ -84,7 +85,18 @@ object AdaptiveTimestamps {
               "AdaptiveTimestamps rather than letting queries run against a misread column.")
         } else ts.getLogicalTypeAnnotation match {
           case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-            if (t.getUnit == TimeUnit.NANOS) LongType
+            if (t.getUnit == TimeUnit.NANOS) {
+              // The ns-annotated read path needs the session to surface the
+              // column as Long; without the flag the scan dies mid-read with
+              // a low-level parquet converter error instead of this module's
+              // curated drift message — so check it here, at probe time.
+              if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+                throw new IllegalStateException(
+                  s"$tsCol is ns-annotated in $file but the session does not set " +
+                    "spark.sql.legacy.parquet.nanosAsLong=true — set it (Graft sessions " +
+                    "do) so ns columns surface as Long for explicit normalization.")
+              LongType
+            }
             else if (t.isAdjustedToUTC) TimestampType
             else TimestampNTZType
           case null =>
@@ -98,12 +110,18 @@ object AdaptiveTimestamps {
                 .map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue)
             }.maxOption
             tsMax match {
-              case Some(m) if m < MinPlausibleEpochNs => throw new IllegalStateException(
+              case Some(m) if m >= MinPlausibleEpochNs => LongType // ns-magnitude confirmed
+              case Some(m) => throw new IllegalStateException(
                 s"$tsCol is unannotated int64 with max value $m in $file — " +
                   "too small to be epoch-ns (would be pre-1973); it is probably " +
                   "epoch-µs/ms/s. Refusing to guess the unit: annotate the column " +
                   "or extend AdaptiveTimestamps with the actual encoding.")
-              case _ => LongType // ns-magnitude confirmed (or no stats to refute)
+              case None => throw new IllegalStateException(
+                s"$tsCol is unannotated int64 with no usable column statistics in $file — " +
+                  "nothing corroborates the epoch-ns contract, and a writer that " +
+                  "stored µs/ms here would be silently collapsed 1000×. Refusing to " +
+                  "guess the unit: annotate the column, write stats, or extend " +
+                  "AdaptiveTimestamps with the actual encoding.")
             }
           case other => throw new IllegalStateException(
             s"$tsCol decoded as int64[$other] in $file — unsupported annotation")
@@ -133,6 +151,17 @@ object AdaptiveTimestamps {
     * (SchemaDriftSpec). */
   def readNormalized(s: SparkSession, path: String, schema: StructType,
                      tsCol: String): DataFrame = {
+    // The adjusted-UTC/INT96 branch renders instants as wall-clock via an
+    // LTZ→NTZ cast, which uses the SESSION time zone. Every Graft session
+    // pins UTC; a non-UTC caller would get silently shifted timestamps, so
+    // fail loudly here at the call boundary rather than drift quietly.
+    val tz = s.conf.get("spark.sql.session.timeZone")
+    if (tz != "UTC" && tz != "Etc/UTC" && tz != "+00:00")
+      throw new IllegalStateException(
+        s"AdaptiveTimestamps.readNormalized requires spark.sql.session.timeZone=UTC " +
+          s"(found '$tz'): the adjusted-UTC/INT96 normalization casts LTZ→NTZ, which " +
+          "renders wall-clock in the session zone — a non-UTC session would shift " +
+          "every instant-encoded timestamp silently.")
     def tsAs(t: DataType) = StructType(schema.map(f =>
       if (f.name == tsCol) f.copy(dataType = t) else f))
     def read(sch: StructType, paths: Seq[String]): DataFrame =

@@ -25,8 +25,13 @@ import graft.ops.Tables
   *     which is exactly the signal the reader dispatches on, so the
   *     fixture drives the same code path as real ns data.)
   *  3. Ambiguous or unsupported encodings must THROW, not mis-read:
-  *     unannotated int64 whose stats are µs-magnitude, and non-timestamp
-  *     physical types.
+  *     unannotated int64 whose stats are µs-magnitude, unannotated int64
+  *     with no usable stats at all (nothing corroborates the ns
+  *     contract), and non-timestamp physical types.
+  *  4. Session-config hazards fail loudly at the boundary: a non-UTC
+  *     session (the LTZ→NTZ normalization would silently shift instants)
+  *     and a missing `nanosAsLong` flag on ns-annotated data (which would
+  *     otherwise die mid-scan with a low-level converter error).
   */
 class SchemaDriftSpec extends SparkSpec {
 
@@ -240,6 +245,102 @@ class SchemaDriftSpec extends SparkSpec {
     val e = intercept[IllegalStateException](Tables.events(spark, dir))
     assert(e.getMessage.contains("ts is missing from"))
     assert(e.getMessage.contains("column set has drifted"))
+  }
+
+  test("Tables.events: unannotated int64 with NO usable stats is refused, not assumed ns") {
+    import spark.implicits._
+    // A writer that omits (or nulls out) column statistics gives the
+    // magnitude guard nothing to corroborate the epoch-ns contract with.
+    // Defaulting to ns here would re-open the silent 1000× collapse for
+    // µs/ms writers that skip stats — so the reader must refuse. An
+    // all-null column is the easiest stats-less shape to produce: parquet
+    // records no min/max for it.
+    val dir = fixtureDir("no_stats")
+    fixtureUs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", lit(null).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("no usable column statistics"))
+    assert(e.getMessage.contains("Refusing to guess"))
+  }
+
+  test("AdaptiveTimestamps: a non-UTC session is rejected before the LTZ→NTZ cast") {
+    import spark.implicits._
+    // The adjusted-UTC/INT96 normalization renders instants as wall-clock
+    // in the SESSION time zone; every Graft session pins UTC, and a
+    // non-UTC caller must fail loudly instead of shifting every instant.
+    val dir = fixtureDir("tz_guard")
+    fixtureUs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val e = intercept[IllegalStateException](Tables.events(spark, dir))
+      assert(e.getMessage.contains("requires spark.sql.session.timeZone=UTC"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  /** True TIMESTAMP(NANOS) annotation — Spark cannot WRITE it, so drive
+    * parquet-mr's example writer directly. This is the genuine encoding
+    * the `nanosAsLong` branch exists for (the Spark-written raw-int64
+    * fixtures above exercise the same LongType dispatch, but not the
+    * annotation itself). */
+  private def writeNanosAnnotated(dir: String): Unit = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    val msg = Types.buildMessage()
+      .required(PrimitiveTypeName.INT64).named("event_id")
+      .required(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.NANOS)).named("ts")
+      .required(PrimitiveTypeName.INT64).named("user_id")
+      .required(PrimitiveTypeName.BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .required(PrimitiveTypeName.DOUBLE).named("value")
+      .required(PrimitiveTypeName.BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named("props")
+      .named("events")
+    val factory = new SimpleGroupFactory(msg)
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$dir/events.parquet/part-0.parquet"))
+      .withConf(spark.sparkContext.hadoopConfiguration)
+      .withType(msg)
+      .build()
+    try fixtureUs.foreach { case (id, tsUs, uid, et, v, p) =>
+      val g = factory.newGroup()
+      g.append("event_id", id)
+      g.append("ts", tsUs * 1000L) // epoch-ns
+      g.append("user_id", uid)
+      g.append("event_type", et)
+      g.append("value", v)
+      g.append("props", p)
+      writer.write(g)
+    } finally writer.close()
+  }
+
+  test("Tables.events: ns-ANNOTATED int64 normalizes to the same instants") {
+    import spark.implicits._
+    val dir = fixtureDir("ns_annotated")
+    writeNanosAnnotated(dir)
+    assert(probe(dir) === Set(LongType))
+    val out = Tables.events(spark, dir).orderBy("event_id")
+    assert(out.schema("ts").dataType === TimestampNTZType)
+    val micros = out.select(unix_micros(col("ts").cast("timestamp"))).as[Long].collect()
+    assert(micros.toSeq === fixtureUs.map(_._2))
+  }
+
+  test("AdaptiveTimestamps: ns-annotated data without nanosAsLong fails with the curated message") {
+    val dir = fixtureDir("ns_no_flag")
+    writeNanosAnnotated(dir)
+    val prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    try {
+      val e = intercept[IllegalStateException](Tables.events(spark, dir))
+      assert(e.getMessage.contains("spark.sql.legacy.parquet.nanosAsLong=true"))
+    } finally spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
   }
 
   test("Tables.events: an unsupported ts encoding fails loudly") {
