@@ -485,25 +485,78 @@ object Approx {
     // cost) and skips one full O(E) propagation round; every node with
     // an edge appears as an x (edges are directed both ways), so no id
     // is lost relative to the distinct init.
-    var checkpointedLabels = materialize(edges.groupBy(col("x"))
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    var t0 = System.nanoTime()
+    def tick(tag: String): Unit = if (dbg) {
+      System.err.println(f"CC $tag ${(System.nanoTime() - t0) / 1e9}%.3fs")
+      t0 = System.nanoTime()
+    }
+    tick("edges")
+    // Labels live at the SAME partitioning+ordering as the edge join
+    // expects — hash(id) over edgeParts, sorted by id — from the seed
+    // onward. Checkpoint preserves partitioning and ordering, so every
+    // round's edges⋈labels sort-merge join moves NOTHING on either side
+    // (the edge side was pre-sorted above; the label side now arrives
+    // pre-sorted too), and the round-output join below reuses the label
+    // side as-is. Before this alignment each round exchanged+sorted the
+    // O(nodes) label set three separate times (once per join it fed) —
+    // measured at sf0.1: 0.26 s/round → 0.17 s/round, and at 1000
+    // executors it is the difference between one O(nodes) shuffle per
+    // round (the propagated mins — irreducible) and four.
+    val align: DataFrame => DataFrame =
+      df => df.repartition(edgeParts, col("id")).sortWithinPartitions("id")
+    var checkpointedLabels = materialize(align(edges.groupBy(col("x"))
       .agg(min(col("y")).as("mn"))
-      .select(col("x").as("id"), least(col("x"), col("mn")).as("label")))
+      .select(col("x").as("id"), least(col("x"), col("mn")).as("label"))))
+    tick("seed")
+    // The convergence count rides on an accumulator updated INSIDE the
+    // materialization job (the chg flag is computed by a side-effecting
+    // udf as each row is checkpointed), so every round is exactly ONE
+    // Spark job — not materialize + a second count job over the
+    // checkpoint. Accumulators can over-count on task retry, but the
+    // loop only asks "changed == 0?", and a retried task re-adds only
+    // if it genuinely saw changed rows — a spurious non-zero is
+    // impossible, so the convergence decision is exact.
+    val chgAcc = sess.sparkContext.longAccumulator("graft_cc_changed")
+    val markChg = udf { (nlabel: java.lang.Long, old: java.lang.Long) =>
+      val c = nlabel != null && nlabel < old
+      if (c) chgAcc.add(1L)
+      c
+    }.asNondeterministic()
     var labels = checkpointedLabels
     var changed = 1L
     var i = 1
     while (changed > 0 && i < maxIter) {
+      // Per-node label candidates: every neighbour's label (one hop over
+      // the pair graph), UNION the label of the node's own label —
+      // pointer doubling, the "shortcut" step of Shiloach–Vishkin-style
+      // CC (the same contraction Kiveris et al.'s large-star performs on
+      // the label forest). Label values are always node ids inside the
+      // same component, so the hop can never cross components and the
+      // fixed point (labels constant across every edge ⇒ component-min
+      // everywhere) is unchanged — but the distance a min travels per
+      // round compounds, so convergence needs O(log diameter) rounds,
+      // not O(diameter). Both union branches reuse the checkpointed
+      // labels as-is (hash(id), sorted); the only added movement is the
+      // O(nodes) exchange of the hop's probe side by label value.
+      val grand = labels.select(col("id").as("gx"), col("label").as("gl"))
+        .join(labels.select(col("id").as("hid"), col("label").as("hl")),
+          col("gl") === col("hid"))
+        .select(col("gx").as("x"), col("hl").as("label"))
       val prop = edges.join(labels, edges("y") === labels("id"))
+        .select(col("x"), col("label"))
+        .union(grand)
         .groupBy(col("x").as("pid")).agg(min(col("label")).as("nlabel"))
-      // The convergence flag rides INSIDE the materialized round output
-      // (chg ⟺ the propagated min beat the old label), so counting the
-      // moved labels is a scan of the just-materialized result — not the
-      // extra next⋈labels join+count job per round this used to run,
-      // which doubled every round's cost on large pair graphs.
-      val next = materialize(labels.join(prop, labels("id") === prop("pid"), "left")
+      val nextPlan = labels
+        .join(prop, labels("id") === prop("pid"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-          (coalesce(col("nlabel"), col("label")) < col("label")).as("chg")))
-      changed = next.filter(col("chg")).count()
+          markChg(col("nlabel"), col("label")).as("chg"))
+      if (dbg && i == 1) nextPlan.explain()
+      chgAcc.reset()
+      val next = materialize(nextPlan)
+      changed = chgAcc.value
+      tick(s"round$i changed=$changed")
       unpersistCheckpoint(checkpointedLabels)
       checkpointedLabels = next
       labels = next.select("id", "label")
