@@ -12,6 +12,26 @@ import org.apache.spark.sql.functions._
   * anchors the dispatch-cost argument. `sbt "runMain graft.PinProbe"`.
   */
 object PinProbe {
+  /** Order-independent whole-result checksum: per-row xxhash64 over the
+    * name-sorted columns, summed with Long wraparound. Any one-value
+    * change anywhere in the result moves the sum (duplicate rows still
+    * count — sum, not xor, so a dup/drop pair can't cancel); row and
+    * partition order don't (sum commutes). This is the value pin for
+    * queries whose semantics have no SQL oracle (q43/q44/q46/q48/q49):
+    * rows-only pins caught cardinality drift but not a wrong value in
+    * a kept row. Columns are name-sorted so a projection reorder isn't
+    * a false alarm; a schema change shows up as a checksum change.
+    */
+  def resultChecksum(df: DataFrame): Long = {
+    // Decimal(38,0) accumulation: ANSI mode (Spark 4 default) makes a
+    // Long sum throw on overflow; the decimal sum is exact, and the
+    // final wrap to Long (mod 2^64) keeps every input bit relevant.
+    val h = xxhash64(df.columns.sorted.map(col): _*)
+    val r = df.select(sum(h.cast("decimal(38,0)")).as("s")).collect()(0)
+    if (r.isNullAt(0)) 0L
+    else r.getDecimal(0).toBigInteger.longValue()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -25,6 +45,23 @@ object PinProbe {
       .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // ---- value-checksum pins for the rows-only queries ----
+    // `runMain graft.PinProbe checksums` prints the per-query checksum
+    // at sf0.001 and sf0.01 (twice each, to expose any instability
+    // before a value gets pinned in GoldenCountsSpec).
+    if (args.contains("checksums")) {
+      val rowsOnly = Seq("q43_minhash_neardup", "q44_simhash_neardup",
+        "q46_ann_lsh", "q48_media_features", "q49_curation_pipeline")
+      for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01");
+           q <- rowsOnly) {
+        val c1 = resultChecksum(SparkEntry.queries(q)(spark, d))
+        val c2 = resultChecksum(SparkEntry.queries(q)(spark, d))
+        println(s"CHECKSUM $q $d $c1 stable=${c1 == c2}")
+      }
+      spark.stop()
+      return
+    }
 
     // ---- sf0.1 pins ----
     val q43 = SparkEntry.queries("q43_minhash_neardup")(spark, sfDir).count()

@@ -99,6 +99,46 @@ class GoldenCountsSpec extends SparkSpec {
     }
   }
 
+  // Value-checksum pins for the five rows-only queries (VERDICT r8 #4):
+  // the driver's oracle can't value-check them (no SQL twin), so their
+  // correctness gate was cardinality-only — a wrong value in a kept row
+  // passed. PinProbe.resultChecksum sums per-row xxhash64 over the
+  // name-sorted columns (order-independent, duplicate-sensitive): ANY
+  // one-value perturbation moves the pin. Values from
+  // `runMain graft.PinProbe checksums`, printed twice per query per
+  // scale to prove stability before pinning.
+  val checksumPins: Map[String, (Long, Long)] = Map(
+    // (sf0.001, sf0.01)
+    "q43_minhash_neardup" -> (8658598272658444332L, -2594333227022566329L),
+    "q44_simhash_neardup" -> (5432677851701134176L, 5373648200709804709L),
+    "q46_ann_lsh" -> (2382814453070165001L, 692446327345560698L),
+    "q48_media_features" -> (6763445638143062031L, 553956227294271971L),
+    "q49_curation_pipeline" -> (-563362517843263286L, -8218274097371909887L)
+  )
+
+  checksumPins.toSeq.sortBy(_._1).foreach { case (name, (c0001, c001)) =>
+    test(s"$name value checksum at sf0.001 and sf0.01") {
+      assert(PinProbe.resultChecksum(SparkEntry.queries(name)(spark, sf0001)) === c0001)
+      assert(PinProbe.resultChecksum(SparkEntry.queries(name)(spark, sf001)) === c001)
+    }
+  }
+
+  test("checksum pin trips on a single-value perturbation") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q46_ann_lsh")(spark, sf0001)
+    val cols = df.columns
+    // Nudge exactly one numeric value in exactly one row; everything
+    // else — row count, schema, column order — is unchanged.
+    val perturbed = df.withColumn("__rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(cols.map(col): _*)))
+      .withColumn(cols.head,
+        when(col("__rn") === 1, col(cols.head) + lit(1)).otherwise(col(cols.head)))
+      .drop("__rn")
+    assert(perturbed.count() === df.count())
+    assert(PinProbe.resultChecksum(perturbed) !== checksumPins("q46_ann_lsh")._1)
+  }
+
   test("entry flagship returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() === 6000)
   }
