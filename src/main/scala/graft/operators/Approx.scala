@@ -471,6 +471,12 @@ object Approx {
     val sess = pairs.sparkSession
     val edgeParts = math.max(sess.sessionState.conf.numShufflePartitions,
       sess.sparkContext.defaultParallelism)
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    var t0 = System.nanoTime()
+    def tick(tag: String): Unit = if (dbg) {
+      System.err.println(f"CC $tag ${(System.nanoTime() - t0) / 1e9}%.3fs")
+      t0 = System.nanoTime()
+    }
     val edges = materialize(pairs
       .select(explode(array(
         struct(col("a").as("x"), col("b").as("y")),
@@ -485,12 +491,6 @@ object Approx {
     // cost) and skips one full O(E) propagation round; every node with
     // an edge appears as an x (edges are directed both ways), so no id
     // is lost relative to the distinct init.
-    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
-    var t0 = System.nanoTime()
-    def tick(tag: String): Unit = if (dbg) {
-      System.err.println(f"CC $tag ${(System.nanoTime() - t0) / 1e9}%.3fs")
-      t0 = System.nanoTime()
-    }
     tick("edges")
     // Labels live at the SAME partitioning+ordering as the edge join
     // expects — hash(id) over edgeParts, sorted by id — from the seed
@@ -539,13 +539,25 @@ object Approx {
       // not O(diameter). Both union branches reuse the checkpointed
       // labels as-is (hash(id), sorted); the only added movement is the
       // O(nodes) exchange of the hop's probe side by label value.
-      val grand = labels.select(col("id").as("gx"), col("label").as("gl"))
-        .join(labels.select(col("id").as("hid"), col("label").as("hl")),
-          col("gl") === col("hid"))
-        .select(col("gx").as("x"), col("hl").as("label"))
-      val prop = edges.join(labels, edges("y") === labels("id"))
+      val base = edges.join(labels, edges("y") === labels("id"))
         .select(col("x"), col("label"))
-        .union(grand)
+      // The hop is provably a no-op in the first two rounds: after the
+      // seed, label(x) is the min of x's closed 1-ball, and inductively
+      // label(label(x))'s reach stays inside the ball the neighbour
+      // propagation covers anyway until labels are 3-ball minima
+      // (label∘label ⊆ ball(2i) vs propagation's ball(i+1); 2i > i+1
+      // only from i ≥ 2's output, i.e. round 3's input). Skipping it
+      // there drops its exchange from the two rounds every graph pays
+      // for, while deep-diameter graphs still get the exponential
+      // reach growth from round 3 on.
+      val cand = if (i <= 2) base else {
+        val grand = labels.select(col("id").as("gx"), col("label").as("gl"))
+          .join(labels.select(col("id").as("hid"), col("label").as("hl")),
+            col("gl") === col("hid"))
+          .select(col("gx").as("x"), col("hl").as("label"))
+        base.union(grand)
+      }
+      val prop = cand
         .groupBy(col("x").as("pid")).agg(min(col("label")).as("nlabel"))
       val nextPlan = labels
         .join(prop, labels("id") === prop("pid"), "left")
