@@ -150,4 +150,73 @@ object Sources {
       .option("numPartitions", numPartitions.toString)
       .option("batchsize", batchSize.toString)
       .option("isolationLevel", "READ_COMMITTED")
+
+  /** Exactly-once JDBC load via stage-validate-swap (SURVEY.md §7.5's
+    * missing clause, VERDICT r8 #5). A plain `.save()` that dies mid-way
+    * leaves the target half-written, and a blind re-run doubles rows. This
+    * writes to `<table>_stg` (overwrite — a partial staging table from a
+    * crashed run is simply replaced), validates the landed row count
+    * against the source, then promotes staging over the target with
+    * DROP + RENAME inside ONE transaction. Any failure before the commit
+    * leaves the last fully-validated target untouched, so a re-run after
+    * ANY mid-write failure converges to exactly the source rows.
+    *
+    * Derby (the in-repo test RDBMS) and Postgres have transactional DDL,
+    * making the swap atomic; on engines that auto-commit DDL (MySQL) the
+    * window shrinks to the rename pair rather than the whole load.
+    *
+    * `expectedRows` skips the extra source count when the caller already
+    * knows it (e.g. just materialized the DataFrame).
+    */
+  def jdbcStagedWrite(df: DataFrame, url: String, table: String,
+                      user: String, password: String,
+                      numPartitions: Int = 8, batchSize: Int = 10000,
+                      expectedRows: Option[Long] = None): Long = {
+    val stg = table + "_stg"
+    val expected = expectedRows.getOrElse(df.count())
+    df.repartition(numPartitions)
+      .write.mode("overwrite").format("jdbc")
+      .option("url", url)
+      .option("dbtable", stg)
+      .option("user", user)
+      .option("password", password)
+      .option("numPartitions", numPartitions.toString)
+      .option("batchsize", batchSize.toString)
+      .option("isolationLevel", "READ_COMMITTED")
+      .save()
+    val props = new java.util.Properties()
+    props.setProperty("user", user)
+    props.setProperty("password", password)
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val landed = {
+        val countSt = conn.createStatement()
+        val rs = countSt.executeQuery(s"SELECT COUNT(*) FROM $stg")
+        rs.next()
+        val n = rs.getLong(1)
+        // Derby refuses RENAME while any ResultSet on the table is open.
+        rs.close(); countSt.close()
+        n
+      }
+      if (landed != expected)
+        throw new IllegalStateException(
+          s"staged JDBC load of $table landed $landed rows, expected $expected; " +
+            "target left untouched")
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      val meta = conn.getMetaData
+      // Unquoted identifiers are case-folded by the engine; look the
+      // target up the same way the DDL below will resolve it.
+      val targetExists = meta.getTables(null, null, table.toUpperCase, null).next() ||
+        meta.getTables(null, null, table, null).next()
+      if (targetExists) st.execute(s"DROP TABLE $table")
+      st.execute(s"RENAME TABLE $stg TO $table")
+      conn.commit()
+      landed
+    } catch {
+      case e: Throwable =>
+        try conn.rollback() catch { case _: Throwable => () }
+        throw e
+    } finally conn.close()
+  }
 }

@@ -26,6 +26,47 @@ class SinkAndUdafSpec extends SparkSpec {
       .option("dbtable", "nation_sink").load().count() === 50)
   }
 
+  test("staged JDBC write is exactly-once across a simulated mid-write failure") {
+    val db = java.nio.file.Files.createTempDirectory("graft_derby_staged").toString + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    val nation = Tables.nation(spark, sf0001)
+
+    // First load: stage → validate → swap promotes exactly the source.
+    assert(Sources.jdbcStagedWrite(nation, url, "nation_swap", "app", "app",
+      numPartitions = 2) === 25L)
+    def targetCount(): Long = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "nation_swap").load().count()
+    assert(targetCount() === 25)
+
+    // Simulate a crash mid-way through a SECOND load: the staging table
+    // holds a partial write (5 rows), the target still holds the last
+    // validated load. A naive append-resume would land 25+5+25 rows.
+    nation.limit(5).write.mode("overwrite").format("jdbc")
+      .option("url", url).option("dbtable", "nation_swap_stg").save()
+    assert(spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "nation_swap_stg").load().count() === 5)
+
+    // Re-run after the failure: the partial staging table is replaced,
+    // the count validated, and the swap lands exactly-once rows.
+    assert(Sources.jdbcStagedWrite(nation, url, "nation_swap", "app", "app",
+      numPartitions = 2) === 25L)
+    assert(targetCount() === 25)
+    // the staging table was consumed by the rename, not left behind
+    val conn = java.sql.DriverManager.getConnection(url)
+    try assert(!conn.getMetaData
+      .getTables(null, null, "NATION_SWAP_STG", null).next())
+    finally conn.close()
+
+    // Validation failure leaves the target untouched: claim a row count
+    // the source cannot land.
+    val err = intercept[IllegalStateException] {
+      Sources.jdbcStagedWrite(nation, url, "nation_swap", "app", "app",
+        numPartitions = 2, expectedRows = Some(26L))
+    }
+    assert(err.getMessage.contains("expected 26"))
+    assert(targetCount() === 25)
+  }
+
   test("streaming foreachBatch JDBC sink lands micro-batches in Derby") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
