@@ -248,6 +248,50 @@ class SinkAndUdafSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("weighted percentile buffer stays bounded on a skewed stream, exact under the cap") {
+    val cap = 64
+    val agg = new Aggregators.WeightedPercentile(0.5, maxBuffer = cap)
+    val rnd = new scala.util.Random(42)
+    // Skewed stream: values power-law-bunched near 0, weights cycling
+    // over two decades — the shape that grew the old buffer without
+    // bound (one entry per input row forever).
+    val stream = (1 to 100000).map { i =>
+      (math.pow(rnd.nextDouble(), 4) * 1000.0, 1.0 / (1 + i % 100))
+    }
+    var buf = agg.zero
+    var maxLen = 0
+    stream.foreach { vw =>
+      buf = agg.reduce(buf, vw)
+      maxLen = math.max(maxLen, buf.length)
+    }
+    assert(maxLen <= cap, s"buffer grew to $maxLen > cap $cap")
+    // merge path is bounded too: merging two full buffers re-compacts
+    var buf2 = agg.zero
+    stream.take(50000).foreach { vw => buf2 = agg.reduce(buf2, vw) }
+    assert(agg.merge(buf, buf2).length <= cap)
+    // accuracy: the compacted answer lands within the +-2/cap rank
+    // window of the exact weighted p50 (use a generous +-5% window)
+    def exactAt(q: Double): Double = {
+      val sorted = stream.sortBy(_._1)
+      val target = q * sorted.iterator.map(_._2).sum
+      var cum = 0.0
+      sorted.find { case (_, w) => cum += w; cum >= target }.map(_._1).get
+    }
+    val approx = agg.finish(buf)
+    assert(approx >= exactAt(0.45) && approx <= exactAt(0.55),
+      s"approx p50 $approx outside exact rank window [${exactAt(0.45)}, ${exactAt(0.55)}]")
+    // small groups (at most cap inputs) never compact: bit-exact with
+    // the direct computation, i.e. the pre-cap semantics are unchanged
+    val small = stream.take(cap)
+    var sbuf = agg.zero
+    small.foreach { vw => sbuf = agg.reduce(sbuf, vw) }
+    val sortedSmall = small.sortBy(_._1)
+    val target = 0.5 * sortedSmall.iterator.map(_._2).sum
+    var cum = 0.0
+    val exactSmall = sortedSmall.find { case (_, w) => cum += w; cum >= target }.map(_._1).get
+    assert(agg.finish(sbuf) === exactSmall)
+  }
+
   test("SimHash near-dup finds exact duplicates, respects Hamming bound") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf0001).limit(100)
