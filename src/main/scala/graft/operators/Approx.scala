@@ -54,11 +54,27 @@ object Approx {
     * pure overhead on this family-threshold combination. Recall vs
     * exact q35 can only improve without it (CapabilitySpec pins ≥ 0.9;
     * measured 1.0 at sf0.01).
-    * At 100 TB: signatures are linear in the corpus, the band join
-    * shuffles ids only, and bucket skew is bounded by the band
-    * granularity — the same scale shape as q59's explicit family. */
+    * At 100 TB: signatures are linear in the corpus and the band join
+    * shuffles ids only, BUT the ML family's single-hash OR-banding
+    * makes the CANDIDATE count quadratic on low-similarity corpora
+    * (per-table collision ≈ pairwise Jaccard — measured in ScaleSmoke:
+    * a 150k-doc corpus's ~3.6·10⁸ candidate mass overwhelmed the
+    * sandbox before re-scoring could cull it). Run
+    * [[minHashCandidateMass]] (linear cost) first; if it comes back
+    * super-linear, use q59's banded family (4 hashes per band ⇒
+    * collision ≈ J⁴, linear mass on the same corpus) instead. */
   def minHashNearDup(spark: SparkSession, docs: DataFrame,
                      minJaccard: Double = 0.8, numHashTables: Int = 8): DataFrame = {
+    val (tokens, banded) = mlMinhashBanded(spark, docs, numHashTables)
+    minHashNearDupImpl(spark, tokens, banded, minJaccard)
+  }
+
+  /** The ML `MinHashLSH` signature/banding pipeline shared by the
+    * near-dup join and [[minHashCandidateMass]]: returns (tokens,
+    * banded) where banded = (doc_id, sig, t, hv) — one row per doc per
+    * hash table, sig the flat long signature. */
+  private def mlMinhashBanded(spark: SparkSession, docs: DataFrame,
+                              numHashTables: Int): (DataFrame, DataFrame) = {
     val tokens = docs.select(col("doc_id"),
       sort_array(array_distinct(filter(split(col("text"), " "), w => w =!= ""))).as("toks"))
     val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
@@ -84,6 +100,34 @@ object Approx {
     val banded = model.transform(featured)
       .select(col("doc_id"), array(sigCols: _*).as("sig"))
       .select(col("doc_id"), col("sig"), posexplode(col("sig")).as(Seq("t", "hv")))
+    (tokens, banded)
+  }
+
+  /** Candidate-pair mass the ML-LSH band join would materialize,
+    * WITHOUT running the join: Σ over (table, bucket) of C(size, 2).
+    * Linear work — one aggregation over the banded rows.
+    *
+    * This is the go/no-go check before launching [[minHashNearDup]] on
+    * a large corpus. Spark ML's `MinHashLSH` amplifies with OR over
+    * single-hash tables only, so any two docs collide in a table with
+    * probability ≈ their Jaccard — and on a low-similarity corpus the
+    * FALSE-candidate mass grows quadratically with the corpus
+    * (≈ tables · J̄ · n²/2). Measured in ScaleSmoke: the 50k-doc corpus
+    * joins fine (~4·10⁷ candidates), the 150k-doc corpus's ~3.6·10⁸
+    * candidate mass filled the sandbox disk with spill before the join
+    * completed. The banded family (q59: 4 hashes per band ⇒ collision
+    * ≈ J⁴) keeps candidate mass linear on the same corpus — at 100 TB
+    * use that family; this ML variant is only safe when this mass
+    * check comes back near-linear. */
+  def minHashCandidateMass(spark: SparkSession, docs: DataFrame,
+                           numHashTables: Int = 8): Long =
+    mlMinhashBanded(spark, docs, numHashTables)._2
+      .groupBy(col("t"), col("hv")).count()
+      .agg(sum(expr("CAST(count * (count - 1) DIV 2 AS DECIMAL(38,0))")).as("mass"))
+      .head.getDecimal(0).longValueExact()
+
+  private def minHashNearDupImpl(spark: SparkSession, tokens: DataFrame,
+                                 banded: DataFrame, minJaccard: Double): DataFrame = {
     // Emit-once candidate generation: a colliding pair is emitted only
     // at its MINIMAL matching band (codegen'd earlier-band check inside
     // the band-bucket partitions) instead of once per matching band
