@@ -84,6 +84,8 @@ object GraftFunctions {
     new ExpressionInfo(classOf[PackedTrigrams].getName, "packed_trigrams")
   val doubleDotInfo =
     new ExpressionInfo(classOf[DoubleDotProduct].getName, "double_dot")
+  val murmurV2Info =
+    new ExpressionInfo(classOf[Murmur3V2].getName, "murmur3_v2")
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -101,6 +103,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("double_dot"), doubleDotInfo,
       (exprs: Seq[Expression]) => DoubleDotProduct(exprs(0), exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("murmur3_v2"), murmurV2Info,
+      (exprs: Seq[Expression]) => Murmur3V2(exprs(0)))
   }
 
   /** SQL-callable after register: `float_dot(<colA>, <colB>)` — column
@@ -150,6 +155,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("packed_trigrams"), GraftFunctions.trigramInfo,
         (exprs: Seq[Expression]) => PackedTrigrams(exprs(0))))
+    ext.injectFunction(
+      (FunctionIdentifier("murmur3_v2"), GraftFunctions.murmurV2Info,
+        (exprs: Seq[Expression]) => Murmur3V2(exprs(0))))
     ext.injectFunction(
       (FunctionIdentifier("double_dot"), GraftFunctions.doubleDotInfo,
         (exprs: Seq[Expression]) => DoubleDotProduct(exprs(0), exprs(1))))

@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -37,9 +36,10 @@ object Approx {
     * production twin of q35's exact Jaccard, in the classic two-phase
     * LSH shape: (1) candidate generation = bucket collision in ANY of
     * the model's hash tables, (2) exact Jaccard re-scoring on
-    * candidates only. The hash family comes from Spark ML's seeded
-    * `MinHashLSH` model; the candidate join and re-score are built
-    * directly on its `transform` output rather than
+    * candidates only. The hash family IS Spark ML's seeded `MinHashLSH`
+    * model's — replayed natively ([[mlMinhashSignatures]], bit-identical
+    * by test) — and the candidate join and re-score are built directly
+    * on those signatures rather than going through the model's
     * `approxSimilarityJoin`, because the ML join shuffles the full row
     * structs of BOTH sides (token arrays + 2^18-dim sparse vectors + 8
     * hash vectors) for every pre-distinct candidate (~27M rows at
@@ -69,38 +69,80 @@ object Approx {
     minHashNearDupImpl(spark, tokens, banded, minJaccard)
   }
 
-  /** The ML `MinHashLSH` signature/banding pipeline shared by the
-    * near-dup join and [[minHashCandidateMass]]: returns (tokens,
-    * banded) where banded = (doc_id, sig, t, hv) — one row per doc per
-    * hash table, sig the flat long signature. */
+  /** Spark ML `MinHashLSH`'s hash-family prime (the same 2038074743 the
+    * model uses — a prime just under 2^31). */
+  private[graft] val MlMinhashPrime = 2038074743L
+
+  /** Spark ML `MinHashLSH`'s seeded coefficient draw, replayed:
+    * `createRawLSHModel` draws `numHashTables` pairs
+    * `(1 + r.nextInt(P − 1), r.nextInt(P − 1))` from a `Random(seed)`
+    * (org/apache/spark/ml/feature/MinHashLSH.scala), so replaying the
+    * draw yields the EXACT fitted model's coefficients without fitting.
+    * CapabilitySpec pins the resulting signatures against a genuinely
+    * fitted model's `transform` output value-for-value. */
+  private[graft] def mlMinhashCoefficients(seed: Long,
+                                           numHashTables: Int): Seq[(Long, Long)] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(numHashTables)(
+      (1L + r.nextInt(MlMinhashPrime.toInt - 1), r.nextInt(MlMinhashPrime.toInt - 1).toLong))
+  }
+
+  /** The q43 signature pipeline: the ML `MinHashLSH(seed=42)` +
+    * `HashingTF(2^18, binary)` family computed with NATIVE codegen'd
+    * expressions — bit-identical to `model.transform` (pinned by
+    * CapabilitySpec's native-vs-model equality test), at a fraction of
+    * the cost:
+    *   - feature index: `pmod(murmur3_v2(w), 2^18)` replays
+    *     `HashingTF.indexOf` — [[graft.expressions.Murmur3V2]] is the
+    *     CORRECTED murmur3 the vectorizer uses (NOT SQL's legacy
+    *     `hash`; see the expression's scaladoc) — without materializing
+    *     a 2^18-dim sparse vector per doc. Bucket collisions merge
+    *     tokens exactly as the vectorizer does; duplicate indices
+    *     beyond that cannot move a min.
+    *   - signature: the model hashes a vector to
+    *     min over indices i of ((1+i)·a + b) mod P — here one codegen'd
+    *     min-aggregate per table over the exploded (doc_id, 1+index)
+    *     rows, the q59 shape, instead of two interpreted ML UDFs
+    *     (vectorize + hash) per row.
+    * Returns (tokens, banded), banded = (doc_id, sig, t, hv) — one row
+    * per doc per hash table, sig the flat long signature (the primitive
+    * band-join key; rides along so the emit-once filter can check
+    * earlier bands). */
   private def mlMinhashBanded(spark: SparkSession, docs: DataFrame,
                               numHashTables: Int): (DataFrame, DataFrame) = {
     val tokens = docs.select(col("doc_id"),
       sort_array(array_distinct(filter(split(col("text"), " "), w => w =!= ""))).as("toks"))
-    val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
-      .setNumFeatures(1 << 18).setBinary(true)
-    // Spread the corpus across cores: a single-file input arrives as ONE
-    // partition and the signature UDF + band explode would otherwise run
-    // serially (single-straggler shape on a real cluster).
-    val featured = tf.transform(tokens).filter(size(col("toks")) > 0)
+    val sigs = mlMinhashSignatures(tokens, numHashTables)
+      // Spread the signatures across cores before the band self-join: the
+      // band build side broadcasts, so the join + exact re-score fuse into
+      // one stage that runs AT THIS partitioning — a single-file corpus
+      // (or the bench's 4 shuffle partitions) would otherwise serialize
+      // the intersect CPU onto a handful of cores.
       .repartition(spark.sparkContext.defaultParallelism)
-    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(numHashTables).setSeed(42L)
-    val model = lsh.fit(featured)
-    // hashes = Array[Vector] (one 1-dim vector per table). Flatten the
-    // whole signature into ONE array<long> per doc (minhash values are
-    // exact integers in double carriers — the long cast is lossless and
-    // gives the band join a primitive key): the flat signature rides
-    // along into the band join so the emit-once filter below can check
-    // earlier bands, and posexplode of it yields the (table index,
-    // hash value) band keys.
-    val sigCols = (0 until numHashTables).map(i =>
-      org.apache.spark.ml.functions.vector_to_array(element_at(col("hashes"), i + 1))
-        .getItem(0).cast("long"))
-    val banded = model.transform(featured)
-      .select(col("doc_id"), array(sigCols: _*).as("sig"))
+    val banded = sigs
       .select(col("doc_id"), col("sig"), posexplode(col("sig")).as(Seq("t", "hv")))
     (tokens, banded)
+  }
+
+  /** Native replay of `MinHashLSH(seed=42).fit(HashingTF(2^18, binary)
+    * .transform(tokens)).transform(...)`: (doc_id, sig) with sig(t) the
+    * table-t minhash as a long. Empty token sets are excluded — the ML
+    * pipeline rejects all-zero vectors the same way. */
+  private[graft] def mlMinhashSignatures(tokens: DataFrame,
+                                         numHashTables: Int): DataFrame = {
+    val coefs = mlMinhashCoefficients(42L, numHashTables)
+    val minExprs = coefs.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("ix") + lit(b)) % lit(MlMinhashPrime)).as(s"mh$i") }
+    graft.expressions.GraftFunctions.register(tokens.sparkSession)
+    tokens.filter(size(col("toks")) > 0)
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .select(col("doc_id"),
+        (pmod(call_function("murmur3_v2", col("w")), lit(1 << 18)) + 1)
+          .cast("long").as("ix"))
+      .groupBy("doc_id")
+      .agg(minExprs.head, minExprs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashTables).map(i => col(s"mh$i")): _*).as("sig"))
   }
 
   /** Candidate-pair mass the ML-LSH band join would materialize,
@@ -453,15 +495,43 @@ object Approx {
   /** Connected-components clustering over a near-dup pair graph — the
     * step that turns any pairwise near-dup detector (q35/q43/q44/q45)
     * into an actionable dedup map (keep min-id per component, drop the
-    * rest). Iterative min-label propagation: each round every node takes
-    * the minimum label among itself and its neighbours; converges in
-    * O(component diameter) rounds — near-dup clusters are dense, so 2–3
-    * in practice. Driver-side loop with per-round convergence check is
-    * the standard shape for iterative graph algorithms (GraphX does the
-    * same under the hood); per-round materialization cuts lineage growth
-    * so round N doesn't replan rounds 1..N-1. Scales: each round is one
-    * join + one aggregate, both partitioned by node id — no state ever
-    * concentrates on the driver beyond the change counter.
+    * rest). Two phases, both min-label maps whose fixed point is the
+    * component minimum, so the composition is exactly
+    * (node → min node id of its component) — identical to running the
+    * propagation loop alone:
+    *
+    *  1. SEED + CONTRACT: one aggregate assigns every node the minimum
+    *     of its closed 1-ball (label(v) = min(v ∪ N(v))), then one pass
+    *     rewrites every edge (x, y) to (label(x), label(y)) and drops
+    *     self-loops and duplicates. Near-dup pair graphs are locally
+    *     DENSE — a family of k near-identical docs arrives as ~all
+    *     C(k,2) pairs — so the 1-ball min already is the family min for
+    *     almost every node and the graph collapses (measured at sf0.1:
+    *     5.06M directed edges over 3856 nodes → 3226 contracted edges).
+    *     Single-level star contraction in the Kiveris et al. sense:
+    *     O(E) once, replacing O(E) PER ROUND in the loop below.
+    *  2. PROPAGATE: the iterative min-label loop with pointer doubling
+    *     ([[propagateComponents]]) runs on the contracted remainder
+    *     only — bridges between families, long paths — which is where
+    *     rounds are actually needed.
+    *
+    * Phase-1 correctness: every seed label is a node id inside its own
+    * component, so contracted components are exactly the images of
+    * original components, and each original component minimum m survives
+    * contraction (m's neighbours are all ≥ m ⇒ label(m) = m). The loop
+    * therefore labels every contracted node with its original component
+    * min, and final(v) = loopLabel(seed(v)) — identity where the family
+    * collapsed completely and the loop never saw its label-node —
+    * reproduces the one-phase answer bit for bit. Contraction never
+    * grows a diameter, so a maxIter that covered the input graph always
+    * covers the contracted one.
+    *
+    * Scale shape: the contraction is one aggregate plus two
+    * co-partitioned shuffled-hash joins (build sides are O(nodes) per
+    * partition, never broadcast — nodes ~ documents at 100 TB); the only
+    * O(E) exchange re-keys the half-contracted set from y- to
+    * x-partitioning. No state concentrates on the driver beyond the
+    * loop's change counter.
     *
     * `reliable = false` (default) materializes via `localCheckpoint`:
     * cheap, but executor-local and non-replicated — an executor loss
@@ -475,52 +545,131 @@ object Approx {
                     reliable: Boolean = false): DataFrame = {
     val materialize: DataFrame => DataFrame =
       if (reliable) df => df.checkpoint(true) else df => df.localCheckpoint(true)
-    // Checkpoint blocks are session-lifetime unless explicitly freed:
-    // without cleanup every evaluation pins the O(E) edge set plus one
-    // O(nodes) label set PER ROUND for as long as the SparkSession
-    // lives. Measured on repeated q60 evaluations at sf0.1 (5M directed
-    // edges): pass times degraded 4.5 → 9.4 → 10.7 s as accumulated
-    // blocks forced storage eviction; on a long-lived production
-    // session the leak is unbounded. Each round therefore unpersists
-    // the previous round's labels as soon as the next round is
-    // materialized, and the edge set is freed on exit; only the final
-    // label checkpoint (which backs the returned DataFrame) stays
-    // resident — O(nodes), the caller's working set.
-    def unpersistCheckpoint(df: DataFrame): Unit =
-      df.queryExecution.analyzed match {
-        case l: org.apache.spark.sql.execution.LogicalRDD =>
-          l.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
+    val sess = pairs.sparkSession
+    val edgeParts = math.max(sess.sessionState.conf.numShufflePartitions,
+      sess.sparkContext.defaultParallelism)
+    val tick = new CcTicker("contract")
     // Both edge directions come out of ONE evaluation of the upstream
     // pair pipeline (for q60 that is q59's full MinHash signature +
     // banding + re-score): explode emits (a→b) and (b→a) per input row
     // inside a single projection, so the pipeline is neither planned nor
-    // executed twice, and no intermediate copy of the pair set stays
-    // resident (the previous union-of-two-reads needed a pinned
-    // checkpoint of the pairs to avoid double execution).
+    // executed twice. Hash-partitioned by y only — every consumer below
+    // is a hash aggregate or a co-partitioned shuffled-hash join, so the
+    // O(E log E) in-partition edge sort the old per-round sort-merge
+    // loop needed is gone entirely (the partition count is pinned to at
+    // least the cluster parallelism so a 4-shuffle-partition bench
+    // session doesn't funnel the edge exchange onto 4 cores).
+    val edges = materialize(pairs
+      .select(explode(array(
+        struct(col("a").as("x"), col("b").as("y")),
+        struct(col("b").as("x"), col("a").as("y")))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+      .repartition(edgeParts, col("y")))
+    tick("edges")
+    try {
+      // Seed: label(v) = min of v's closed 1-ball. Grouping on y — the
+      // partitioning key — elides the exchange (both edge directions are
+      // present, so in-neighbours = neighbours); the aggregate output
+      // inherits hash(id) partitioning through the alias and the
+      // checkpoint preserves it for the contraction joins below.
+      val seed = materialize(edges.groupBy(col("y"))
+        .agg(min(col("x")).as("mn"))
+        .select(col("y").as("id"), least(col("y"), col("mn")).as("label")))
+      tick("seed")
+      try {
+        // Contract: (x, y) → (label(x), label(y)). Both joins are
+        // shuffled-hash, co-partitioned with the seed — no sort, and the
+        // only exchange is the O(E) re-key of the half-contracted set.
+        // Self-loops vanish; duplicates collapse map-side inside the
+        // distinct's partial aggregate, so a dense family's C(k,2) pairs
+        // leave at most a handful of contracted edges on the wire.
+        val halfC = edges.join(seed.hint("shuffle_hash"),
+            edges("y") === seed("id"))
+          .select(col("x"), col("label").as("cb"))
+        val seedX = seed.toDF("idx", "ca")
+        val cpairs = materialize(halfC.repartition(edgeParts, col("x"))
+          .join(seedX.hint("shuffle_hash"), col("x") === col("idx"))
+          .select(col("ca").as("a"), col("cb").as("b"))
+          .filter(col("a") < col("b"))
+          .distinct())
+        val labC = try
+          propagateComponents(sess, cpairs, maxIter, materialize,
+            // Size the loop's partitioning to the CONTRACTED edge count
+            // (known — cpairs is materialized; the count is a metadata
+            // read): after dense families collapse, the remainder is
+            // typically thousands of edges, and running 32-partition
+            // stages over that is pure scheduler overhead (measured at
+            // sf0.1: ~1.5 s of the loop's ~1.6 s). ~1M directed edges
+            // per partition keeps the per-round work in-memory at any
+            // scale while collapsing the sandbox case to single-task
+            // rounds.
+            math.max(1L, math.min(edgeParts.toLong,
+              (2 * cpairs.count() + 999999) / 1000000)).toInt)
+            .toDF("cid", "cl")
+        finally unpersistCheckpoint(cpairs)
+        tick("loop-done")
+        try {
+          // Compose the two label maps; identity where a family collapsed
+          // completely at the seed (no contracted edges ⇒ the loop never
+          // saw its label-node). Partitioned by seed.label: a pathological
+          // giant component concentrates its members in one partition
+          // here, but the per-row work is a hash probe + projection —
+          // imbalance, not blowup (and AQE splits it when enabled).
+          val fin = materialize(seed.join(labC.hint("shuffle_hash"),
+              seed("label") === col("cid"), "left")
+            .select(seed("id").as("doc_id"),
+              coalesce(col("cl"), seed("label")).as("cluster_id")))
+          tick("finalize")
+          fin
+        } finally unpersistCheckpoint(labC)
+      } finally unpersistCheckpoint(seed)
+    } finally unpersistCheckpoint(edges)
+  }
+
+  /** Free every checkpoint RDD backing `df`'s analyzed plan (leaf
+    * `LogicalRDD`s — a projection over a checkpoint counts too).
+    * Checkpoint blocks are session-lifetime unless explicitly freed:
+    * without cleanup every [[dedupClusters]] evaluation pins the O(E)
+    * edge set plus one O(nodes) label set PER ROUND for as long as the
+    * SparkSession lives. Measured on repeated q60 evaluations at sf0.1:
+    * pass times degraded 4.5 → 9.4 → 10.7 s as accumulated blocks forced
+    * storage eviction; on a long-lived production session the leak is
+    * unbounded. Only the final label checkpoint — the blocks backing the
+    * returned DataFrame — stays resident: O(nodes), the caller's working
+    * set. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** Per-phase wall-clock ticker, active under GRAFT_CC_DEBUG. */
+  private final class CcTicker(scope: String) {
+    private val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    private var t0 = System.nanoTime()
+    def apply(tag: String): Unit = if (dbg) {
+      System.err.println(f"CC $scope/$tag ${(System.nanoTime() - t0) / 1e9}%.3fs")
+      t0 = System.nanoTime()
+    }
+  }
+
+  /** Phase 2 of [[dedupClusters]]: iterative min-label propagation with
+    * pointer doubling over an undirected pair set (columns a, b). Runs
+    * on the CONTRACTED graph — the sparse remainder after star
+    * contraction — so the per-round O(E) is over bridges and paths, not
+    * the dense family cliques. Converges in O(log diameter) rounds;
+    * throws on non-convergence within maxIter. */
+  private def propagateComponents(sess: SparkSession, pairs: DataFrame,
+                                  maxIter: Int,
+                                  materialize: DataFrame => DataFrame,
+                                  edgeParts: Int): DataFrame = {
+    val tick = new CcTicker("loop")
     // Edges are hash-partitioned and sorted by the join key ONCE before
     // materialization: checkpoint preserves outputPartitioning/ordering,
     // so every propagation round's edges⋈labels sort-merge join elides
     // the edge-side exchange AND sort — only the O(nodes) label side
-    // moves per round. Without this, each round re-shuffled and
-    // re-sorted the full edge set (measured: the dominant cost of q60's
-    // clustering phase at sf0.1's 5M directed edges, and the difference
-    // between O(E) and O(E·rounds) shuffle at 100 TB).
-    // The partition count is pinned to at least the cluster parallelism:
-    // the edge sort is the clustering's one O(E log E) stage, and a
-    // session tuned for small aggregates (e.g. the bench session's
-    // 4 shuffle partitions) would otherwise sort the full edge set on a
-    // handful of cores (measured: the dominant q60 cost in the bench).
-    val sess = pairs.sparkSession
-    val edgeParts = math.max(sess.sessionState.conf.numShufflePartitions,
-      sess.sparkContext.defaultParallelism)
-    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
-    var t0 = System.nanoTime()
-    def tick(tag: String): Unit = if (dbg) {
-      System.err.println(f"CC $tag ${(System.nanoTime() - t0) / 1e9}%.3fs")
-      t0 = System.nanoTime()
-    }
+    // moves per round.
     val edges = materialize(pairs
       .select(explode(array(
         struct(col("a").as("x"), col("b").as("y")),
@@ -608,7 +757,6 @@ object Approx {
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           markChg(col("nlabel"), col("label")).as("chg"))
-      if (dbg && i == 1) nextPlan.explain()
       chgAcc.reset()
       val next = materialize(nextPlan)
       changed = chgAcc.value

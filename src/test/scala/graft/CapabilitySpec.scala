@@ -28,6 +28,35 @@ class CapabilitySpec extends SparkSpec {
     }
   }
 
+  test("q43 native MinHash signatures are bit-identical to the fitted ML model's transform") {
+    // The production q43 path replays the ML family natively (seeded
+    // coefficient draw + murmur3 feature indices + codegen'd min
+    // aggregates) instead of fitting and transforming — this pin keeps
+    // that replay honest against the REAL org.apache.spark.ml pipeline,
+    // value for value, doc for doc. If a Spark upgrade ever changes the
+    // model's seeding or hashing, this fails loudly.
+    val docs = Tables.documents(spark, sf001)
+    val tokens = docs.select(col("doc_id"),
+      sort_array(array_distinct(filter(split(col("text"), " "), w => w =!= ""))).as("toks"))
+    val tf = new org.apache.spark.ml.feature.HashingTF()
+      .setInputCol("toks").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val featured = tf.transform(tokens).filter(size(col("toks")) > 0)
+    val model = new org.apache.spark.ml.feature.MinHashLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42L).fit(featured)
+    val mlSigs = model.transform(featured)
+      .select(col("doc_id"), array((0 until 8).map(i =>
+        org.apache.spark.ml.functions.vector_to_array(element_at(col("hashes"), i + 1))
+          .getItem(0).cast("long")): _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val native = Approx.mlMinhashSignatures(tokens, 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.keySet === mlSigs.keySet)
+    val diffs = native.collect { case (id, s) if mlSigs(id) != s => id }
+    assert(diffs.isEmpty, s"signatures differ for docs ${diffs.take(5)}")
+  }
+
   test("MinHashLSH near-dup recall >= 0.9 against exact Jaccard pairs (sf0.01)") {
     val docs = Tables.documents(spark, sf001)
     val exact = TextSim.q35JaccardNeardup(spark, sf001)
