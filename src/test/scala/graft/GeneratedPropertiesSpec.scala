@@ -184,4 +184,40 @@ class GeneratedPropertiesSpec extends SparkSpec {
       assert(joined.count() === 0)
     }
   }
+
+  test("dedupClusters equals driver-side union-find on arbitrary graphs") {
+    // The strongest guard on the two-phase (contract + propagate)
+    // clustering: for ANY edge set — dense near-clique blobs, sparse
+    // bridges, long paths, isolated pairs — every node must map to the
+    // exact minimum id of its connected component. The reference is an
+    // independent driver-side union-find over the same edges.
+    import spark.implicits._
+    val graphGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(2, 60)                     // node universe 0..n-1
+      m <- Gen.choose(1, 120)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1L)
+        b <- Gen.choose(0L, n - 1L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges.distinct
+    val cases = samples(graphGen, 12) :+
+      (0L until 45L).map(i => (i, i + 1)).toList :+          // one long path
+      (for (a <- 0L until 12L; b <- (a + 1) until 12L) yield (a, b)).toList // one clique
+    for ((edges, i) <- cases.zipWithIndex if edges.nonEmpty) {
+      // driver-side union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(x => x -> find(x)).toMap
+      val got = graft.operators.Approx.dedupClusters(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"case $i (${edges.size} edges)")
+    }
+  }
 }
