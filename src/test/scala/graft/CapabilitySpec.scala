@@ -55,6 +55,35 @@ class CapabilitySpec extends SparkSpec {
     assert(native.keySet === mlSigs.keySet)
     val diffs = native.collect { case (id, s) if mlSigs(id) != s => id }
     assert(diffs.isEmpty, s"signatures differ for docs ${diffs.take(5)}")
+
+    // Adversarial token shapes: the legacy-vs-corrected murmur3 split is
+    // a TAIL-BYTE difference, so the variants agree exactly when every
+    // token's UTF-8 length is a multiple of 4 — a corpus-only test could
+    // pass with the wrong hash. Cover lengths 1..9 plus multi-byte and
+    // astral code points (UTF-8 lengths that exercise every tail arm).
+    import scala.jdk.CollectionConverters._
+    val adversarial = Seq(
+      "a", "ab", "abc", "abcd", "abcde", "abcdef", "abcdefg", "abcdefgh",
+      "abcdefghi", "é", "日本語", "naïve", "𝔘𝔫𝔦", "x日", "1", "22", "333")
+    val advTokens = spark.createDataFrame(
+      adversarial.zipWithIndex.map { case (w, i) =>
+        org.apache.spark.sql.Row(1000L + i, Seq(w)) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("toks",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)))))
+    val advMl = model.transform(tf.transform(advTokens))
+      .select(col("doc_id"), array((0 until 8).map(i =>
+        org.apache.spark.ml.functions.vector_to_array(element_at(col("hashes"), i + 1))
+          .getItem(0).cast("long")): _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val advNative = Approx.mlMinhashSignatures(advTokens, 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val advDiffs = adversarial.indices.collect {
+      case i if advMl(1000L + i) != advNative(1000L + i) => adversarial(i) }
+    assert(advDiffs.isEmpty, s"tail-byte mismatch for tokens $advDiffs")
   }
 
   test("MinHashLSH near-dup recall >= 0.9 against exact Jaccard pairs (sf0.01)") {
