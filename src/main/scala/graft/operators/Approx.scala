@@ -784,6 +784,66 @@ object Approx {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Semantic (embedding-space) deduplication — the SemDeDup shape a
+    * pre-training pipeline runs over learned embeddings: a seeded
+    * k-means coarse quantizer buckets the corpus into `nlist` cells,
+    * exact cosine runs only WITHIN a cell, pairs at `sim ≥ minSim` feed
+    * [[dedupClusters]], and every vector maps to its cluster keeper
+    * (min id). Returns (vec_id, keeper, cluster_size, is_keeper) for
+    * the WHOLE corpus — singletons are their own keeper.
+    *
+    * The cell bucketing is the standard blocking trade, stated rather
+    * than hidden: cross-cell near-duplicates are missed BY CONSTRUCTION
+    * (k-means puts near-identical embeddings in one cell except near
+    * cell boundaries), and `nlist` dials recall against the quadratic
+    * within-cell term — the same dial as IVF's. The declared exact twin
+    * is [[cosineNearDup]] + [[dedupClusters]] on its pairs.
+    *
+    * Scale shape: the corpus is shuffled ONCE by cell id for the
+    * self-join (both sides co-partitioned — embeddings cross exactly
+    * one exchange, id pairs only after scoring); centroids are tiny and
+    * live in the fitted model; a hot cell is a skew surface the same
+    * way a hot blocking key is — AQE's skew split handles it, or raise
+    * `nlist`. The k-means fit itself samples/iterates linearly and is
+    * the only ML-model stage; everything downstream is codegen'd
+    * (double_dot cosine, min-label clustering). */
+  def semanticDedup(emb: DataFrame, minSim: Double = 0.95,
+                    nlist: Int = 8, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    graft.expressions.GraftFunctions.register(emb.sparkSession)
+    def dot(a: Column, b: Column) = call_function("double_dot", a, b)
+    val featured = emb.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(featured)
+    // Norms precomputed per VECTOR (linear), not per pair (quadratic).
+    val sides = model.transform(featured)
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val lhs = sides.toDF("a", "ea", "cella", "na")
+    val rhs = sides.toDF("b", "eb", "cellb", "nb")
+    val pairs = lhs.join(rhs,
+        col("cella") === col("cellb") && col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("sim"))
+      .filter(col("sim") >= minSim)
+    val labels = dedupClusters(pairs.select(col("a"), col("b")))
+      .toDF("vid", "keeper")
+    // Back-join over the full corpus: vectors with no qualifying pair
+    // never reach the clustering and keep themselves.
+    val assigned = emb.select(col("vec_id"))
+      .join(labels, col("vec_id") === col("vid"), "left")
+      .select(col("vec_id"),
+        coalesce(col("keeper"), col("vec_id")).as("keeper"))
+    val sizes = assigned.groupBy(col("keeper").as("k"))
+      .agg(count(lit(1)).as("cluster_size"))
+    assigned.join(sizes, col("keeper") === col("k"))
+      .select(col("vec_id"), col("keeper"), col("cluster_size"),
+        (col("vec_id") === col("keeper")).as("is_keeper"))
+  }
+
   /** Exact embedding-cosine near-duplicate pairs (threshold form of q36):
     * all pairs with cosine ≥ minSim, probe side bounded. Norms are
     * divided out so the threshold is a true cosine even for

@@ -86,6 +86,53 @@ class CapabilitySpec extends SparkSpec {
     assert(advDiffs.isEmpty, s"tail-byte mismatch for tokens $advDiffs")
   }
 
+  test("semanticDedup equals brute-force within-cell clustering (sf0.001)") {
+    // The SemDeDup composite (k-means cells -> within-cell cosine ->
+    // connected components -> keeper map) checked value-for-value
+    // against an independent driver-side replay: same seeded quantizer,
+    // brute-force cosine on every same-cell pair with the IDENTICAL
+    // arithmetic (float product, left-to-right double accumulation,
+    // HALF_UP 4dp round), union-find for components. Threshold 0.35 =
+    // q45's: this corpus's neighbor structure lives at cosine 0.26-0.49.
+    val emb = Tables.embeddings(spark, sf0001)
+    val got = Approx.semanticDedup(emb, minSim = 0.35, nlist = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = emb.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans().setK(4).setSeed(42L)
+      .setFeaturesCol("features").setPredictionCol("cell").fit(featured)
+    val rows = model.transform(featured).select("vec_id", "embedding", "cell")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    var nPairs = 0
+    for (Seq((a, ea, ca), (b, eb, cb)) <- rows.sortBy(_._1).toSeq.combinations(2)
+         if ca == cb) {
+      val sim = BigDecimal(dot(ea, eb) / (math.sqrt(dot(ea, ea)) * math.sqrt(dot(eb, eb))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (sim >= 0.35) {
+        nPairs += 1
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    assert(nPairs > 0, "test corpus produced no within-cell near-dup pairs — threshold too high")
+    val keeper = rows.map(_._1).map(id => id -> find(id)).toMap
+    val size = keeper.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.keySet === keeper.keySet)
+    for ((id, k) <- keeper)
+      assert(got(id) === ((k, size(k), id == k)), s"vec $id")
+  }
+
   test("MinHashLSH near-dup recall >= 0.9 against exact Jaccard pairs (sf0.01)") {
     val docs = Tables.documents(spark, sf001)
     val exact = TextSim.q35JaccardNeardup(spark, sf001)
