@@ -104,8 +104,30 @@ object ScaleSmoke {
       .select(col("doc_id"), col("text"), lit("en").as("lang"),
         lit("synthetic").as("source"), length(col("text")).cast("long").as("n_chars"))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // Embeddings at the same scale, with the same planted-family law the
+    // documents use: 1/7 of consecutive id-triples share a base vector
+    // with ±2% noise (pairwise cosine ≈ 0.999), everything else is
+    // hash-derived uniform noise (64-dim random cosines concentrate
+    // near 0) — so the TRUE semantic-dup count grows linearly with the
+    // corpus and growth at different `copies` is attributable.
+    // Shared quirk with the documents generator (kept deliberately, for
+    // parity): the "random" vector with id = f draws from the same
+    // xxhash64(f, i) stream as family f's base, so most families carry
+    // one extra near-dup SATELLITE (id = f) — clusters are size 4, not
+    // 3, except where id = f is itself planted. Still linear in
+    // `copies`; the measured non-keeper count ≈ nDocs/7 · 8/9.
+    spark.range(nDocs).select(
+        col("id").as("vec_id"),
+        expr("""transform(sequence(1, 64), i ->
+               |  CAST(CASE WHEN pmod(floor(id / 3), 7) = 0
+               |    THEN (pmod(xxhash64(floor(id / 3), i), 2001) - 1000) / 1000.0
+               |         + (pmod(xxhash64(id, i), 2001) - 1000) / 50000.0
+               |    ELSE (pmod(xxhash64(id, i), 2001) - 1000) / 1000.0
+               |  END AS FLOAT))""".stripMargin).as("embedding"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     println(s"SMOKE data at $out: lineitem=${spark.read.parquet(s"$out/lineitem.parquet").count()}, " +
-      s"events=${spark.read.parquet(s"$out/events.parquet").count()}, documents=$nDocs")
+      s"events=${spark.read.parquet(s"$out/events.parquet").count()}, documents=$nDocs, " +
+      s"embeddings=$nDocs")
 
     // ---- timed runs (1 warm + 1 timed; smoke, not a microbench) ----
     def run(name: String)(df: => DataFrame): Unit = {
@@ -149,6 +171,18 @@ object ScaleSmoke {
         s"$mass candidate pairs exceed the sandbox spill budget (measured: " +
         "the 30x mass fills the disk); mass above is the measured scale law")
     run("q58_simhash_md5") { SparkEntry.queries("q58_simhash_md5")(spark, out) }
+    // Semantic dedup at scale (round 9): `nlist` grows with the corpus
+    // so the CELL SIZE — and with it the quadratic within-cell term —
+    // stays constant: total scored pairs grow linearly with `copies`,
+    // which is exactly the 100 TB operating mode (the dial the operator
+    // exposes). The counted rows are the NON-KEEPER docs, i.e. what a
+    // dedup pass would drop — must grow ≈ linearly on this corpus.
+    run("semantic_dedup") {
+      graft.operators.Approx.semanticDedup(
+          spark.read.parquet(s"$out/embeddings.parquet"),
+          minSim = 0.98, nlist = 8 * copies)
+        .filter(!col("is_keeper"))
+    }
     // Event-time family at 1M events / 10× users (round 8 — the family
     // the encoding drift broke; now smoke-covered at scale): q32 is the
     // stateful sessionization path, q15 the per-user interval join.
