@@ -269,6 +269,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(pDyn.contains("dynamicpruning"), s"DPP subquery missing:\n${pDyn.take(900)}")
   }
 
+  test("semanticDedup's pair stage is an equi-join on the cell key, never a cartesian") {
+    // The SemDeDup composite's scale contract: the quadratic compare is
+    // BLOCKED by the k-means cell — the pair stage must plan as a
+    // hash/merge equi-join on `cell` (embeddings cross exactly one
+    // exchange), and nothing in the pair pipeline may degrade to a
+    // nested-loop over the corpus. (dedupClusters executes eagerly
+    // inside the builder, so only the pair subplan is inspected.)
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = graft.ops.Tables.embeddings(spark, sf0001)
+    graft.expressions.GraftFunctions.register(spark)
+    val featured = emb.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans().setK(4).setSeed(42L)
+      .setFeaturesCol("features").setPredictionCol("cell").fit(featured)
+    val sides = model.transform(featured).select(col("vec_id"), col("embedding"), col("cell"))
+    val lhs = sides.toDF("a", "ea", "cella")
+    val rhs = sides.toDF("b", "eb", "cellb")
+    val p = lhs.join(rhs, col("cella") === col("cellb") && col("a") < col("b"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semanticDedup pair stage degraded to a nested loop:\n${p.take(600)}")
+    assert(p.contains("Join") && p.contains("cella"),
+      "expected an equi-join keyed on the cell")
+  }
+
   test("whole-stage codegen is active in the scan-heavy queries") {
     // the AQE-final simple plan marks fused codegen stages with "*(n)"
     Seq("q01_scan_filter_project", "q03_agg_pricing", "q38_star_denorm").foreach { n =>
