@@ -26,7 +26,7 @@ object PinProbe {
     // Decimal(38,0) accumulation: ANSI mode (Spark 4 default) makes a
     // Long sum throw on overflow; the decimal sum is exact, and the
     // final wrap to Long (mod 2^64) keeps every input bit relevant.
-    val h = xxhash64(df.columns.sorted.map(col): _*)
+    val h = xxhash64(df.columns.sorted.toIndexedSeq.map(col): _*)
     val r = df.select(sum(h.cast("decimal(38,0)")).as("s")).collect()(0)
     if (r.isNullAt(0)) 0L
     else r.getDecimal(0).toBigInteger.longValue()

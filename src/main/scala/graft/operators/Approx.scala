@@ -166,7 +166,7 @@ object Approx {
     mlMinhashBanded(spark, docs, numHashTables)._2
       .groupBy(col("t"), col("hv")).count()
       .agg(sum(expr("CAST(count * (count - 1) DIV 2 AS DECIMAL(38,0))")).as("mass"))
-      .head.getDecimal(0).longValueExact()
+      .head().getDecimal(0).longValueExact()
 
   private def minHashNearDupImpl(spark: SparkSession, tokens: DataFrame,
                                  banded: DataFrame, minJaccard: Double): DataFrame = {
