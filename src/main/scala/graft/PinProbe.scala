@@ -52,7 +52,8 @@ object PinProbe {
     // before a value gets pinned in GoldenCountsSpec).
     if (args.contains("checksums")) {
       val rowsOnly = Seq("q43_minhash_neardup", "q44_simhash_neardup",
-        "q46_ann_lsh", "q48_media_features", "q49_curation_pipeline")
+        "q46_ann_lsh", "q48_media_features", "q49_curation_pipeline",
+        "q66_semantic_dedup")
       for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01");
            q <- rowsOnly) {
         val c1 = resultChecksum(SparkEntry.queries(q)(spark, d))

@@ -88,7 +88,8 @@ object SparkEntry {
     "q62_lm_bigram_score"     -> Extended.q62LmBigramScore _,
     "q63_outlier_zscore"      -> Analytics.q63OutlierZscore _,
     "q64_ngram_jaccard"       -> TextSim.q64NgramJaccard _,
-    "q65_conversion_latency"  -> Analytics.q65ConversionLatency _
+    "q65_conversion_latency"  -> Analytics.q65ConversionLatency _,
+    "q66_semantic_dedup"      -> Extended.q66SemanticDedup _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -12,10 +12,10 @@ import Tables._
   * first-class driver queries over the testdata tables.
   *
   * q41, q42, q45, q47, q50, q58, q59, q60, and q62 are SQL-expressible
-  * and carry DuckDB oracles ([[Oracle.sql]]); the remaining five
-  * (q43/q44/q46/q48/q49) have no DuckDB equivalent (seeded ML LSH
-  * models, xxhash64 fingerprints, RE2-incompatible lookaround regexes,
-  * media stubs) and are declared WITHOUT oracle SQL — the driver
+  * and carry DuckDB oracles ([[Oracle.sql]]); the remaining six
+  * (q43/q44/q46/q48/q49/q66) have no DuckDB equivalent (seeded ML LSH
+  * and k-means models, xxhash64 fingerprints, RE2-incompatible
+  * lookaround regexes, media stubs) and are declared WITHOUT oracle SQL — the driver
   * records the weaker rows-only check, and GoldenCountsSpec pins their
   * cardinalities instead. q58/q59 are the value-checked md5-family
   * twins of the rows-only q44/q43; q60 value-checks the clustering step
@@ -407,4 +407,26 @@ object Extended {
                      col("content_fp")) ++ flat: _*)
       .orderBy("media_id")
   }
+
+  /** q66: semantic deduplication over the embeddings table — the
+    * SemDeDup shape ([[graft.operators.Approx.semanticDedup]]): seeded
+    * k-means cells → within-cell exact cosine ≥ 0.35 → connected
+    * components → (vec_id, keeper, cluster_size, is_keeper) for every
+    * vector. Rows-only (the seeded quantizer has no SQL twin);
+    * GoldenCountsSpec pins the cardinality AND the whole-result value
+    * checksum, and CapabilitySpec value-matches the operator against a
+    * driver-side replay (same quantizer, brute-force cosine,
+    * union-find). The fit input is hash-repartitioned to a FIXED 8
+    * partitions so the k-means treeAggregate's double reduction order —
+    * and with it every centroid bit — is identical across session
+    * parallelism (Verify runs 8 cores, tests vary; an unpinned layout
+    * could flip a boundary assignment and trip the checksum pin).
+    * Production use fits the quantizer on a sample instead — the
+    * determinism pin is a declared-query concern, not an operator
+    * limitation. */
+  def q66SemanticDedup(s: SparkSession, d: String): DataFrame =
+    graft.operators.Approx.semanticDedup(
+        embeddings(s, d).repartition(8, col("vec_id")),
+        minSim = 0.35, nlist = 4)
+      .orderBy("vec_id")
 }

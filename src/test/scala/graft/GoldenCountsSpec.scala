@@ -80,7 +80,9 @@ class GoldenCountsSpec extends SparkSpec {
     "q62_lm_bigram_score" -> 500,
     "q63_outlier_zscore" -> 303,
     "q64_ngram_jaccard" -> 13,
-    "q65_conversion_latency" -> 13
+    "q65_conversion_latency" -> 13,
+    // q66 (round 9): semantic dedup emits one row per embedding vector.
+    "q66_semantic_dedup" -> 500
   )
 
   test("queries/oracleSql keys line up") {
@@ -90,7 +92,8 @@ class GoldenCountsSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     val oracleLess = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(oracleLess === Set("q43_minhash_neardup", "q44_simhash_neardup",
-      "q46_ann_lsh", "q48_media_features", "q49_curation_pipeline"))
+      "q46_ann_lsh", "q48_media_features", "q49_curation_pipeline",
+      "q66_semantic_dedup"))
   }
 
   expected.toSeq.sortBy(_._1).foreach { case (name, rows) =>
@@ -113,7 +116,11 @@ class GoldenCountsSpec extends SparkSpec {
     "q44_simhash_neardup" -> (5432677851701134176L, 5373648200709804709L),
     "q46_ann_lsh" -> (2382814453070165001L, 692446327345560698L),
     "q48_media_features" -> (6763445638143062031L, 553956227294271971L),
-    "q49_curation_pipeline" -> (-563362517843263286L, -8218274097371909887L)
+    "q49_curation_pipeline" -> (-563362517843263286L, -8218274097371909887L),
+    // q66 (round 9): the k-means fit input is layout-pinned in the
+    // builder, so the checksum is identical across session parallelism
+    // and AQE settings (verified local[8]/AQE-on vs local[32]/AQE-off).
+    "q66_semantic_dedup" -> (1816174194407065671L, 341103015946632294L)
   )
 
   checksumPins.toSeq.sortBy(_._1).foreach { case (name, (c0001, c001)) =>
