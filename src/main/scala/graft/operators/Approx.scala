@@ -819,9 +819,15 @@ object Approx {
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(featured)
     // Norms precomputed per VECTOR (linear), not per pair (quadratic).
+    // Zero-norm vectors are excluded from the pair stage: their cosine
+    // is undefined (0/0 — a hard DIVIDE_BY_ZERO under ANSI mode, the
+    // Spark 4 default, not a quiet NaN), and "no direction" cannot be a
+    // near-duplicate of anything; the back-join below still returns
+    // them as their own keeper.
     val sides = model.transform(featured)
       .select(col("vec_id"), col("embedding"), col("cell"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+      .filter(col("nrm") > 0)
     val lhs = sides.toDF("a", "ea", "cella", "na")
     val rhs = sides.toDF("b", "eb", "cellb", "nb")
     val pairs = lhs.join(rhs,

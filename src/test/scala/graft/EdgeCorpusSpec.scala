@@ -86,4 +86,27 @@ class EdgeCorpusSpec extends SparkSpec {
       assert(size == nodes.size, s"component size mismatch: $rows")
     }
   }
+
+  test("semanticDedup: zero vectors stay singletons (NaN cosine never matches)") {
+    // A zero-norm embedding makes every cosine against it 0/0 = NaN;
+    // the threshold filter must drop those pairs (NaN >= t is false, the
+    // SQL convention), never propagate NaN into the keeper map — and
+    // identical non-zero vectors must still cluster across it.
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array.fill(8)(0.0f)),                         // zero vector
+      (1L, Array.fill(8)(0.0f)),                         // second zero vector
+      (2L, Array(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f)),       // base
+      (3L, Array(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f)),       // exact dup of 2
+      (4L, Array(-1f, -2f, -3f, -4f, -5f, -6f, -7f, -8f)) // antipode of 2
+    ).toDF("vec_id", "embedding")
+    val rows = graft.operators.Approx.semanticDedup(emb, minSim = 0.95, nlist = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(rows.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    assert(rows(0L) === ((0L, 1L, true)), "zero vector must keep itself")
+    assert(rows(1L) === ((1L, 1L, true)), "zero vectors must not pair with each other")
+    assert(rows(2L) === ((2L, 2L, true)) && rows(3L) === ((2L, 2L, false)),
+      "exact duplicates must cluster to the min id")
+    assert(rows(4L) === ((4L, 1L, true)), "antipodal vector (cosine -1) stays a singleton")
+  }
 }
