@@ -279,6 +279,10 @@ object Approx {
       .repartition(math.min(emb.sparkSession.sparkContext.defaultParallelism, 8))
       .select(col("vec_id").as("nid"), col("embedding").as("ne"))
       .withColumn("nnorm", norm(col("ne")))
+      // Zero-norm vectors have no direction: their cosine is 0/0 — a
+      // hard DIVIDE_BY_ZERO under ANSI mode (Spark 4 default). They can
+      // be neither neighbour nor probe; drop them before any division.
+      .filter(col("nnorm") > 0)
       .withColumn("tb", explode(array((0 until nTables).map(t =>
         struct(lit(t).as("t"), signature(col("ne"), planesFor(t)).as("bucket"))): _*)))
       .select(col("nid"), col("ne"), col("nnorm"),
@@ -290,6 +294,7 @@ object Approx {
     // L·|masks| probe keys would re-derive its full b-plane signature.
     val probed = probes.select(col("vec_id").as("pid"), col("embedding").as("pe"))
       .withColumn("pnorm", norm(col("pe")))
+      .filter(col("pnorm") > 0)
       .withColumn("sigs", array((0 until nTables).map(t =>
         signature(col("pe"), planesFor(t))): _*))
       .withColumn("tb", explode(array((for { t <- 0 until nTables; m <- masks } yield
@@ -464,6 +469,8 @@ object Approx {
     val w = Window.partitionBy("pid").orderBy(col("sim").desc, col("nid"))
     probeCells.join(corpus, "cell")
       .filter(col("pid") =!= col("nid"))
+      // Zero-norm guard (cosine undefined; ANSI DIVIDE_BY_ZERO otherwise)
+      .filter(fnorm(col("pe")) > 0 && fnorm(col("ne")) > 0)
       .select(col("pid"), col("nid"), round(cosine, 4).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -862,11 +869,15 @@ object Approx {
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       call_function("double_dot", a, b)
     val norm = (v: org.apache.spark.sql.Column) => sqrt(dot(v, v))
+    // Zero-norm vectors dropped on both sides: cosine is undefined and
+    // the division is a hard DIVIDE_BY_ZERO under ANSI mode.
     val probes = emb.filter(col("vec_id") < maxProbeId)
       .select(col("vec_id").as("pid"), col("embedding").as("pe"),
         norm(col("embedding")).as("pn"))
+      .filter(col("pn") > 0)
     val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
       norm(col("embedding")).as("nn"))
+      .filter(col("nn") > 0)
     val dotCol = dot(col("pe"), col("ne"))
     broadcast(probes).crossJoin(corpus)
       .filter(col("nid") > col("pid"))
