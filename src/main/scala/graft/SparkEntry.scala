@@ -89,7 +89,8 @@ object SparkEntry {
     "q63_outlier_zscore"      -> Analytics.q63OutlierZscore _,
     "q64_ngram_jaccard"       -> TextSim.q64NgramJaccard _,
     "q65_conversion_latency"  -> Analytics.q65ConversionLatency _,
-    "q66_semantic_dedup"      -> Extended.q66SemanticDedup _
+    "q66_semantic_dedup"      -> Extended.q66SemanticDedup _,
+    "q67_pack_sequences"      -> Extended.q67PackSequences _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -429,4 +429,23 @@ object Extended {
         embeddings(s, d).repartition(8, col("vec_id")),
         minSim = 0.35, nlist = 4)
       .orderBy("vec_id")
+
+  /** q67: sequence packing — the step that turns the curated corpus
+    * into fixed-length (512-token) training sequences
+    * ([[graft.operators.Packing.packSequences]]): documents concatenate
+    * in doc_id order into one virtual token stream, the stream is cut
+    * every 512 tokens, and each row maps a document slice into its
+    * sequence with exact offsets. Token counts use q41's oracle-proven
+    * formulation, and every output column is integer arithmetic on the
+    * global prefix sum — the DuckDB twin replays the same cumsum +
+    * generate_series span expansion value-for-value, so the packing is
+    * fully oracle-checked despite being a distributed two-phase prefix
+    * sum on the Spark side. */
+  def q67PackSequences(s: SparkSession, d: String): DataFrame = {
+    val toks = filter(split(col("text"), "\\s+"), w => w =!= "")
+    val sized = documents(s, d)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+    graft.operators.Packing.packSequences(sized, 512L)
+      .orderBy("seq_id", "seq_offset")
+  }
 }

@@ -760,6 +760,33 @@ object Oracle {
         |  floor(CAST(count(b.sh) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS ratio,
         |  count(b.sh) > 0 AS contaminated
         |FROM s LEFT JOIN b ON s.sh = b.sh
-        |WHERE s.doc_id >= 20 GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+        |WHERE s.doc_id >= 20 GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // q67: sequence packing — the identical virtual-token-stream cumsum
+    // + generate_series span expansion as the Spark side, all integer
+    // arithmetic (the window sum is cast back to BIGINT: DuckDB widens
+    // sum(BIGINT) to HUGEINT, which would fail dtype parity). Token
+    // counts reuse q41's lambda-free trim-then-split formulation.
+    "q67_pack_sequences" ->
+      """WITH sized AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |  FROM documents),
+        | spans AS (
+        |  SELECT doc_id,
+        |    CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS s,
+        |    CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS e
+        |  FROM sized WHERE n > 0),
+        | x AS (
+        |  SELECT doc_id, s, e,
+        |    unnest(generate_series(CAST(floor(s / 512) AS BIGINT),
+        |                           CAST(floor((e - 1) / 512) AS BIGINT))) AS seq_id
+        |  FROM spans)
+        |SELECT seq_id, doc_id,
+        |  greatest(seq_id * 512, s) - s AS doc_offset,
+        |  greatest(seq_id * 512, s) - seq_id * 512 AS seq_offset,
+        |  least((seq_id + 1) * 512, e) - greatest(seq_id * 512, s) AS slice_len
+        |FROM x ORDER BY seq_id, seq_offset""".stripMargin
   )
 }

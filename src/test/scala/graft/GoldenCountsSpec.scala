@@ -82,7 +82,10 @@ class GoldenCountsSpec extends SparkSpec {
     "q64_ngram_jaccard" -> 13,
     "q65_conversion_latency" -> 13,
     // q66 (round 9): semantic dedup emits one row per embedding vector.
-    "q66_semantic_dedup" -> 500
+    "q66_semantic_dedup" -> 500,
+    // q67 (round 9): 500 docs pack into 551 (sequence, doc-slice) rows
+    // at 512 tokens/sequence — 500 docs + 51 straddles.
+    "q67_pack_sequences" -> 551
   )
 
   test("queries/oracleSql keys line up") {

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Packing
+
+/** Sequence packing: exact slice map on a worked example, reassembly
+  * invariants on arbitrary corpora, and partition-layout invariance of
+  * the two-phase prefix sum.
+  */
+class PackingSpec extends SparkSpec {
+
+  private def collectPacked(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).sortBy(t => (t._1, t._4))
+
+  test("packSequences: worked example with straddling document") {
+    import spark.implicits._
+    val docs = Seq((1L, 5L), (2L, 3L), (3L, 4L), (4L, 2L)).toDF("doc_id", "n_tokens")
+    // stream: d1 [0,5) d2 [5,8) d3 [8,12) d4 [12,14); cut every 4
+    val got = collectPacked(Packing.packSequences(docs, seqLen = 4))
+    val want = Seq(
+      (0L, 1L, 0L, 0L, 4L),  // seq 0 = first 4 tokens of doc 1
+      (1L, 1L, 4L, 0L, 1L),  // seq 1 starts with doc 1's tail...
+      (1L, 2L, 0L, 1L, 3L),  // ...then all of doc 2
+      (2L, 3L, 0L, 0L, 4L),  // seq 2 = doc 3 exactly
+      (3L, 4L, 0L, 0L, 2L)   // final partial sequence
+    )
+    assert(got.toSeq === want)
+  }
+
+  test("packSequences: slices reassemble every document and tile every sequence") {
+    import spark.implicits._
+    // Deterministic pseudo-random corpus incl. a doc far longer than a
+    // sequence (spans many) and zero-token docs (must vanish).
+    val sizes = (0L until 300L).map(i =>
+      (i, if (i % 37 == 0) 0L else 1 + (i * i * 2654435761L % 97))) :+ (1000L, 5000L)
+    val docs = sizes.toDF("doc_id", "n_tokens")
+    val L = 64L
+    val packed = collectPacked(Packing.packSequences(docs, L))
+    val positive = sizes.filter(_._2 > 0).toMap
+    // every positive doc reassembles: slices in seq order are contiguous
+    // from offset 0 and sum to the doc length
+    val bySlicedDoc = packed.groupBy(_._2)
+    assert(bySlicedDoc.keySet === positive.keySet)
+    for ((doc, slices) <- bySlicedDoc) {
+      val inOrder = slices.sortBy(_._1)
+      assert(inOrder.map(_._5).sum === positive(doc), s"doc $doc length")
+      val offs = inOrder.map(_._3)
+      assert(offs.head === 0L && offs === inOrder.map(_._5).scanLeft(0L)(_ + _).init,
+        s"doc $doc slices not contiguous")
+    }
+    // every sequence tiles [0, L) exactly (last may be partial), with
+    // contiguous seq_offsets
+    val total = positive.values.sum
+    val lastSeq = (total - 1) / L
+    for ((seq, slices) <- packed.groupBy(_._1)) {
+      val inOrder = slices.sortBy(_._4)
+      val expectLen = if (seq == lastSeq) total - lastSeq * L else L
+      assert(inOrder.map(_._5).sum === expectLen, s"seq $seq fill")
+      assert(inOrder.map(_._4) === inOrder.map(_._5).scanLeft(0L)(_ + _).init,
+        s"seq $seq slices not contiguous")
+    }
+    // stats agree
+    val stats = Packing.packingStats(
+      Packing.packSequences(docs, L), L).collect().head
+    assert(stats.getLong(0) === lastSeq + 1)
+    assert(stats.getLong(1) === total)
+  }
+
+  test("packSequences: output is invariant to the partition count") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => (i, 1 + i % 13)).toDF("doc_id", "n_tokens")
+    val one = collectPacked(Packing.packSequences(docs, 32, nParts = 1)).toSeq
+    val seven = collectPacked(Packing.packSequences(docs, 32, nParts = 7)).toSeq
+    val thirty = collectPacked(Packing.packSequences(docs, 32, nParts = 32)).toSeq
+    assert(one === seven)
+    assert(one === thirty)
+  }
+
+  test("packSequences over the documents table: every token lands exactly once") {
+    val docs = graft.ops.Tables.documents(spark, sf001)
+      .select(col("doc_id"),
+        size(expr("filter(split(text, ' '), w -> w <> '')")).cast("long").as("n_tokens"))
+    val total = docs.filter(col("n_tokens") > 0)
+      .agg(sum(col("n_tokens"))).collect().head.getLong(0)
+    val packed = Packing.packSequences(docs, 512)
+    val packedTotal = packed.agg(sum(col("slice_len"))).collect().head.getLong(0)
+    assert(packedTotal === total)
+    val stats = Packing.packingStats(packed, 512).collect().head
+    val nSeq = (total + 511) / 512
+    assert(stats.getLong(0) === nSeq)
+    // the ONLY waste is the final partial sequence
+    assert(stats.getDouble(4) === total.toDouble / (nSeq * 512).toDouble)
+  }
+}
