@@ -183,13 +183,13 @@ object ScaleSmoke {
           minSim = 0.98, nlist = 8 * copies)
         .filter(!col("is_keeper"))
     }
-    // Event-time family at 1M events / 10× users (round 8 — the family
-    // the encoding drift broke; now smoke-covered at scale): q32 is the
-    // stateful sessionization path, q15 the per-user interval join.
     // Sequence packing at scale (round 9): the two-phase prefix sum's
     // cost is one narrow shuffle of (id, token-count) pairs — wall
     // should stay near-flat across `copies` and the slice count linear.
     run("pack_sequences") { SparkEntry.queries("q67_pack_sequences")(spark, out) }
+    // Event-time family at 1M events / 10× users (round 8 — the family
+    // the encoding drift broke; now smoke-covered at scale): q32 is the
+    // stateful sessionization path, q15 the per-user interval join.
     run("q32_session_window") { SparkEntry.queries("q32_session_window")(spark, out) }
     run("q15_join_range_theta") { SparkEntry.queries("q15_join_range_theta")(spark, out) }
     // convergence bound: the 10× pair graph must settle within 5 rounds

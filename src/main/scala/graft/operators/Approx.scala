@@ -816,32 +816,7 @@ object Approx {
     * (double_dot cosine, min-label clustering). */
   def semanticDedup(emb: DataFrame, minSim: Double = 0.95,
                     nlist: Int = 8, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    graft.expressions.GraftFunctions.register(emb.sparkSession)
-    def dot(a: Column, b: Column) = call_function("double_dot", a, b)
-    val featured = emb.select(col("vec_id"), col("embedding"),
-      array_to_vector(col("embedding")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(featured)
-    // Norms precomputed per VECTOR (linear), not per pair (quadratic).
-    // Zero-norm vectors are excluded from the pair stage: their cosine
-    // is undefined (0/0 — a hard DIVIDE_BY_ZERO under ANSI mode, the
-    // Spark 4 default, not a quiet NaN), and "no direction" cannot be a
-    // near-duplicate of anything; the back-join below still returns
-    // them as their own keeper.
-    val sides = model.transform(featured)
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-      .filter(col("nrm") > 0)
-    val lhs = sides.toDF("a", "ea", "cella", "na")
-    val rhs = sides.toDF("b", "eb", "cellb", "nb")
-    val pairs = lhs.join(rhs,
-        col("cella") === col("cellb") && col("a") < col("b"))
-      .select(col("a"), col("b"),
-        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("sim"))
-      .filter(col("sim") >= minSim)
+    val pairs = semanticDedupPairs(emb, minSim, nlist, seed)
     val labels = dedupClusters(pairs.select(col("a"), col("b")))
       .toDF("vid", "keeper")
     // Back-join over the full corpus: vectors with no qualifying pair
@@ -855,6 +830,43 @@ object Approx {
     assigned.join(sizes, col("keeper") === col("k"))
       .select(col("vec_id"), col("keeper"), col("cluster_size"),
         (col("vec_id") === col("keeper")).as("is_keeper"))
+  }
+
+  /** [[semanticDedup]]'s pair stage, exposed (package-private) so
+    * PlanQualitySpec can pin the PRODUCTION plan — the cell-keyed
+    * equi-join, never a cartesian — rather than a hand-rebuilt replica
+    * that would not trip if the operator's join shape drifted. Returns
+    * (a, b, sim) for all within-cell pairs at sim ≥ minSim; the k-means
+    * fit runs eagerly here (the only ML-model stage), everything
+    * downstream of the model is a declarative plan. */
+  private[graft] def semanticDedupPairs(emb: DataFrame, minSim: Double,
+                                        nlist: Int, seed: Long): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    graft.expressions.GraftFunctions.register(emb.sparkSession)
+    def dot(a: Column, b: Column) = call_function("double_dot", a, b)
+    val featured = emb.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(featured)
+    // Norms precomputed per VECTOR (linear), not per pair (quadratic).
+    // Zero-norm vectors are excluded from the pair stage: their cosine
+    // is undefined (0/0 — a hard DIVIDE_BY_ZERO under ANSI mode, the
+    // Spark 4 default, not a quiet NaN), and "no direction" cannot be a
+    // near-duplicate of anything; semanticDedup's back-join still
+    // returns them as their own keeper.
+    val sides = model.transform(featured)
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+      .filter(col("nrm") > 0)
+    val lhs = sides.toDF("a", "ea", "cella", "na")
+    val rhs = sides.toDF("b", "eb", "cellb", "nb")
+    lhs.join(rhs,
+        col("cella") === col("cellb") && col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("sim"))
+      .filter(col("sim") >= minSim)
   }
 
   /** Exact embedding-cosine near-duplicate pairs (threshold form of q36):

@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   * Every document's slices concatenate, in seq_id order, to the whole
   * document; every sequence's slices tile [0, seqLen) exactly (the last
   * sequence tiles [0, total mod seqLen)). Zero-token documents are
-  * dropped (nothing to pack).
+  * dropped (nothing to pack). `idCol` values MUST be unique — packing
+  * is defined over a stream ordered by id, so a duplicate id has no
+  * well-defined position; the running sum detects adjacent equal ids
+  * and FAILS LOUDLY (assert_true) instead of silently double-counting.
   *
   * Scale shape — the global prefix sum is the textbook two-phase form,
   * NOT a single-partition window: documents are range-partitioned by
@@ -40,21 +43,34 @@ object Packing {
 
   /** Pack `docs` (must expose `idCol` and a token-count column `nCol`)
     * into sequences of exactly `seqLen` tokens. Deterministic: stream
-    * order is ascending `idCol`. */
+    * order is ascending `idCol`. `reliable = true` materializes the
+    * sized layout via reliable `checkpoint` instead of
+    * `localCheckpoint` (same trade as dedupClusters — requires a
+    * checkpoint dir, survives executor loss). */
   def packSequences(docs: DataFrame, seqLen: Long,
                     idCol: String = "doc_id", nCol: String = "n_tokens",
-                    nParts: Int = 0): DataFrame = {
+                    nParts: Int = 0, reliable: Boolean = false): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     val sess = docs.sparkSession
+    val materialize: DataFrame => DataFrame =
+      if (reliable) df => df.checkpoint(true) else df => df.localCheckpoint(true)
     val parts = if (nParts > 0) nParts
       else math.max(sess.sessionState.conf.numShufflePartitions,
         sess.sparkContext.defaultParallelism)
-    val sized = docs.select(col(idCol).as("doc_id"),
+    // MATERIALIZED (dedupClusters' pattern), not merely declared: both
+    // the phase-1 totals and the phase-2 spans read this layout, and
+    // repartitionByRange samples its boundaries + spark_partition_id is
+    // non-deterministic — two independent evaluations could disagree on
+    // pid, silently corrupting the base-offset join. Exchange reuse
+    // usually hides that, but correctness must not hang on an optimizer
+    // artifact. The checkpoint stores three longs per document (id, n,
+    // pid) — the text never enters this operator.
+    val sized = materialize(docs.select(col(idCol).as("doc_id"),
         col(nCol).cast("long").as("n"))
       .filter(col("n") > 0)
       .repartitionByRange(parts, col("doc_id"))
       .sortWithinPartitions("doc_id")
-      .withColumn("pid", spark_partition_id())
+      .withColumn("pid", spark_partition_id()))
     // Phase 1: per-partition totals — one row per partition — and their
     // exclusive prefix (the partition's base offset in the stream). The
     // window here runs over ≤ `parts` rows, never data.
@@ -66,18 +82,36 @@ object Packing {
       .select(col("pid").as("bpid"), col("base"))
     // Phase 2: within-partition running sum (partitioned window — no
     // global sort) + the broadcast base = each document's [start, end)
-    // span in the virtual token stream.
-    val wRun = Window.partitionBy("pid").orderBy("doc_id")
+    // span in the virtual token stream. The frame is ROWS-based: the
+    // default RANGE frame would hand tied ids the full tied cumulative,
+    // silently overlapping their spans — ids are asserted unique below,
+    // and with unique ids ROWS ≡ RANGE at strictly lower cost.
+    val ord = Window.partitionBy("pid").orderBy("doc_id")
+    val wRun = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Duplicate-id guard, zero extra shuffle (same window spec as the
+    // running sum; range partitioning sends equal keys to one partition,
+    // and the sort makes duplicates adjacent): assert_true throws at
+    // execution if lag(id) == id, and folding its null result into `end`
+    // keeps column pruning from discarding the check.
+    val prevId = lag(col("doc_id"), 1).over(ord)
+    val dupGuard = coalesce(
+      assert_true(prevId.isNull || prevId =!= col("doc_id"),
+        lit(s"packSequences: duplicate $idCol — packing requires unique ids"))
+        .cast("long"),
+      lit(0L))
     val spans = sized
       .join(broadcast(bases), col("pid") === col("bpid"))
-      .withColumn("end", col("base") + sum(col("n")).over(wRun))
+      .withColumn("end", col("base") + sum(col("n")).over(wRun) + dupGuard)
       .withColumn("start", col("end") - col("n"))
     // A document spanning [start, end) overlaps sequences
-    // floor(start/L) .. floor((end-1)/L); per overlapped sequence the
-    // slice bounds are pure arithmetic on the span.
+    // start div L .. (end-1) div L; per overlapped sequence the slice
+    // bounds are pure arithmetic on the span. Integer `div`, NOT
+    // floor(/): Long/Long `/` routes through Double and loses exactness
+    // past 2^53 total tokens — real at the 100 TB stream this models.
+    // (Both operands are non-negative, so div == floor division.)
     val L = lit(seqLen)
-    val firstSeq = floor(col("start") / L).cast("long")
-    val lastSeq = floor((col("end") - 1) / L).cast("long")
+    val firstSeq = expr(s"`start` div $seqLen")
+    val lastSeq = expr(s"(`end` - 1) div $seqLen")
     spans
       .select(col("doc_id"), col("start"), col("end"),
         explode(sequence(firstSeq, lastSeq)).as("seq_id"))

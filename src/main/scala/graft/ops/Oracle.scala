@@ -765,8 +765,11 @@ object Oracle {
     // q67: sequence packing — the identical virtual-token-stream cumsum
     // + generate_series span expansion as the Spark side, all integer
     // arithmetic (the window sum is cast back to BIGINT: DuckDB widens
-    // sum(BIGINT) to HUGEINT, which would fail dtype parity). Token
-    // counts reuse q41's lambda-free trim-then-split formulation.
+    // sum(BIGINT) to HUGEINT, which would fail dtype parity; `//` is
+    // DuckDB's integer floor division, mirroring Spark's `div` — both
+    // sides stay exact past 2^53 tokens where float division would
+    // not). Token counts reuse q41's lambda-free trim-then-split
+    // formulation.
     "q67_pack_sequences" ->
       """WITH sized AS (
         |  SELECT doc_id,
@@ -780,8 +783,8 @@ object Oracle {
         |  FROM sized WHERE n > 0),
         | x AS (
         |  SELECT doc_id, s, e,
-        |    unnest(generate_series(CAST(floor(s / 512) AS BIGINT),
-        |                           CAST(floor((e - 1) / 512) AS BIGINT))) AS seq_id
+        |    unnest(generate_series(CAST(s // 512 AS BIGINT),
+        |                           CAST((e - 1) // 512 AS BIGINT))) AS seq_id
         |  FROM spans)
         |SELECT seq_id, doc_id,
         |  greatest(seq_id * 512, s) - s AS doc_offset,

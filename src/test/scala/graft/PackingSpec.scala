@@ -78,6 +78,37 @@ class PackingSpec extends SparkSpec {
     assert(one === thirty)
   }
 
+  test("packSequences: duplicate doc ids fail loudly instead of double-counting") {
+    import spark.implicits._
+    // A duplicate id has no defined stream position; the old RANGE-frame
+    // running sum silently handed both rows the full tied cumulative
+    // (overlapping spans, double-counted tokens). Now the adjacent-equal
+    // guard throws at execution.
+    val docs = Seq((1L, 5L), (2L, 3L), (2L, 4L), (3L, 2L)).toDF("doc_id", "n_tokens")
+    val e = intercept[Throwable] { Packing.packSequences(docs, 4).count() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("duplicate doc_id")),
+      s"expected the duplicate-id assertion, got: $e")
+  }
+
+  test("packSequences: seq ids stay exact past 2^53 tokens (integer div)") {
+    import spark.implicits._
+    // One doc of k·2^40 − 1 tokens (> 2^53) cut every 2^40: the last
+    // sequence is k−1 = 8192. Double-routed division rounds (n−1) up to
+    // k·2^40 and yields a phantom sequence 8193 with a NEGATIVE slice —
+    // exactly the 2^53 hazard the `div` formulation removes.
+    val L = 1L << 40
+    val n = ((1L << 13) + 1) * L - 1
+    val docs = Seq((1L, n)).toDF("doc_id", "n_tokens")
+    val packed = Packing.packSequences(docs, L)
+    val agg = packed.agg(max(col("seq_id")), min(col("slice_len")),
+      sum(col("slice_len"))).collect().head
+    assert(agg.getLong(0) === (1L << 13))
+    assert(agg.getLong(1) > 0L, "phantom sequence with non-positive slice")
+    assert(agg.getLong(2) === n)
+  }
+
   test("packSequences over the documents table: every token lands exactly once") {
     val docs = graft.ops.Tables.documents(spark, sf001)
       .select(col("doc_id"),

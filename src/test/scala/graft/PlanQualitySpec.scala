@@ -274,19 +274,14 @@ class PlanQualitySpec extends SparkSpec {
     // BLOCKED by the k-means cell — the pair stage must plan as a
     // hash/merge equi-join on `cell` (embeddings cross exactly one
     // exchange), and nothing in the pair pipeline may degrade to a
-    // nested-loop over the corpus. (dedupClusters executes eagerly
-    // inside the builder, so only the pair subplan is inspected.)
-    import org.apache.spark.ml.functions.array_to_vector
+    // nested-loop over the corpus. Pinned on the PRODUCTION pair plan
+    // (Approx.semanticDedupPairs — the exact DataFrame semanticDedup
+    // feeds to dedupClusters), so a drift in the operator's join shape
+    // (e.g. dropping the cell predicate) trips this test; the previous
+    // hand-rebuilt replica could not.
     val emb = graft.ops.Tables.embeddings(spark, sf0001)
-    graft.expressions.GraftFunctions.register(spark)
-    val featured = emb.select(col("vec_id"), col("embedding"),
-      array_to_vector(col("embedding")).as("features"))
-    val model = new org.apache.spark.ml.clustering.KMeans().setK(4).setSeed(42L)
-      .setFeaturesCol("features").setPredictionCol("cell").fit(featured)
-    val sides = model.transform(featured).select(col("vec_id"), col("embedding"), col("cell"))
-    val lhs = sides.toDF("a", "ea", "cella")
-    val rhs = sides.toDF("b", "eb", "cellb")
-    val p = lhs.join(rhs, col("cella") === col("cellb") && col("a") < col("b"))
+    val p = graft.operators.Approx
+      .semanticDedupPairs(emb, minSim = 0.35, nlist = 4, seed = 42L)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"semanticDedup pair stage degraded to a nested loop:\n${p.take(600)}")
