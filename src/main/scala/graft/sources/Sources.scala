@@ -43,11 +43,48 @@ object Sources {
   def textLines(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
 
-  /** Record-oriented extraction from semi-structured text — the Spark
-    * shape of the reference's XML-record parsing (spark-xml is not on the
-    * classpath): read lines, filter record boundaries, extract fields
-    * with regexp_extract. `fields` maps output column -> regex with one
-    * capture group. Stays fully parallel: each task parses its split. */
+  /** Native XML source — Spark 4 ships the former spark-xml INSIDE
+    * spark-sql (`org.apache.spark.sql.execution.datasources.xml`), so
+    * `format("xml")` needs no extra jar. This is the primary reader for
+    * the reference's Scopus-dump input shape: one row per `rowTag`
+    * element, attributes as `_attr` columns, nested elements as
+    * structs/arrays, entities decoded — records may span lines and
+    * nest arbitrarily, which the line-oriented [[extractRecords]]
+    * fallback cannot represent. Explicit schema for the same
+    * single-scan reason as [[csv]]; splitting parallelizes on the
+    * rowTag boundary, so a many-record dump file still fans out. */
+  def xml(spark: SparkSession, path: String, rowTag: String,
+          schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.format("xml").option("rowTag", rowTag)
+    schema.fold(r)(s => r.schema(s)).load(path)
+  }
+
+  /** XML with malformed-record capture, mirroring
+    * [[jsonLinesPermissive]]: a record that fails to parse lands whole
+    * in `_corrupt_record` instead of killing the 100 TB load. */
+  def xmlPermissive(spark: SparkSession, path: String, rowTag: String,
+                    schema: StructType): DataFrame =
+    spark.read.format("xml")
+      .option("rowTag", rowTag)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", StringType))
+      .load(path)
+
+  /** Schema-on-read for an XML string column (`from_xml` — the XML twin
+    * of [[parseJsonColumn]]): one parse into a typed struct, for dumps
+    * that arrive as XML payloads inside another container. */
+  def parseXmlColumn(df: DataFrame, column: String, schema: StructType): DataFrame =
+    df.withColumn(s"${column}_parsed", from_xml(col(column), schema))
+
+  /** Record-oriented extraction from semi-structured text — the
+    * corrupt-tolerant FALLBACK to [[xml]] for dumps too mangled for a
+    * real parser (truncated files, interleaved garbage): read lines,
+    * filter record boundaries, extract fields with regexp_extract.
+    * `fields` maps output column -> regex with one capture group. Only
+    * sees single-line records and decodes no entities — prefer the
+    * native source wherever the input is well-formed. Stays fully
+    * parallel: each task parses its split. */
   def extractRecords(lines: DataFrame, recordFilter: String,
                      fields: Map[String, String]): DataFrame = {
     val base = lines.filter(col("value").rlike(recordFilter))
