@@ -133,6 +133,59 @@ class CapabilitySpec extends SparkSpec {
       assert(got(id) === ((k, size(k), id == k)), s"vec $id")
   }
 
+  test("semanticDedup recall vs its exact twin: measured and pinned in both regimes") {
+    // The cell-blocking trade quantified (VERDICT r9 #2): recall of the
+    // production pair stage (Approx.semanticDedupPairs) against the
+    // exact twin cosineNearDup over the full corpus. Precision is 1.0
+    // structurally — within-cell scoring is exact cosine — asserted as
+    // emitted == hit.
+    //
+    // Regime 1 — the DECLARED q66 point (sf0.01, minSim 0.35, nlist 4):
+    // 0.35 ≈ a 70° angle, where "neighbors" are not geometrically
+    // localized, so cell blocking is genuinely lossy. Measured curve
+    // (seed 42): nlist 2 → 0.9926, 4 → 0.4963, 8 → 0.4081 (272 truth
+    // pairs; this corpus has essentially NO tight pairs — 1 at ≥ 0.5).
+    // Pin a floor under the nlist=4 measurement; k-means layout jitter
+    // across thread counts can move boundary cells slightly.
+    val emb = Tables.embeddings(spark, sf001)
+    val truth = Approx.cosineNearDup(emb, 0.35, maxProbeId = Long.MaxValue)
+      .select(col("pid").as("a"), col("nid").as("b"))
+    val nTruth = truth.count()
+    assert(nTruth > 100, s"ground truth unexpectedly small: $nTruth")
+    val got = Approx.semanticDedupPairs(emb, 0.35, nlist = 4, seed = 42L)
+      .select(col("a"), col("b"))
+    val hit = got.join(truth, Seq("a", "b")).count()
+    assert(got.count() === hit, "within-cell exact cosine must have precision 1.0")
+    val recall = hit.toDouble / nTruth
+    assert(recall >= 0.45, f"declared-point recall $recall%.4f fell below the pinned floor")
+
+    // Regime 2 — the SemDeDup OPERATING point: tight near-dups
+    // (within-family cosine ≈ 0.999, ScaleSmoke's planted-family law).
+    // Near-identical embeddings land in the same k-means cell, so
+    // recall is 1.0 (measured at every nlist in 2..16 on this corpus);
+    // pinned ≥ 0.99 for quantizer-layout tolerance. THIS is why the
+    // blocking trade is acceptable in production: the pairs a dedup
+    // pass exists to find are exactly the ones blocking cannot lose.
+    val fam = spark.range(700).select(
+      col("id").as("vec_id"),
+      expr("""transform(sequence(1, 64), i ->
+             |  CAST(CASE WHEN pmod(floor(id / 3), 7) = 0
+             |    THEN (pmod(xxhash64(floor(id / 3), i), 2001) - 1000) / 1000.0
+             |         + (pmod(xxhash64(id, i), 2001) - 1000) / 50000.0
+             |    ELSE (pmod(xxhash64(id, i), 2001) - 1000) / 1000.0
+             |  END AS FLOAT))""".stripMargin).as("embedding"))
+    val famTruth = Approx.cosineNearDup(fam, 0.98, maxProbeId = Long.MaxValue)
+      .select(col("pid").as("a"), col("nid").as("b"))
+    val nFamTruth = famTruth.count()
+    assert(nFamTruth > 100, s"planted corpus produced too few tight pairs: $nFamTruth")
+    val famGot = Approx.semanticDedupPairs(fam, 0.98, nlist = 8, seed = 42L)
+      .select(col("a"), col("b"))
+    val famHit = famGot.join(famTruth, Seq("a", "b")).count()
+    assert(famGot.count() === famHit, "tight-regime precision must be 1.0")
+    val famRecall = famHit.toDouble / nFamTruth
+    assert(famRecall >= 0.99, f"tight-regime recall $famRecall%.4f below pin")
+  }
+
   test("MinHashLSH near-dup recall >= 0.9 against exact Jaccard pairs (sf0.01)") {
     val docs = Tables.documents(spark, sf001)
     val exact = TextSim.q35JaccardNeardup(spark, sf001)
