@@ -164,12 +164,22 @@ object ScaleSmoke {
     val mass = graft.operators.Approx.minHashCandidateMass(spark, docsDf)
     println(f"SMOKE q43 ML-LSH candidate mass = $mass%,d pairs at ${copies}x " +
       f"(quadratic in corpus by construction; the q59 banded family stays linear)")
+    // Round 10: the manual fence is now structural — nearDupAuto runs
+    // the same linear mass probe internally and picks the family (the
+    // decision line lands on stderr). At 10× it selects the ML
+    // OR-banded arm; at 30× the ~3.6·10⁸ mass exceeds the measured 1e8
+    // budget and it MUST route to the AND-banded family instead of
+    // filling the disk.
+    run("neardup_auto") {
+      graft.operators.Approx.nearDupAuto(spark, docsDf, minJaccard = 0.8)
+    }
     if (mass <= 100000000L)
       run("q43_minhash_neardup") { SparkEntry.queries("q43_minhash_neardup")(spark, out) }
     else
       println(s"SMOKE q43_minhash_neardup full join SKIPPED at ${copies}x: " +
         s"$mass candidate pairs exceed the sandbox spill budget (measured: " +
-        "the 30x mass fills the disk); mass above is the measured scale law")
+        "the 30x mass fills the disk); the routed run above took the " +
+        "AND-banded arm automatically — mass above is the measured scale law")
     run("q58_simhash_md5") { SparkEntry.queries("q58_simhash_md5")(spark, out) }
     // Semantic dedup at scale (round 9): `nlist` grows with the corpus
     // so the CELL SIZE — and with it the quadratic within-cell term —

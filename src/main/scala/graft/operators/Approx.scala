@@ -168,6 +168,98 @@ object Approx {
       .agg(sum(expr("CAST(count * (count - 1) DIV 2 AS DECIMAL(38,0))")).as("mass"))
       .head().getDecimal(0).longValueExact()
 
+  /** The measured sandbox fence for the OR-banded candidate mass: the
+    * 30× ScaleSmoke's ≈ 3.6·10⁸ candidates filled the disk with spill
+    * mid-join; ≈ 4·10⁷ (10×) ran fine. On a real cluster, size the
+    * budget to what the shuffle tier absorbs — the ROUTER below takes
+    * it as a parameter; this default encodes the measured limit. */
+  val DefaultCandidateMassBudget: Long = 100000000L
+
+  /** Candidate-mass-ROUTED MinHash near-dup (VERDICT r9 #3): runs the
+    * linear [[minHashCandidateMass]] pre-probe and picks the family —
+    * the ML OR-banded [[minHashNearDup]] (per-table collision ≈ J, so
+    * best recall, but quadratic candidate mass on low-similarity
+    * corpora) when the measured mass fits `massBudget`, else the
+    * AND-banded [[bandedMinHashNearDup]] (collision ≈ J⁴ per band —
+    * linear mass on the same corpora). The manual go/no-go check the
+    * q43 scaladoc prescribed, made structural: a caller can no longer
+    * launch the OR join onto a corpus whose mass was never measured.
+    * Logs the decision (mass, budget, chosen family) to stderr. Both
+    * arms tokenize identically and emit (a, b, jaccard). */
+  def nearDupAuto(spark: SparkSession, docs: DataFrame,
+                  minJaccard: Double = 0.8, numHashTables: Int = 8,
+                  massBudget: Long = DefaultCandidateMassBudget): DataFrame = {
+    val mass = minHashCandidateMass(spark, docs, numHashTables)
+    val orBanded = mass <= massBudget
+    System.err.println(
+      s"graft.nearDupAuto: OR-banded candidate mass $mass vs budget $massBudget" +
+        s" -> ${if (orBanded) "ML OR-banded family" else "AND-banded (J^4) family"}")
+    if (orBanded) minHashNearDup(spark, docs, minJaccard, numHashTables)
+    else bandedMinHashNearDup(spark, docs, minJaccard)
+  }
+
+  /** AND-banded MinHash near-dup over a (doc_id, text) corpus — the
+    * 100 TB-safe arm of [[nearDupAuto]]: 16 explicit (a·x+b) mod p
+    * minhashes over 32-bit md5 token prefixes (q59's literal family,
+    * `graft.ops.Extended.MinHashA/B`), banded 4×4 — a candidate must
+    * match ALL four hashes of a band, so unrelated docs collide per
+    * band with probability ≈ J⁴ and candidate mass stays linear where
+    * the ML family's single-hash OR-banding goes quadratic. Emit-once
+    * banding, parametric size-ratio prune, codegen'd sorted-merge
+    * re-score — the q59 plan discipline generalized to any corpus and
+    * threshold. Tokenizes like [[minHashNearDup]] (split on single
+    * space) so the router's two arms score the same token sets. */
+  def bandedMinHashNearDup(spark: SparkSession, docs: DataFrame,
+                           minJaccard: Double = 0.8): DataFrame = {
+    val p = 2147483647L
+    val (as, bs) = (graft.ops.Extended.MinHashA, graft.ops.Extended.MinHashB)
+    val minExprs = (0 until 16).map(i =>
+      min((lit(as(i)) * col("x") + lit(bs(i))) % lit(p)).as(s"mh$i"))
+    val sets = docs
+      .select(col("doc_id"),
+        sort_array(array_distinct(filter(split(col("text"), " "), w => w =!= ""))).as("set"))
+      .filter(size(col("set")) > 0)
+      .select(col("doc_id"), col("set"), size(col("set")).cast("long").as("n"))
+    val sigs = sets
+      .select(col("doc_id"), explode(col("set")).as("w"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT)").as("x"))
+      .groupBy("doc_id")
+      .agg(minExprs.head, minExprs.tail: _*)
+      .select(col("doc_id"), array((0 until 16).map(i => col(s"mh$i")): _*).as("sig"))
+    // Full-parallelism spread before the quadratic stage — the q59
+    // rationale: the band join + re-score fuse into one stage that runs
+    // at THIS partitioning.
+    val bandParts = math.max(spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism)
+    val bands = sigs.select(col("doc_id"), col("sig"), explode(expr(
+        "transform(sequence(0, 3), g -> struct(g, array_join(slice(sig, 1 + 4 * g, 4), ',') AS v))"))
+        .as("band"))
+      .select(col("doc_id"), col("sig"), col("band.g"), col("band.v"))
+      .repartition(bandParts)
+    graft.expressions.GraftFunctions.register(spark)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.g") === col("y.g") && col("x.v") === col("y.v") &&
+        col("x.doc_id") < col("y.doc_id") &&
+        !expr("band_match_before(x.sig, y.sig, 4, x.g)"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val inter = graft.expressions.GraftFunctions.sortedIntersectSize(spark, "ta", "tb")
+    val jac = col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("set").as("ta"), col("n").as("na")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("set").as("tb"), col("n").as("nb")), "b")
+      // Parametric size-ratio prune, conservatively slackened exactly
+      // like minHashNearDupImpl's (rounded-Jaccard acceptance + double
+      // arithmetic can admit J as low as t − 5e-5; borderline
+      // candidates fall through to the exact filter).
+      .filter(least(col("na"), col("nb")).cast("double") >=
+              (lit(minJaccard) - lit(5.1e-5)) * greatest(col("na"), col("nb"))
+                - lit(1e-9) * greatest(col("na"), col("nb")))
+      .select(col("a"), col("b"), inter.as("i"), col("na"), col("nb"))
+      .select(col("a"), col("b"), round(jac, 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   private def minHashNearDupImpl(spark: SparkSession, tokens: DataFrame,
                                  banded: DataFrame, minJaccard: Double): DataFrame = {
     // Emit-once candidate generation: a colliding pair is emitted only

@@ -223,9 +223,9 @@ object Extended {
     * over the token's 32-bit md5 prefix, p = 2^31 − 1. Constants are
     * literals on both engines; a < 2^19 keeps a·x < 2^51 — overflow-free
     * in BIGINT arithmetic everywhere. */
-  private val MinHashA = Seq(387413, 204209, 501871, 118757, 286711, 430585,
+  private[graft] val MinHashA = Seq(387413, 204209, 501871, 118757, 286711, 430585,
     93871, 364657, 259679, 147641, 478237, 58693, 315979, 196613, 420263, 86243)
-  private val MinHashB = Seq(98429, 312881, 45751, 267923, 159871, 73009,
+  private[graft] val MinHashB = Seq(98429, 312881, 45751, 267923, 159871, 73009,
     401587, 22481, 348259, 120097, 289751, 441347, 66563, 237541, 30781, 182429)
 
   /** q59: MinHash-banded near-dup pairs with an EXPLICIT hash family —

@@ -186,6 +186,34 @@ class CapabilitySpec extends SparkSpec {
     assert(famRecall >= 0.99, f"tight-regime recall $famRecall%.4f below pin")
   }
 
+  test("nearDupAuto routes by measured candidate mass and matches the chosen arm") {
+    import spark.implicits._
+    // A corpus with two planted near-dup pairs (J = 9/11 ≈ 0.818 and
+    // J = 10/12 ≈ 0.833) over otherwise-disjoint vocabulary: the
+    // OR-banded mass is tiny, so the default budget routes to the ML
+    // family and the routed result must EQUAL minHashNearDup's. With
+    // the budget forced to 0 the router must take the AND-banded arm
+    // and equal bandedMinHashNearDup's result — which still recovers
+    // both planted pairs (J ≥ 0.8 ⇒ per-band AND-collision is likely
+    // across 4 bands; verified, not assumed, here).
+    def words(tag: String, n: Int): String = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, words("p", 10)), (2L, words("p", 9) + " zz9"),
+      (3L, words("q", 11)), (4L, words("q", 11) + " yy7"),
+      (5L, words("r", 12)), (6L, words("s", 12))
+    ).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mass = Approx.minHashCandidateMass(spark, docs)
+    assert(mass > 0 && mass <= Approx.DefaultCandidateMassBudget)
+    val routedOr = pairs(Approx.nearDupAuto(spark, docs, minJaccard = 0.8))
+    assert(routedOr === pairs(Approx.minHashNearDup(spark, docs, minJaccard = 0.8)))
+    assert(routedOr.map(t => (t._1, t._2)) === Set((1L, 2L), (3L, 4L)))
+    val routedAnd = pairs(Approx.nearDupAuto(spark, docs, minJaccard = 0.8, massBudget = 0L))
+    assert(routedAnd === pairs(Approx.bandedMinHashNearDup(spark, docs, minJaccard = 0.8)))
+    assert(routedAnd.map(t => (t._1, t._2)) === Set((1L, 2L), (3L, 4L)))
+  }
+
   test("MinHashLSH near-dup recall >= 0.9 against exact Jaccard pairs (sf0.01)") {
     val docs = Tables.documents(spark, sf001)
     val exact = TextSim.q35JaccardNeardup(spark, sf001)
