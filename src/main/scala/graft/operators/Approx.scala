@@ -599,38 +599,53 @@ object Approx {
     * (node → min node id of its component) — identical to running the
     * propagation loop alone:
     *
-    *  1. SEED + CONTRACT: one aggregate assigns every node the minimum
+    *  1. ITERATED STAR CONTRACTION (round 10 — to fixpoint, not one
+    *     level): each level's aggregate assigns every node the minimum
     *     of its closed 1-ball (label(v) = min(v ∪ N(v))), then one pass
     *     rewrites every edge (x, y) to (label(x), label(y)) and drops
     *     self-loops and duplicates. Near-dup pair graphs are locally
     *     DENSE — a family of k near-identical docs arrives as ~all
-    *     C(k,2) pairs — so the 1-ball min already is the family min for
-    *     almost every node and the graph collapses (measured at sf0.1:
-    *     5.06M directed edges over 3856 nodes → 3226 contracted edges).
-    *     Single-level star contraction in the Kiveris et al. sense:
-    *     O(E) once, replacing O(E) PER ROUND in the loop below.
+    *     C(k,2) pairs — so level 1 already collapses them (measured at
+    *     sf0.1: 5.06M directed edges over 3856 nodes → 3226 contracted
+    *     edges); the REMAINING bridge/path structure halves (at least)
+    *     per further level, because a star contraction maps every
+    *     non-root of the label forest away. Levels repeat while the
+    *     edge count keeps shrinking below 0.7× (else the graph is
+    *     path-like and the pointer-doubling loop is the better tool),
+    *     up to `maxContractLevels`; level i ≥ 2 runs on the already-
+    *     contracted remainder, so its cost is O(E_i) with geometric
+    *     decay — the Kiveris et al. large-star iteration. A level is
+    *     worth ~4 fixed job dispatches, so iteration also requires the
+    *     remainder to clear `minContractEdges` (default 100k): below
+    *     that, a level's O(E) saving cannot beat its dispatch cost and
+    *     the pointer-doubling loop finishes the job cheaper (measured
+    *     at sf0.1, remainder 1613 edges: forcing levels 2–4 cost
+    *     ~0.9 s of dispatch to save a 0.55 s loop).
     *  2. PROPAGATE: the iterative min-label loop with pointer doubling
-    *     ([[propagateComponents]]) runs on the contracted remainder
-    *     only — bridges between families, long paths — which is where
-    *     rounds are actually needed.
+    *     ([[propagateComponents]]) runs on whatever remainder survives
+    *     contraction — often nothing (the loop is skipped entirely when
+    *     the last level is edge-free).
     *
-    * Phase-1 correctness: every seed label is a node id inside its own
-    * component, so contracted components are exactly the images of
-    * original components, and each original component minimum m survives
-    * contraction (m's neighbours are all ≥ m ⇒ label(m) = m). The loop
-    * therefore labels every contracted node with its original component
-    * min, and final(v) = loopLabel(seed(v)) — identity where the family
-    * collapsed completely and the loop never saw its label-node —
-    * reproduces the one-phase answer bit for bit. Contraction never
-    * grows a diameter, so a maxIter that covered the input graph always
-    * covers the contracted one.
+    * Correctness, per level: every seed label is a node id inside its
+    * own component, so contracted components are exactly the images of
+    * original components, and each original component minimum m
+    * survives every level (m's neighbours are all ≥ m ⇒ label(m) = m,
+    * by induction over levels). The loop therefore labels every
+    * final-level node with its original component min, and the label
+    * maps COMPOSE back out innermost-to-outermost (identity where a
+    * family collapsed completely and deeper levels never saw its
+    * label-node), reproducing the one-phase answer bit for bit.
+    * Contraction never grows a diameter, so a maxIter that covered the
+    * input graph always covers every contracted one.
     *
-    * Scale shape: the contraction is one aggregate plus two
+    * Scale shape: each contraction level is one aggregate plus two
     * co-partitioned shuffled-hash joins (build sides are O(nodes) per
     * partition, never broadcast — nodes ~ documents at 100 TB); the only
     * O(E) exchange re-keys the half-contracted set from y- to
-    * x-partitioning. No state concentrates on the driver beyond the
-    * loop's change counter.
+    * x-partitioning, and levels past the first run on the geometrically
+    * shrinking remainder with partitioning sized to the measured edge
+    * count. No state concentrates on the driver beyond per-level edge
+    * counts and the loop's change counter.
     *
     * `reliable = false` (default) materializes via `localCheckpoint`:
     * cheap, but executor-local and non-replicated — an executor loss
@@ -641,88 +656,136 @@ object Approx {
     * (requires `sparkContext.setCheckpointDir` on a fault-tolerant FS) —
     * an executor loss then re-reads the checkpoint files. */
   def dedupClusters(pairs: DataFrame, maxIter: Int = 20,
-                    reliable: Boolean = false): DataFrame = {
+                    reliable: Boolean = false,
+                    maxContractLevels: Int = 4,
+                    minContractEdges: Long = 100000L): DataFrame = {
+    require(maxContractLevels >= 1, "at least one contraction level")
     val materialize: DataFrame => DataFrame =
       if (reliable) df => df.checkpoint(true) else df => df.localCheckpoint(true)
     val sess = pairs.sparkSession
     val edgeParts = math.max(sess.sessionState.conf.numShufflePartitions,
       sess.sparkContext.defaultParallelism)
     val tick = new CcTicker("contract")
+    // Checkpoint lifecycle: every materialization is tracked; the
+    // success path frees each one explicitly the moment its last
+    // consumer has materialized, and the failure path frees everything
+    // tracked (unpersist is idempotent) so an exception cannot leak
+    // session-lifetime blocks.
+    var tracked = List.empty[DataFrame]
+    def mat(df: DataFrame): DataFrame = {
+      val m = materialize(df); tracked ::= m; m
+    }
     // Both edge directions come out of ONE evaluation of the upstream
     // pair pipeline (for q60 that is q59's full MinHash signature +
     // banding + re-score): explode emits (a→b) and (b→a) per input row
     // inside a single projection, so the pipeline is neither planned nor
     // executed twice. Hash-partitioned by y only — every consumer below
-    // is a hash aggregate or a co-partitioned shuffled-hash join, so the
-    // O(E log E) in-partition edge sort the old per-round sort-merge
-    // loop needed is gone entirely (the partition count is pinned to at
-    // least the cluster parallelism so a 4-shuffle-partition bench
-    // session doesn't funnel the edge exchange onto 4 cores).
-    val edges = materialize(pairs
+    // is a hash aggregate or a co-partitioned shuffled-hash join, so no
+    // in-partition edge sort is ever needed (the partition count is
+    // pinned to at least the cluster parallelism so a 4-shuffle-
+    // partition bench session doesn't funnel the edge exchange onto 4
+    // cores; deeper levels re-size to their measured edge count).
+    def directed(p: DataFrame, parts: Int): DataFrame = mat(p
       .select(explode(array(
         struct(col("a").as("x"), col("b").as("y")),
         struct(col("b").as("x"), col("a").as("y")))).as("e"))
       .select(col("e.x").as("x"), col("e.y").as("y"))
-      .repartition(edgeParts, col("y")))
-    tick("edges")
+      .repartition(parts, col("y")))
+    // ~1M directed edges per partition: keeps per-round/per-level work
+    // in-memory at any scale while collapsing the sandbox remainder to
+    // single-task stages (measured: 32-partition stages over thousands
+    // of edges were ~1.5 s of pure scheduler overhead).
+    def partsFor(undirected: Long): Int =
+      math.max(1L, math.min(edgeParts.toLong,
+        (2 * undirected + 999999) / 1000000)).toInt
+    var ok = false
     try {
-      // Seed: label(v) = min of v's closed 1-ball. Grouping on y — the
-      // partitioning key — elides the exchange (both edge directions are
-      // present, so in-neighbours = neighbours); the aggregate output
-      // inherits hash(id) partitioning through the alias and the
-      // checkpoint preserves it for the contraction joins below.
-      val seed = materialize(edges.groupBy(col("y"))
-        .agg(min(col("x")).as("mn"))
-        .select(col("y").as("id"), least(col("y"), col("mn")).as("label")))
-      tick("seed")
-      try {
+      var curEdges = directed(pairs, edgeParts)
+      tick("edges")
+      var seeds = List.empty[DataFrame] // innermost (deepest level) first
+      var curPairs: DataFrame = null
+      var prevCount = Long.MaxValue
+      var n = -1L
+      var level = 0
+      var stop = false
+      while (!stop) {
+        // Seed: label(v) = min of v's closed 1-ball. Grouping on y — the
+        // partitioning key — elides the exchange (both edge directions
+        // are present, so in-neighbours = neighbours); the aggregate
+        // output inherits hash(id) partitioning through the alias and
+        // the checkpoint preserves it for the contraction joins below.
+        val seed = mat(curEdges.groupBy(col("y"))
+          .agg(min(col("x")).as("mn"))
+          .select(col("y").as("id"), least(col("y"), col("mn")).as("label")))
+        seeds ::= seed
         // Contract: (x, y) → (label(x), label(y)). Both joins are
         // shuffled-hash, co-partitioned with the seed — no sort, and the
         // only exchange is the O(E) re-key of the half-contracted set.
         // Self-loops vanish; duplicates collapse map-side inside the
         // distinct's partial aggregate, so a dense family's C(k,2) pairs
         // leave at most a handful of contracted edges on the wire.
-        val halfC = edges.join(seed.hint("shuffle_hash"),
-            edges("y") === seed("id"))
+        val halfC = curEdges.join(seed.hint("shuffle_hash"),
+            curEdges("y") === seed("id"))
           .select(col("x"), col("label").as("cb"))
         val seedX = seed.toDF("idx", "ca")
-        val cpairs = materialize(halfC.repartition(edgeParts, col("x"))
+        val reparts = if (level == 0) edgeParts else partsFor(prevCount)
+        val cpairs = mat(halfC.repartition(reparts, col("x"))
           .join(seedX.hint("shuffle_hash"), col("x") === col("idx"))
           .select(col("ca").as("a"), col("cb").as("b"))
           .filter(col("a") < col("b"))
           .distinct())
-        val labC = try
-          propagateComponents(sess, cpairs, maxIter, materialize,
-            // Size the loop's partitioning to the CONTRACTED edge count
-            // (known — cpairs is materialized; the count is a metadata
-            // read): after dense families collapse, the remainder is
-            // typically thousands of edges, and running 32-partition
-            // stages over that is pure scheduler overhead (measured at
-            // sf0.1: ~1.5 s of the loop's ~1.6 s). ~1M directed edges
-            // per partition keeps the per-round work in-memory at any
-            // scale while collapsing the sandbox case to single-task
-            // rounds.
-            math.max(1L, math.min(edgeParts.toLong,
-              (2 * cpairs.count() + 999999) / 1000000)).toInt)
-            .toDF("cid", "cl")
-        finally unpersistCheckpoint(cpairs)
-        tick("loop-done")
-        try {
-          // Compose the two label maps; identity where a family collapsed
-          // completely at the seed (no contracted edges ⇒ the loop never
-          // saw its label-node). Partitioned by seed.label: a pathological
-          // giant component concentrates its members in one partition
-          // here, but the per-row work is a hash probe + projection —
-          // imbalance, not blowup (and AQE splits it when enabled).
-          val fin = materialize(seed.join(labC.hint("shuffle_hash"),
-              seed("label") === col("cid"), "left")
-            .select(seed("id").as("doc_id"),
-              coalesce(col("cl"), seed("label")).as("cluster_id")))
-          tick("finalize")
-          fin
-        } finally unpersistCheckpoint(labC)
-      } finally unpersistCheckpoint(seed)
-    } finally unpersistCheckpoint(edges)
+        n = cpairs.count() // metadata-cheap: cpairs is materialized
+        unpersistCheckpoint(curEdges)
+        if (curPairs != null) unpersistCheckpoint(curPairs)
+        curPairs = cpairs
+        level += 1
+        tick(s"level$level edges=$n")
+        // Another level pays only while the graph keeps collapsing AND
+        // stays big enough for O(E) work to dominate dispatch: stop on
+        // an empty remainder, a remainder under minContractEdges (the
+        // loop finishes small graphs cheaper), a shrink factor worse
+        // than 0.7 (path-like structure — pointer doubling converges
+        // faster than repeated 2× contraction), or the level budget.
+        if (n == 0 || level >= maxContractLevels ||
+            n < minContractEdges || n >= prevCount * 0.7) stop = true
+        else { prevCount = n; curEdges = directed(curPairs, partsFor(n)) }
+      }
+      // Loop phase — skipped outright when contraction emptied the graph.
+      var lab: DataFrame =
+        if (n == 0) sess.range(0).select(col("id").as("cid"), col("id").as("cl"))
+        else {
+          val l = propagateComponents(sess, curPairs, maxIter, materialize,
+            partsFor(n)).toDF("cid", "cl")
+          tracked ::= l
+          l
+        }
+      unpersistCheckpoint(curPairs)
+      tick("loop-done")
+      // Compose the level maps back out, innermost → outermost:
+      // lab_i(v) = lab_{i+1}(seed_i(v)), identity where deeper levels
+      // never saw the label-node. Partitioned by seed.label: a
+      // pathological giant component concentrates its members in one
+      // partition here, but the per-row work is a hash probe +
+      // projection — imbalance, not blowup (and AQE splits it when
+      // enabled).
+      for (seed <- seeds) {
+        val next = mat(seed.join(lab.hint("shuffle_hash"),
+            seed("label") === col("cid"), "left")
+          .select(seed("id").as("cid"),
+            coalesce(col("cl"), seed("label")).as("cl")))
+        unpersistCheckpoint(lab)
+        unpersistCheckpoint(seed)
+        lab = next
+      }
+      tick("finalize")
+      val out = lab.select(col("cid").as("doc_id"), col("cl").as("cluster_id"))
+      tracked = tracked.filterNot(_ eq lab)
+      ok = true
+      out
+    } finally {
+      if (!ok) tracked.foreach(f =>
+        try unpersistCheckpoint(f) catch { case _: Throwable => () })
+    }
   }
 
   /** Free every checkpoint RDD backing `df`'s analyzed plan (leaf

@@ -218,6 +218,16 @@ class GeneratedPropertiesSpec extends SparkSpec {
       val got = graft.operators.Approx.dedupClusters(edges.toDF("a", "b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got === want, s"case $i (${edges.size} edges)")
+      // Same graphs through FORCED multi-level contraction
+      // (minContractEdges = 1 overrides the dispatch-cost floor that
+      // keeps small graphs single-level): the composed level maps must
+      // reproduce the identical clustering — this is the correctness
+      // guard on the round-10 iterated-star path, which the defaults
+      // only exercise at >100k-edge remainders.
+      val gotMulti = graft.operators.Approx.dedupClusters(edges.toDF("a", "b"),
+          maxContractLevels = 4, minContractEdges = 1L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotMulti === want, s"multi-level case $i (${edges.size} edges)")
     }
   }
 }
