@@ -10,12 +10,24 @@ import org.apache.spark.sql.types._
   * (SURVEY.md §2.10 capability row).
   *
   * The Spark-side mechanics (schema, batch shape, partitioning, the
-  * mapPartitions decode seam) are real and tested; the actual media
-  * decode is STUBBED with a deterministic fake — media codecs are not in
-  * this container. Swapping `stubDecode` for a JNI/FFmpeg/JavaCV call (or
-  * an `mapInArrow` Python worker) changes nothing about the plan shape.
+  * mapPartitions decode seam) are real and tested. IMAGE decode is REAL
+  * (round 10): the JDK ships `javax.imageio` with PNG/BMP/GIF/JPEG
+  * readers, so [[decodeImageFeatures]] decodes genuine rasters at the
+  * mapPartitions seam — width/height/channels/mean-luminance from
+  * actual pixels — and [[syntheticMedia]]'s image rows carry real PNG
+  * payloads. Only AUDIO/VIDEO decode remains a deterministic stub
+  * ([[decodeFeatures]]) — those codecs are genuinely absent from this
+  * container; swapping the stub for a JNI/FFmpeg/JavaCV call (or an
+  * `mapInArrow` Python worker) changes nothing about the plan shape.
   */
 object Multimodal {
+
+  /** Typed output of [[decodeImageFeatures]]: image fields are None
+    * where the payload is not a decodable image (audio/video/garbage). */
+  private[graft] case class ImageFeatures(
+      media_id: Long, kind: String, n_bytes: Long, content_fp: Long,
+      width: Option[Int], height: Option[Int], channels: Option[Int],
+      mean_luma: Option[Double])
 
   /** The typed media row: payload + metadata. Mirrors Spark's own
     * binaryFile source schema (path, modificationTime, length, content). */
@@ -36,12 +48,43 @@ object Multimodal {
       .option("pathGlobFilter", glob)
       .load(path)
 
+  private[graft] case class MediaRow(media_id: Long, kind: String, mime: String,
+      content: Array[Byte], meta: Map[String, String])
+
+  /** Deterministic tiny PNG for a media id: a 4×4 RGB raster whose
+    * pixels come from a splitmix64-style mix of (id, pixel index),
+    * encoded by the JDK's own ImageIO PNG writer — a REAL, decodable
+    * payload with zero external dependencies and no RNG. */
+  private[graft] def syntheticPngBytes(id: Long, w: Int = 4, h: Int = 4): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var z = id * 0x9E3779B97F4A7C15L + (y.toLong * w + x) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^= z >>> 31
+        bi.setRGB(x, y, (z & 0xFFFFFFL).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    bos.toByteArray
+  }
+
   /** Synthesizes a deterministic media table from the documents table —
-    * the testdata has no binary payloads, so payload bytes are derived
-    * from doc text (stable across runs; no RNG). Exercises the real
-    * BinaryType path end-to-end. */
-  def syntheticMedia(docs: DataFrame): DataFrame =
-    docs.select(
+    * the testdata has no binary payloads. IMAGE rows carry a REAL PNG
+    * ([[syntheticPngBytes]] — decodable by any PNG reader); audio/video
+    * rows keep text-derived bytes (their codecs are absent anyway, and
+    * the stub path must stay exercised). Stable across runs; no RNG.
+    * The PNG encode runs at the mapPartitions seam, not a UDF, so the
+    * declared q48 plan stays inside the no-ScalaUDF discipline. */
+  def syntheticMedia(docs: DataFrame): DataFrame = {
+    val base = docs.select(
       col("doc_id").as("media_id"),
       when(pmod(col("doc_id"), lit(3)) === 0, "image")
         .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
@@ -51,12 +94,66 @@ object Multimodal {
         .otherwise("video/mp4").as("mime"),
       encode(col("text"), "UTF-8").as("content"),
       map(lit("src"), col("source"), lit("n_chars"), col("n_chars").cast("string")).as("meta"))
+    val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    base.as(enc).mapPartitions { rows =>
+      rows.map { m =>
+        if (m.kind == "image") m.copy(content = syntheticPngBytes(m.media_id)) else m
+      }
+    }(enc).toDF()
+  }
+
+  /** REAL image decode at the mapPartitions seam (round 10, VERDICT r9
+    * #5): `javax.imageio.ImageIO` — in the JRE, no external codec —
+    * parses each payload; decodable images yield true width, height,
+    * color-component count, and mean luminance over the actual pixels
+    * ((R+G+B)/3 averaged, 4-dp rounded for cross-run determinism);
+    * anything ImageIO cannot read (audio, video, garbage) yields NULL
+    * image fields and falls back to the metadata the stub also
+    * computes. The per-partition iterator IS the production batch
+    * shape — a JNI/FFmpeg decoder drops into the same seam.
+    * Scale shape: pure map, no shuffle; payload bytes never leave the
+    * partition that scanned them. */
+  def decodeImageFeatures(media: DataFrame): DataFrame = {
+    val in = media.select(col("media_id"), col("kind"),
+      length(col("content")).cast("long").as("n_bytes"),
+      xxhash64(col("content")).as("content_fp"), col("content"))
+    val enc = org.apache.spark.sql.Encoders.product[ImageFeatures]
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        val bi =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Throwable => null }
+        if (bi == null)
+          ImageFeatures(r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+            None, None, None, None)
+        else {
+          val (w, h) = (bi.getWidth, bi.getHeight)
+          var sum = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = bi.getRGB(x, y)
+              sum += (((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)) / 3.0
+              x += 1
+            }
+            y += 1
+          }
+          ImageFeatures(r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+            Some(w), Some(h), Some(bi.getColorModel.getNumComponents),
+            Some(math.rint(sum / (w.toLong * h) * 10000.0) / 10000.0))
+        }
+      }
+    }(enc).toDF()
+  }
 
   /** STUB decode: deterministic per-payload "features" (length, xxhash64
-    * fingerprint, fake 8-dim embedding from hash bytes). A real decoder
-    * replaces only the expressions marked below; the output schema,
-    * per-partition batching, and downstream joins are the production
-    * shape. */
+    * fingerprint, fake 8-dim embedding from hash bytes). Still the path
+    * for AUDIO/VIDEO payloads — those codecs are genuinely absent from
+    * the container; images go through [[decodeImageFeatures]]. The
+    * output schema, per-partition batching, and downstream joins are
+    * the production shape. */
   def decodeFeatures(media: DataFrame): DataFrame = {
     // real impl: mapPartitions { iter => codec.decode(row.content) ... }
     val h = xxhash64(col("content"))

@@ -393,18 +393,26 @@ object Extended {
   }
 
   /** q48: multimodal feature extraction — binary media columns
-    * synthesized from documents, stub-decoded to typed features
-    * (n_bytes, fingerprint, 8-dim embedding). Rows-only: exercises the
-    * BinaryType plumbing end-to-end. The embedding array is flattened to
-    * scalar f0..f7 for the dump — the driver's rows-only check sorts the
-    * output with pandas, which cannot order ndarray cells (the r02 q48
-    * compare error); `decodeFeatures` itself keeps the ArrayType API. */
+    * synthesized from documents (image rows carry REAL PNG payloads
+    * since round 10), decoded at the mapPartitions seam: image rows get
+    * true width/height/channels/mean-luminance from `javax.imageio`
+    * (`Multimodal.decodeImageFeatures`); audio/video rows — codecs
+    * absent from the container — carry NULL image fields plus the
+    * deterministic stub features. The 8-dim fake embedding is flattened
+    * to scalar f0..f7 for the dump (the driver's rows-only check sorts
+    * with pandas, which cannot order ndarray cells — the r02 compare
+    * error), computed from content_fp with exactly `decodeFeatures`'s
+    * formula. Rows-only: exercises the BinaryType plumbing end-to-end. */
   def q48MediaFeatures(s: SparkSession, d: String): DataFrame = {
-    val feats = graft.operators.Multimodal.decodeFeatures(
+    val feats = graft.operators.Multimodal.decodeImageFeatures(
       graft.operators.Multimodal.syntheticMedia(documents(s, d)))
-    val flat = (0 until 8).map(i => col("features")(i).as(s"f$i"))
+    val h = col("content_fp")
+    val flat = (0 until 8).map(i =>
+      (pmod(shiftright(h, i * 8).bitwiseAND(255), lit(256)).cast("double") / 255.0)
+        .as(s"f$i"))
     feats.select(Seq(col("media_id"), col("kind"), col("n_bytes"),
-                     col("content_fp")) ++ flat: _*)
+                     col("content_fp"), col("width"), col("height"),
+                     col("channels"), col("mean_luma")) ++ flat: _*)
       .orderBy("media_id")
   }
 

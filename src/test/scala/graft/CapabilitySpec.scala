@@ -311,7 +311,10 @@ class CapabilitySpec extends SparkSpec {
   test("q48 value oracle: decodeFeatures matches an independent xxHash64 derivation") {
     import spark.implicits._
     // Three fixed docs covering all three kinds and the <32-byte and
-    // >=32-byte XXH64 regimes (multi-byte UTF-8 included).
+    // >=32-byte XXH64 regimes (multi-byte UTF-8 included). Since round
+    // 10 the IMAGE row's payload is a real PNG (syntheticPngBytes), so
+    // its expected bytes come from that generator; the independent
+    // xxh64 below still validates the fingerprint arithmetic.
     val fixed = Seq(
       (0L, "tiny", "web", 4L),
       (1L, "a 32+ byte payload for the stripe loop of xxhash64!", "web", 51L),
@@ -321,7 +324,8 @@ class CapabilitySpec extends SparkSpec {
       .orderBy("media_id").collect()
     assert(out.length === fixed.length) // zip must not silently truncate
     for (((id, text, _, _), row) <- fixed.zip(out)) {
-      val bytes = text.getBytes("UTF-8")
+      val bytes = if (id % 3 == 0) Multimodal.syntheticPngBytes(id)
+        else text.getBytes("UTF-8")
       val fp = xxh64(bytes, 42L)
       assert(row.getLong(0) === id)
       assert(row.getString(1) === Seq("image", "audio", "video")(id.toInt % 3))
@@ -341,13 +345,58 @@ class CapabilitySpec extends SparkSpec {
       .filter(col("media_id") < 3).orderBy("media_id").collect()
     assert(rows.length === 3)
     for (row <- rows) {
-      val bytes = docs(row.getLong(0)).getBytes("UTF-8")
+      val id = row.getLong(0)
+      val isImage = id % 3 == 0
+      val bytes = if (isImage) Multimodal.syntheticPngBytes(id)
+        else docs(id).getBytes("UTF-8")
       val fp = xxh64(bytes, 42L)
       assert(row.getLong(2) === bytes.length.toLong)
       assert(row.getLong(3) === fp)
+      if (isImage) {
+        // independent re-derivation: decode the generator's bytes HERE
+        // and average the pixels — the query's value must match
+        val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        var sum = 0.0
+        for (y <- 0 until bi.getHeight; x <- 0 until bi.getWidth) {
+          val rgb = bi.getRGB(x, y)
+          sum += (((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)) / 3.0
+        }
+        assert(row.getInt(4) === 4 && row.getInt(5) === 4) // width, height
+        assert(row.getInt(6) === 3)                        // RGB components
+        assert(row.getDouble(7) ===
+          math.rint(sum / (bi.getWidth * bi.getHeight) * 10000.0) / 10000.0)
+      } else {
+        assert(row.isNullAt(4) && row.isNullAt(5) && row.isNullAt(6) && row.isNullAt(7),
+          s"non-image media $id must have null image fields")
+      }
       for (i <- 0 until 8)
-        assert(row.getDouble(4 + i) === ((fp >> (8 * i)) & 255L).toDouble / 255.0)
+        assert(row.getDouble(8 + i) === ((fp >> (8 * i)) & 255L).toDouble / 255.0)
     }
+  }
+
+  test("decodeImageFeatures: known 2x2 PNG decodes to hand-computed stats") {
+    import spark.implicits._
+    // Hand-built raster: black, white, pure red, pure green — mean
+    // luminance (0 + 255 + 85 + 85) / 4 = 106.25, computable on paper.
+    val bi = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    bi.setRGB(0, 0, 0x000000); bi.setRGB(1, 0, 0xFFFFFF)
+    bi.setRGB(0, 1, 0xFF0000); bi.setRGB(1, 1, 0x00FF00)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    val png = bos.toByteArray
+    val media = Seq(
+      (1L, "image", "image/png", png, Map.empty[String, String]),
+      (2L, "audio", "audio/wav", "not an image".getBytes("UTF-8"), Map.empty[String, String])
+    ).toDF("media_id", "kind", "mime", "content", "meta")
+    val rows = Multimodal.decodeImageFeatures(media).orderBy("media_id").collect()
+    val img = rows(0)
+    assert(img.getLong(2) === png.length.toLong)
+    assert(img.getInt(4) === 2 && img.getInt(5) === 2)
+    assert(img.getInt(6) === 3)
+    assert(img.getDouble(7) === 106.25)
+    val aud = rows(1)
+    assert(aud.isNullAt(4) && aud.isNullAt(5) && aud.isNullAt(6) && aud.isNullAt(7))
   }
 
   test("cosineNearDup and IVF ANN score true cosine (norm-invariant / bounded)") {
@@ -1138,12 +1187,17 @@ class CapabilitySpec extends SparkSpec {
     assert(rows.length === 3)
     // kind cycles image/audio/video on doc_id mod 3
     assert(rows.map(_.getString(1)).toSeq === Seq("image", "audio", "video"))
-    // n_bytes = UTF-8 byte length, independently computed ("käse &
+    // n_bytes: the image row (round 10) carries a real PNG from
+    // syntheticPngBytes; audio/video keep UTF-8 text bytes ("käse &
     // ökonomie" is 15 chars but 17 bytes)
-    val expBytes = texts.map(_.getBytes("UTF-8").length.toLong)
+    val imgBytes = Multimodal.syntheticPngBytes(0L)
+    val expBytes = Seq(imgBytes.length.toLong) ++
+      texts.drop(1).map(_.getBytes("UTF-8").length.toLong)
     assert(rows.map(_.getLong(2)).toSeq === expBytes)
-    // content_fp golden pins (xxhash64, Spark's fixed seed 42)
-    val expFp = Seq(8706253153473502017L, 4740255062725531794L, -7444071767201028348L)
+    // content_fp: golden literal pins for the text rows (xxhash64,
+    // Spark's fixed seed 42); the image row's fp is re-derived through
+    // the spec's INDEPENDENT xxh64 over the generator's PNG bytes
+    val expFp = Seq(xxh64(imgBytes, 42L), 4740255062725531794L, -7444071767201028348L)
     assert(rows.map(_.getLong(3)).toSeq === expFp,
       s"fingerprints drifted: ${rows.map(_.getLong(3)).toSeq}")
     // features[i] = ((fp >> 8i) & 255) / 255.0 — re-derived in plain

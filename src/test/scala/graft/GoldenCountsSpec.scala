@@ -118,7 +118,10 @@ class GoldenCountsSpec extends SparkSpec {
     "q43_minhash_neardup" -> (8658598272658444332L, -2594333227022566329L),
     "q44_simhash_neardup" -> (5432677851701134176L, 5373648200709804709L),
     "q46_ann_lsh" -> (2382814453070165001L, 692446327345560698L),
-    "q48_media_features" -> (6763445638143062031L, 553956227294271971L),
+    // q48 re-pinned in round 10 (the ONE expected move): image rows now
+    // carry real PNG payloads decoded by ImageIO, adding width/height/
+    // channels/mean_luma and changing image-row bytes + fingerprints.
+    "q48_media_features" -> (4716013549317188663L, 5572361204209523353L),
     "q49_curation_pipeline" -> (-563362517843263286L, -8218274097371909887L),
     // q66 (round 9): the k-means fit input is layout-pinned in the
     // builder, so the checksum is identical across session parallelism
