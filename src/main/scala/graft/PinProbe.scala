@@ -60,6 +60,16 @@ object PinProbe {
         val c2 = resultChecksum(SparkEntry.queries(q)(spark, d))
         println(s"CHECKSUM $q $d $c1 stable=${c1 == c2}")
       }
+      // sf0.1 checksums (round 10, VERDICT r9 #6): the five rows-only
+      // queries whose value pins stopped at sf0.01 — q43 keeps its
+      // count pin only (its 2.97M-pair result makes the double-eval
+      // protocol disproportionate; banding regressions move the count).
+      for (q <- rowsOnly.filterNot(_ == "q43_minhash_neardup")) {
+        val d = "/root/testdata/sf0.1"
+        val c1 = resultChecksum(SparkEntry.queries(q)(spark, d))
+        val c2 = resultChecksum(SparkEntry.queries(q)(spark, d))
+        println(s"CHECKSUM $q $d $c1 stable=${c1 == c2}")
+      }
       spark.stop()
       return
     }

@@ -177,6 +177,29 @@ class GoldenCountsSpec extends SparkSpec {
     }
   }
 
+  // sf0.1 VALUE checksums for the rows-only queries (round 10, VERDICT
+  // r9 #6) — their value pins previously stopped at sf0.01, so a
+  // scale-only value regression (right counts, wrong kept values) had
+  // no guard. Values from `runMain graft.PinProbe checksums`, printed
+  // twice per query to prove stability before pinning; the test session
+  // (different master/AQE/shuffle config than PinProbe's) re-deriving
+  // the same sums is the cross-config determinism evidence. q43 keeps
+  // its count pin only: double-evaluating its 2.97M-pair result for a
+  // checksum is disproportionate, and banding regressions move counts.
+  val sf01ChecksumPins: Map[String, Long] = Map(
+    "q44_simhash_neardup" -> 4272896208641840381L,
+    "q46_ann_lsh" -> -5938489255412781946L,
+    "q48_media_features" -> -570567121808254500L,
+    "q49_curation_pipeline" -> -1374469933521563573L,
+    "q66_semantic_dedup" -> -6162209095437440095L
+  )
+
+  sf01ChecksumPins.toSeq.sortBy(_._1).foreach { case (name, pin) =>
+    test(s"$name value checksum at sf0.1 (scale pin)") {
+      assert(PinProbe.resultChecksum(SparkEntry.queries(name)(spark, sf01)) === pin)
+    }
+  }
+
   test("q60 component-size histogram at sf0.1 (scale pin)") {
     // One giant near-clique of 3698 docs (74% of the corpus — the
     // testdata's near-dup mass is one family), 70 doc-pairs, 6 triples.
