@@ -90,7 +90,8 @@ object SparkEntry {
     "q64_ngram_jaccard"       -> TextSim.q64NgramJaccard _,
     "q65_conversion_latency"  -> Analytics.q65ConversionLatency _,
     "q66_semantic_dedup"      -> Extended.q66SemanticDedup _,
-    "q67_pack_sequences"      -> Extended.q67PackSequences _
+    "q67_pack_sequences"      -> Extended.q67PackSequences _,
+    "q68_mixture_sample"      -> Extended.q68MixtureSample _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -74,4 +74,109 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Token-BUDGET quota sampling — the data-mixing step of a training
+    * corpus build: each group (language, source domain, quality tier…)
+    * contributes documents in a deterministic pseudo-random order until
+    * its token budget fills. This is how per-source mixture weights
+    * turn into an actual document selection: budget_g = weight_g ×
+    * total target tokens, then fill each group's quota.
+    *
+    * Selection rule: a document is kept iff the tokens accumulated by
+    * the documents BEFORE it (same group, ascending (`orderCol`,
+    * `idCol`)) are still under `budget` — each group overshoots by at
+    * most one document and never undershoots while eligible docs
+    * remain. The order key is caller-supplied (typically a salted hash
+    * of the id, so the sample is reproducible and uncorrelated with id
+    * order). Output: id, group, count columns plus `cum_before` (tokens
+    * before this doc in its group) and `pick_pos` (1-based fill
+    * position).
+    *
+    * Scale shape — unlike [[stratifiedQuota]] (row-count quotas via a
+    * per-stratum window, fine when quotas are small), the running TOKEN
+    * sum here must see every group row, and `Window.partitionBy(group)`
+    * would serialize each group onto one reducer — five languages, five
+    * tasks, at any corpus size. So this is [[Packing.packSequences]]'s
+    * two-phase distributed prefix sum keyed by group: rows
+    * range-partition by (group, orderKey, id) — a group spans many
+    * partitions, each holding a contiguous key range — then
+    * per-(partition, group) totals (≤ partitions × groups tiny rows)
+    * take a small window for the group's base offsets, which broadcast
+    * back for the within-partition running sum. Only (id, group, n,
+    * key) tuples shuffle; text never moves. The declared q68 twin is
+    * DuckDB-oracled value-for-value.
+    *
+    * The (`groupCol`, `orderCol`, `idCol`) triple must be unique — the
+    * fill order is otherwise undefined; duplicates fail loudly at
+    * execution (packSequences' in-window lag guard: range partitioning
+    * makes equal triples adjacent, so the lag sees them). `reliable =
+    * true` swaps localCheckpoint for a reliable checkpoint (requires a
+    * checkpoint dir; survives executor loss).
+    */
+  /** quotaSample's pre-materialization layout — the production range
+    * exchange, exposed un-checkpointed so SamplingSpec's plan pin
+    * inspects the operator's OWN shape (the checkpoint hides the
+    * exchange from the final executed plan, and a hand-built replica
+    * would not trip on drift). */
+  private[graft] def quotaLayout(docs: DataFrame, groupCol: String,
+      idCol: String, nCol: String, orderCol: String, parts: Int): DataFrame =
+    docs.select(
+        col(idCol).as("id"), col(groupCol).as("grp"),
+        col(nCol).cast("long").as("n"), col(orderCol).as("rk"))
+      .repartitionByRange(parts, col("grp"), col("rk"), col("id"))
+      .sortWithinPartitions("grp", "rk", "id")
+      .withColumn("pid", spark_partition_id())
+
+  def quotaSample(docs: DataFrame, budget: Long,
+                  groupCol: String = "lang", idCol: String = "doc_id",
+                  nCol: String = "n_tokens", orderCol: String = "rk",
+                  nParts: Int = 0, reliable: Boolean = false): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val sess = docs.sparkSession
+    val materialize: DataFrame => DataFrame =
+      if (reliable) df => df.checkpoint(true) else df => df.localCheckpoint(true)
+    val parts = if (nParts > 0) nParts
+      else math.max(sess.sessionState.conf.numShufflePartitions,
+        sess.sparkContext.defaultParallelism)
+    // Materialized for the same reason as packSequences: totals and the
+    // final spans both read this layout, and repartitionByRange samples
+    // boundaries + spark_partition_id is non-deterministic — two
+    // independent evaluations could disagree on pid and corrupt the
+    // base-offset join. Four small columns per doc; text stays behind.
+    val sized = materialize(
+      quotaLayout(docs, groupCol, idCol, nCol, orderCol, parts))
+    // Phase 1: per-(partition, group) totals — the group's exclusive
+    // prefix over pid order is its base (token + count) offset at the
+    // partition boundary.
+    val wBase = Window.partitionBy("grp").orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = sized.groupBy(col("pid"), col("grp"))
+      .agg(sum(col("n")).as("ptok"), count(lit(1)).as("pcnt"))
+      .withColumn("tbase", coalesce(sum(col("ptok")).over(wBase), lit(0L)))
+      .withColumn("cbase", coalesce(sum(col("pcnt")).over(wBase), lit(0L)))
+      .select(col("pid").as("bpid"), col("grp").as("bgrp"),
+        col("tbase"), col("cbase"))
+    // Phase 2: within-partition running sums + broadcast bases. ROWS
+    // frame (the default RANGE frame would hand tied keys each other's
+    // tokens); ties are asserted away instead.
+    val ord = Window.partitionBy("pid", "grp").orderBy("rk", "id")
+    val wRun = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevRk = lag(col("rk"), 1).over(ord)
+    val prevId = lag(col("id"), 1).over(ord)
+    val dupGuard = coalesce(
+      assert_true(prevRk.isNull ||
+          !(prevRk === col("rk") && prevId === col("id")),
+        lit(s"quotaSample: duplicate ($groupCol, $orderCol, $idCol) — " +
+          "fill order undefined"))
+        .cast("long"),
+      lit(0L))
+    sized
+      .join(broadcast(bases), col("pid") === col("bpid") && col("grp") === col("bgrp"))
+      .withColumn("cum_before",
+        col("tbase") + sum(col("n")).over(wRun) - col("n") + dupGuard)
+      .withColumn("pick_pos", col("cbase") + row_number().over(ord))
+      .filter(col("cum_before") < lit(budget))
+      .select(col("id").as(idCol), col("grp").as(groupCol),
+        col("n").as(nCol), col("cum_before"), col("pick_pos"))
+  }
 }

@@ -456,4 +456,25 @@ object Extended {
     graft.operators.Packing.packSequences(sized, 512L)
       .orderBy("seq_id", "seq_offset")
   }
+
+  /** q68: token-budget mixture sampling — the data-mixing step that
+    * turns per-language quotas into a document selection
+    * ([[graft.operators.Sampling.quotaSample]]): each language
+    * contributes documents in deterministic md5-hash order until its
+    * 2000-token budget fills (keep while tokens BEFORE the doc are
+    * under budget — ≤ 1 doc overshoot). Token counts use q41's
+    * oracle-proven formulation and the order key is md5("mix:"‖doc_id),
+    * hex-identical in both engines, so the whole selection — running
+    * sums, pick order, the budget cut — is value-checked by a DuckDB
+    * window twin even though the Spark side is a two-phase distributed
+    * prefix sum (a per-language window would serialize each language
+    * onto one reducer at scale). */
+  def q68MixtureSample(s: SparkSession, d: String): DataFrame = {
+    val toks = filter(split(col("text"), "\\s+"), w => w =!= "")
+    val sized = documents(s, d).select(col("doc_id"), col("lang"),
+      size(toks).cast("long").as("n_tokens"),
+      md5(concat_ws(":", lit("mix"), col("doc_id").cast("string"))).as("rk"))
+    graft.operators.Sampling.quotaSample(sized, budget = 2000L)
+      .orderBy("doc_id")
+  }
 }

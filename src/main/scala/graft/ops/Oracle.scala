@@ -790,6 +790,31 @@ object Oracle {
         |  greatest(seq_id * 512, s) - s AS doc_offset,
         |  greatest(seq_id * 512, s) - seq_id * 512 AS seq_offset,
         |  least((seq_id + 1) * 512, e) - greatest(seq_id * 512, s) AS slice_len
-        |FROM x ORDER BY seq_id, seq_offset""".stripMargin
+        |FROM x ORDER BY seq_id, seq_offset""".stripMargin,
+
+    // q68 replays the quota fill as a plain per-language window (fine at
+    // oracle scale; the Spark side's two-phase prefix sum exists exactly
+    // because this shape doesn't scale): md5 hex order keys are
+    // byte-identical across engines, token counts are q41's lambda-free
+    // formulation, and every output column is integer arithmetic, so
+    // the running sums, pick order, and the budget cut value-match.
+    "q68_mixture_sample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |    md5('mix:' || CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM documents),
+        | ordered AS (
+        |  SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY rk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY rk, doc_id)
+        |      AS BIGINT) AS pick_pos
+        |  FROM toks)
+        |SELECT doc_id, lang, n_tokens, cum_before, pick_pos
+        |FROM ordered WHERE cum_before < 2000 ORDER BY doc_id""".stripMargin
   )
 }

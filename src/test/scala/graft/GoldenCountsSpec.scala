@@ -85,7 +85,11 @@ class GoldenCountsSpec extends SparkSpec {
     "q66_semantic_dedup" -> 500,
     // q67 (round 9): 500 docs pack into 551 (sequence, doc-slice) rows
     // at 512 tokens/sequence — 500 docs + 51 straddles.
-    "q67_pack_sequences" -> 551
+    "q67_pack_sequences" -> 551,
+    // q68 (round 10): the five languages' 2000-token quotas fill after
+    // 181 docs at sf0.01 (oracle-matched; count is budget-driven, so it
+    // tracks doc length, not corpus size).
+    "q68_mixture_sample" -> 181
   )
 
   test("queries/oracleSql keys line up") {

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** Quota (token-budget) sampling: exact fill semantics on a worked
+  * example, prefix/overshoot invariants against a driver-side replay,
+  * partition-layout invariance of the two-phase prefix sum, and the
+  * scale-shape plan pin (range partitioning, no per-group reducer).
+  */
+class SamplingSpec extends SparkSpec {
+
+  private def collectPicked(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).sortBy(t => (t._2, t._5))
+
+  test("quotaSample: worked example — fill stops after the straddling doc") {
+    import spark.implicits._
+    // Group a fills 10 at doc 3 (cum_before 7 < 10 → kept, overshoots);
+    // doc 4 has cum_before 12 → cut. Group b never reaches 10.
+    val docs = Seq(
+      (1L, "a", 4L, "k1"), (2L, "a", 3L, "k2"), (3L, "a", 5L, "k3"),
+      (4L, "a", 2L, "k4"), (10L, "b", 6L, "k1"), (11L, "b", 1L, "k2"))
+      .toDF("doc_id", "lang", "n_tokens", "rk")
+    val got = collectPicked(Sampling.quotaSample(docs, budget = 10L))
+    val want = Seq(
+      (1L, "a", 4L, 0L, 1L), (2L, "a", 3L, 4L, 2L), (3L, "a", 5L, 7L, 3L),
+      (10L, "b", 6L, 0L, 1L), (11L, "b", 1L, 6L, 2L))
+    assert(got.toSeq === want)
+  }
+
+  test("quotaSample: matches a driver-side replay on a hashed corpus") {
+    import spark.implicits._
+    val docs = (0L until 400L).map { i =>
+      (i, "g" + (i % 5), 1 + (i * 2654435761L % 53),
+        f"${(i * 0x9e3779b97f4a7c15L).toHexString}%16s")
+    }.toDF("doc_id", "lang", "n_tokens", "rk")
+    val budget = 500L
+    val got = collectPicked(Sampling.quotaSample(docs, budget))
+    // Driver replay: per group, sort by (rk, id), keep while the
+    // exclusive running sum is under budget.
+    val want = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        val ordered = rows.sortBy(t => (t._4, t._1))
+        val cums = ordered.scanLeft(0L)(_ + _._3)
+        ordered.zip(cums).zipWithIndex.collect {
+          case (((id, g, n, _), cum), i) if cum < budget =>
+            (id, g, n, cum, (i + 1).toLong)
+        }
+      }.sortBy(t => (t._2, t._5))
+    assert(got.toSeq === want)
+    // Overshoot bound: each group's kept token mass < budget + its last
+    // doc's tokens.
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val mass = rows.map(_._3).sum
+      assert(mass - rows.maxBy(_._5)._3 < budget)
+    }
+  }
+
+  test("quotaSample: output is invariant to the partition count") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i =>
+      (i, "g" + (i % 3), 1 + i % 17, f"${i * 0x9e3779b97f4a7c15L}%020d"))
+      .toDF("doc_id", "lang", "n_tokens", "rk")
+    val one = collectPicked(Sampling.quotaSample(docs, 300L, nParts = 1)).toSeq
+    val seven = collectPicked(Sampling.quotaSample(docs, 300L, nParts = 7)).toSeq
+    val thirty = collectPicked(Sampling.quotaSample(docs, 300L, nParts = 32)).toSeq
+    assert(one === seven)
+    assert(one === thirty)
+  }
+
+  test("quotaSample: duplicate (group, key, id) fails loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, "a", 5L, "k"), (1L, "a", 7L, "k"))
+      .toDF("doc_id", "lang", "n_tokens", "rk")
+    val ex = intercept[Exception] {
+      Sampling.quotaSample(docs, 100L, nParts = 1).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("quotaSample plan: range-partitioned data path, no per-group reducer") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i =>
+      (i, "g" + (i % 3), 1L + i % 7, i.toString)).toDF("doc_id", "lang", "n_tokens", "rk")
+    // The operator's OWN layout stage (the checkpoint hides it from the
+    // final executed plan): the full-data exchange must be a RANGE
+    // partition on (grp, rk, id) — hash-partitioning by grp alone would
+    // put each group on one reducer, the shape this operator exists to
+    // avoid. Windows keyed by grp alone see only the per-partition
+    // totals (≤ parts × groups rows), never data.
+    val layout = Sampling.quotaLayout(docs, "lang", "doc_id", "n_tokens", "rk", 8)
+      .queryExecution.executedPlan.toString
+    assert(layout.contains("rangepartitioning(grp"),
+      s"expected a range exchange on (grp, rk, id):\n$layout")
+    assert(!layout.contains("hashpartitioning(grp"),
+      s"group-only hash exchange on the data path:\n$layout")
+  }
+
+  test("q68 pick order is a deterministic hash permutation, not id order") {
+    val got = SparkEntry.queries("q68_mixture_sample")(spark, sf001)
+    val rows = got.collect()
+    assert(rows.length > 0)
+    // Within a language the fill order must not be doc_id order (the
+    // md5 key decorrelates) — a regression to id order would silently
+    // bias the sample toward early docs.
+    val en = rows.filter(_.getString(1) == "en").sortBy(_.getLong(4))
+    val ids = en.map(_.getLong(0)).toSeq
+    assert(ids !== ids.sorted, "fill order collapsed to doc_id order")
+  }
+}
