@@ -193,6 +193,22 @@ object ScaleSmoke {
           minSim = 0.98, nlist = 8 * copies)
         .filter(!col("is_keeper"))
     }
+    // Round 10: the 100× run measured the FULL-CORPUS k-means fit as
+    // the dominant superlinear term of semantic_dedup (Lloyd's is
+    // O(N·nlist·iters), and nlist ∝ N under constant cell size ⇒ O(N²):
+    // 10.8 s at 30× → 59.2 s at 100×). The mitigation is structural —
+    // fit the quantizer on a fixed-size hash-sample, assign-only over
+    // the corpus — and is measured here side-by-side at every scale
+    // (≈ 50k fit rows regardless of `copies`; dropped counts must stay
+    // ≈ linear, CapabilitySpec pins tight-regime recall under the same
+    // sampling).
+    run("semantic_dedup_sfit") {
+      graft.operators.Approx.semanticDedup(
+          spark.read.parquet(s"$out/embeddings.parquet"),
+          minSim = 0.98, nlist = 8 * copies,
+          fitFraction = math.min(1.0, 50000.0 / nDocs))
+        .filter(!col("is_keeper"))
+    }
     // Sequence packing at scale (round 9): the two-phase prefix sum's
     // cost is one narrow shuffle of (id, token-count) pairs — wall
     // should stay near-flat across `copies` and the slice count linear.

@@ -970,8 +970,9 @@ object Approx {
     * the only ML-model stage; everything downstream is codegen'd
     * (double_dot cosine, min-label clustering). */
   def semanticDedup(emb: DataFrame, minSim: Double = 0.95,
-                    nlist: Int = 8, seed: Long = 42L): DataFrame = {
-    val pairs = semanticDedupPairs(emb, minSim, nlist, seed)
+                    nlist: Int = 8, seed: Long = 42L,
+                    fitFraction: Double = 1.0): DataFrame = {
+    val pairs = semanticDedupPairs(emb, minSim, nlist, seed, fitFraction)
     val labels = dedupClusters(pairs.select(col("a"), col("b")))
       .toDF("vid", "keeper")
     // Back-join over the full corpus: vectors with no qualifying pair
@@ -995,16 +996,37 @@ object Approx {
     * fit runs eagerly here (the only ML-model stage), everything
     * downstream of the model is a declarative plan. */
   private[graft] def semanticDedupPairs(emb: DataFrame, minSim: Double,
-                                        nlist: Int, seed: Long): DataFrame = {
+                                        nlist: Int, seed: Long,
+                                        fitFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    require(fitFraction > 0.0 && fitFraction <= 1.0,
+      s"fitFraction $fitFraction outside (0,1]")
     graft.expressions.GraftFunctions.register(emb.sparkSession)
     def dot(a: Column, b: Column) = call_function("double_dot", a, b)
     val featured = emb.select(col("vec_id"), col("embedding"),
       array_to_vector(col("embedding")).as("features"))
+    // fitFraction < 1 fits the quantizer on a deterministic hash-sample
+    // of the corpus (Sampling.hashSample's rule, salted by `seed`) and
+    // only ASSIGNS the full corpus — the 100× ScaleSmoke measured the
+    // full-corpus fit as the dominant superlinear term when nlist grows
+    // with the corpus to hold cell size constant: Lloyd's iterations
+    // are O(N·nlist·iters) ⇒ O(N²) along that scaling path, while a
+    // fixed-size fit sample caps the fit at O(nlist·iters) and leaves
+    // the one-pass assignment (O(N·nlist), the true asymptote — a
+    // coarse-quantizer tree would cut it to O(N·√nlist)) as the cost.
+    // Default 1.0 keeps the declared q66's pinned centroids bit-exact.
+    // Centroids move slightly vs a full fit, so pair recall at the
+    // TIGHT operating point is what the spec re-measures under
+    // sampling (cells can only lose boundary pairs; near-identical
+    // vectors still quantize together).
+    val fitInput = if (fitFraction >= 1.0) featured
+      else featured.filter(
+        pmod(xxhash64(lit(seed), col("vec_id")), lit(1000000L))
+          < lit((fitFraction * 1000000L).toLong))
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(featured)
+      .fit(fitInput)
     // Norms precomputed per VECTOR (linear), not per pair (quadratic).
     // Zero-norm vectors are excluded from the pair stage: their cosine
     // is undefined (0/0 — a hard DIVIDE_BY_ZERO under ANSI mode, the

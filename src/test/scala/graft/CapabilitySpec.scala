@@ -184,6 +184,24 @@ class CapabilitySpec extends SparkSpec {
     assert(famGot.count() === famHit, "tight-regime precision must be 1.0")
     val famRecall = famHit.toDouble / nFamTruth
     assert(famRecall >= 0.99, f"tight-regime recall $famRecall%.4f below pin")
+
+    // Sampled-fit regime (round 10): the 100× smoke measured the
+    // full-corpus Lloyd fit as semantic_dedup's dominant superlinear
+    // term, so production fits the quantizer on a hash-sample
+    // (fitFraction) and assigns the full corpus. Centroids move vs the
+    // full fit, so boundary families CAN split across cells — measured
+    // cost at fitFraction=0.5 on this corpus: 2 of 168 pairs (recall
+    // 0.9881, precision still structurally 1.0). That is the price of
+    // cutting the fit from O(N²) to linear along the constant-cell-size
+    // scaling path; nlist and fitFraction dial it. Pin the measured
+    // floor.
+    val sampGot = Approx.semanticDedupPairs(fam, 0.98, nlist = 8, seed = 42L,
+        fitFraction = 0.5)
+      .select(col("a"), col("b"))
+    val sampHit = sampGot.join(famTruth, Seq("a", "b")).count()
+    assert(sampGot.count() === sampHit, "sampled-fit precision must be 1.0")
+    val sampRecall = sampHit.toDouble / nFamTruth
+    assert(sampRecall >= 0.98, f"sampled-fit recall $sampRecall%.4f below pin")
   }
 
   test("nearDupAuto routes by measured candidate mass and matches the chosen arm") {
