@@ -72,6 +72,10 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
+    // Same disk-cache default as the decode side (see
+    // decodeImageFeatures): without this the writer spools each tiny
+    // PNG through a temp file.
+    javax.imageio.ImageIO.setUseCache(false)
     javax.imageio.ImageIO.write(bi, "png", bos)
     bos.toByteArray
   }
@@ -119,6 +123,13 @@ object Multimodal {
       xxhash64(col("content")).as("content_fp"), col("content"))
     val enc = org.apache.spark.sql.Encoders.product[ImageFeatures]
     in.mapPartitions { rows =>
+      // ImageIO.read(InputStream) defaults to a DISK-backed
+      // ImageInputStream — one temp-file create/delete per payload,
+      // which dominates small-image decode (measured: q48 at sf0.1
+      // 1.23 s → 0.37 s best-of-5 on the same host). Payloads are
+      // already in memory; cache there. The flag is JVM-global and
+      // idempotent — safe to set per partition.
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]]("content")
         val bi =
