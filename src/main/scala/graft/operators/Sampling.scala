@@ -75,44 +75,6 @@ object Sampling {
       .drop("__rn")
   }
 
-  /** Token-BUDGET quota sampling — the data-mixing step of a training
-    * corpus build: each group (language, source domain, quality tier…)
-    * contributes documents in a deterministic pseudo-random order until
-    * its token budget fills. This is how per-source mixture weights
-    * turn into an actual document selection: budget_g = weight_g ×
-    * total target tokens, then fill each group's quota.
-    *
-    * Selection rule: a document is kept iff the tokens accumulated by
-    * the documents BEFORE it (same group, ascending (`orderCol`,
-    * `idCol`)) are still under `budget` — each group overshoots by at
-    * most one document and never undershoots while eligible docs
-    * remain. The order key is caller-supplied (typically a salted hash
-    * of the id, so the sample is reproducible and uncorrelated with id
-    * order). Output: id, group, count columns plus `cum_before` (tokens
-    * before this doc in its group) and `pick_pos` (1-based fill
-    * position).
-    *
-    * Scale shape — unlike [[stratifiedQuota]] (row-count quotas via a
-    * per-stratum window, fine when quotas are small), the running TOKEN
-    * sum here must see every group row, and `Window.partitionBy(group)`
-    * would serialize each group onto one reducer — five languages, five
-    * tasks, at any corpus size. So this is [[Packing.packSequences]]'s
-    * two-phase distributed prefix sum keyed by group: rows
-    * range-partition by (group, orderKey, id) — a group spans many
-    * partitions, each holding a contiguous key range — then
-    * per-(partition, group) totals (≤ partitions × groups tiny rows)
-    * take a small window for the group's base offsets, which broadcast
-    * back for the within-partition running sum. Only (id, group, n,
-    * key) tuples shuffle; text never moves. The declared q68 twin is
-    * DuckDB-oracled value-for-value.
-    *
-    * The (`groupCol`, `orderCol`, `idCol`) triple must be unique — the
-    * fill order is otherwise undefined; duplicates fail loudly at
-    * execution (packSequences' in-window lag guard: range partitioning
-    * makes equal triples adjacent, so the lag sees them). `reliable =
-    * true` swaps localCheckpoint for a reliable checkpoint (requires a
-    * checkpoint dir; survives executor loss).
-    */
   /** quotaSample's pre-materialization layout — the production range
     * exchange, exposed un-checkpointed so SamplingSpec's plan pin
     * inspects the operator's OWN shape (the checkpoint hides the
@@ -127,11 +89,13 @@ object Sampling {
       .sortWithinPartitions("grp", "rk", "id")
       .withColumn("pid", spark_partition_id())
 
-  def quotaSample(docs: DataFrame, budget: Long,
-                  groupCol: String = "lang", idCol: String = "doc_id",
-                  nCol: String = "n_tokens", orderCol: String = "rk",
-                  nParts: Int = 0, reliable: Boolean = false): DataFrame = {
-    require(budget > 0, "budget must be positive")
+  /** Shared core of the quota samplers: every doc's exclusive running
+    * token sum (`cum_before`) and 1-based fill position (`pick_pos`)
+    * within its group's (orderCol, idCol) order, as (id, grp, n,
+    * cum_before, pick_pos) — the budget cut happens in the callers. */
+  private def quotaSpans(docs: DataFrame, groupCol: String, idCol: String,
+      nCol: String, orderCol: String, nParts: Int,
+      reliable: Boolean): DataFrame = {
     val sess = docs.sparkSession
     val materialize: DataFrame => DataFrame =
       if (reliable) df => df.checkpoint(true) else df => df.localCheckpoint(true)
@@ -175,7 +139,76 @@ object Sampling {
       .withColumn("cum_before",
         col("tbase") + sum(col("n")).over(wRun) - col("n") + dupGuard)
       .withColumn("pick_pos", col("cbase") + row_number().over(ord))
+  }
+
+  /** Token-BUDGET quota sampling — the data-mixing step of a training
+    * corpus build: each group (language, source domain, quality tier…)
+    * contributes documents in a deterministic pseudo-random order until
+    * its token budget fills. For per-group budgets derived from mixture
+    * weights (budget_g = weight_g × total target tokens) use
+    * [[quotaSampleBudgets]]; this entry applies one uniform budget.
+    *
+    * Selection rule: a document is kept iff the tokens accumulated by
+    * the documents BEFORE it (same group, ascending (`orderCol`,
+    * `idCol`)) are still under `budget` — each group overshoots by at
+    * most one document and never undershoots while eligible docs
+    * remain. The order key is caller-supplied (typically a salted hash
+    * of the id, so the sample is reproducible and uncorrelated with id
+    * order). Output: id, group, count columns plus `cum_before` (tokens
+    * before this doc in its group) and `pick_pos` (1-based fill
+    * position).
+    *
+    * Scale shape — unlike [[stratifiedQuota]] (row-count quotas via a
+    * per-stratum window, fine when quotas are small), the running TOKEN
+    * sum here must see every group row, and `Window.partitionBy(group)`
+    * would serialize each group onto one reducer — five languages, five
+    * tasks, at any corpus size. So this is [[Packing.packSequences]]'s
+    * two-phase distributed prefix sum keyed by group: rows
+    * range-partition by (group, orderKey, id) — a group spans many
+    * partitions, each holding a contiguous key range — then
+    * per-(partition, group) totals (≤ partitions × groups tiny rows)
+    * take a small window for the group's base offsets, which broadcast
+    * back for the within-partition running sum. Only (id, group, n,
+    * key) tuples shuffle; text never moves. The declared q68 twin is
+    * DuckDB-oracled value-for-value.
+    *
+    * The (`groupCol`, `orderCol`, `idCol`) triple must be unique — the
+    * fill order is otherwise undefined; duplicates fail loudly at
+    * execution (packSequences' in-window lag guard: range partitioning
+    * makes equal triples adjacent, so the lag sees them). `reliable =
+    * true` swaps localCheckpoint for a reliable checkpoint (requires a
+    * checkpoint dir; survives executor loss).
+    */
+  def quotaSample(docs: DataFrame, budget: Long,
+                  groupCol: String = "lang", idCol: String = "doc_id",
+                  nCol: String = "n_tokens", orderCol: String = "rk",
+                  nParts: Int = 0, reliable: Boolean = false): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    quotaSpans(docs, groupCol, idCol, nCol, orderCol, nParts, reliable)
       .filter(col("cum_before") < lit(budget))
+      .select(col("id").as(idCol), col("grp").as(groupCol),
+        col("n").as(nCol), col("cum_before"), col("pick_pos"))
+  }
+
+  /** [[quotaSample]] with per-group budgets — the actual mixture form:
+    * `budgets` maps each group to its token budget (weight_g × target).
+    * Groups absent from the map contribute NOTHING (weight 0) — a
+    * mixture is a whitelist, so an unlisted source must not leak into
+    * the output silently. Budgets are driver-side by construction
+    * (mixture weights are a config, and the group count is small by
+    * definition here); they broadcast as a literal map expression, so
+    * the cut stays scan-side with no extra join or shuffle. */
+  def quotaSampleBudgets(docs: DataFrame, budgets: Map[String, Long],
+                         groupCol: String = "lang", idCol: String = "doc_id",
+                         nCol: String = "n_tokens", orderCol: String = "rk",
+                         nParts: Int = 0, reliable: Boolean = false): DataFrame = {
+    require(budgets.nonEmpty, "budgets must not be empty")
+    require(budgets.values.forall(_ > 0), "every budget must be positive")
+    val budgetFor = budgets.foldLeft(lit(0L)) { case (acc, (g, b)) =>
+      when(col("grp") === lit(g), lit(b)).otherwise(acc)
+    }
+    quotaSpans(docs, groupCol, idCol, nCol, orderCol, nParts, reliable)
+      .filter(col("cum_before") < budgetFor)
       .select(col("id").as(idCol), col("grp").as(groupCol),
         col("n").as(nCol), col("cum_before"), col("pick_pos"))
   }

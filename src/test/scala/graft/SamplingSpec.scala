@@ -99,6 +99,23 @@ class SamplingSpec extends SparkSpec {
       s"group-only hash exchange on the data path:\n$layout")
   }
 
+  test("quotaSampleBudgets: per-group budgets, unlisted groups excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", 4L, "k1"), (2L, "a", 3L, "k2"), (3L, "a", 5L, "k3"),
+      (10L, "b", 6L, "k1"), (11L, "b", 1L, "k2"),
+      (20L, "c", 2L, "k1")) // group c not in the mixture → dropped
+      .toDF("doc_id", "lang", "n_tokens", "rk")
+    val got = collectPicked(Sampling.quotaSampleBudgets(docs,
+      Map("a" -> 5L, "b" -> 6L)))
+    // a: doc1 (cum 0<5) + doc2 (cum 4<5, overshoots) but not doc3
+    // (cum 7); b: doc10 (cum 0<6) but not doc11 (cum 6); c: nothing.
+    val want = Seq(
+      (1L, "a", 4L, 0L, 1L), (2L, "a", 3L, 4L, 2L),
+      (10L, "b", 6L, 0L, 1L))
+    assert(got.toSeq === want)
+  }
+
   test("q68 pick order is a deterministic hash permutation, not id order") {
     val got = SparkEntry.queries("q68_mixture_sample")(spark, sf001)
     val rows = got.collect()
