@@ -64,9 +64,14 @@ object Bench {
       try sc.parallelize(Seq(0), 1).count()
       finally sc.clearJobGroup()
       // The sentinel ran to completion above, so its start event is
-      // already in the bus; the wait only covers delivery latency.
-      sentinelSeen.await(30, java.util.concurrent.TimeUnit.SECONDS)
-      (built, jobs.get())
+      // already in the bus; the wait only covers delivery latency. If
+      // it still times out (bus overflow can DROP events), the count
+      // may be an undercount — report -1 so the caller treats the
+      // query as eager (rebuild-per-pass): a spurious rebuild costs
+      // plan time, a spurious cache silently mis-benches.
+      val flushed =
+        sentinelSeen.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      (built, if (flushed) jobs.get() else -1)
     } finally sc.removeSparkListener(listener)
   }
 
@@ -112,10 +117,20 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Takes a thunk so a query that does eager work while its DataFrame
     // is constructed (q60's clustering loop) has that work timed too.
-    def timeOne(mk: () => org.apache.spark.sql.DataFrame): Double = {
+    // freeAfter: rebuild-per-pass queries leave one materialized block
+    // per build (q60's final label checkpoint) with no caller to
+    // release it — free the throwaway result after the clock stops so
+    // passes don't accumulate session-lifetime storage blocks.
+    def timeOne(mk: () => org.apache.spark.sql.DataFrame,
+                freeAfter: Boolean): Double = {
       val t0 = System.nanoTime()
-      try mk().count() catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      val df = try { val d = mk(); d.count(); d }
+        catch { case _: Throwable => return -1.0 }
+      val t = (System.nanoTime() - t0) / 1e9
+      if (freeAfter)
+        try graft.operators.Materialized.free(df)
+        catch { case _: Throwable => () }
+      t
     }
     // Host-load evidence: the r3 driver run read 2x slower than a quiet
     // host purely from external CPU contention; emitting loadavg and the
@@ -146,24 +161,34 @@ object Bench {
       // launches Spark jobs while its DataFrame is CONSTRUCTED (q60's
       // checkpointed clustering loop) would have only its final assembly
       // timed if cached, so it is rebuilt inside every timed pass.
-      val dfs: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
+      val dfs: Seq[(String, () => org.apache.spark.sql.DataFrame, Boolean)] =
         queries.map { case (name, fn) =>
           val probed =
             try Some(jobsDuringBuild(spark)(() => fn(spark, sfDir)))
             catch { case _: Throwable => None }
           probed match {
-            case Some((df, 0)) => name -> (() => df)
-            case Some((_, n)) =>
-              System.err.println(
+            case Some((df, 0)) => (name, () => df, false)
+            case Some((df, n)) =>
+              System.err.println(if (n < 0)
+                s"[bench] $name: construction-probe sentinel not observed; rebuilding per pass to be safe"
+              else
                 s"[bench] $name launched $n job(s) during construction; rebuilding per pass")
-              name -> (() => fn(spark, sfDir))
+              // The probe's throwaway build may have materialized blocks
+              // (q60's final labels) no one will ever read — free them.
+              try graft.operators.Materialized.free(df)
+              catch { case _: Throwable => () }
+              (name, () => fn(spark, sfDir), true)
             // Construction threw: keep the thunk so timeOne records the
             // -1.0 failure sentinel instead of the probe masking it.
-            case None => name -> (() => fn(spark, sfDir))
+            case None => (name, () => fn(spark, sfDir), true)
           }
         }
-      dfs.foreach { case (_, mk) =>
-        try mk().count() catch { case _: Throwable => () }
+      dfs.foreach { case (_, mk, freeAfter) =>
+        try {
+          val df = mk()
+          df.count()
+          if (freeAfter) graft.operators.Materialized.free(df)
+        } catch { case _: Throwable => () }
       }
       val best = scala.collection.mutable.Map.empty[String, Double]
       val passTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -173,8 +198,8 @@ object Bench {
       while (continue && pass < 7) {
         pass += 1
         var passSum = 0.0
-        dfs.foreach { case (name, mk) =>
-          val t = timeOne(mk)
+        dfs.foreach { case (name, mk, freeAfter) =>
+          val t = timeOne(mk, freeAfter)
           if (t >= 0) passSum += t
           val cur = best.getOrElse(name, Double.MaxValue)
           // A -1.0 failure sentinel must not pin the query: a later

@@ -171,7 +171,8 @@ object ScaleSmoke {
     // budget and it MUST route to the AND-banded family instead of
     // filling the disk.
     run("neardup_auto") {
-      graft.operators.Approx.nearDupAuto(spark, docsDf, minJaccard = 0.8)
+      graft.operators.Approx.nearDupAuto(spark, docsDf, minJaccard = 0.8,
+        knownMass = Some(mass))
     }
     if (mass <= 100000000L)
       run("q43_minhash_neardup") { SparkEntry.queries("q43_minhash_neardup")(spark, out) }

@@ -188,8 +188,13 @@ object Approx {
     * arms tokenize identically and emit (a, b, jaccard). */
   def nearDupAuto(spark: SparkSession, docs: DataFrame,
                   minJaccard: Double = 0.8, numHashTables: Int = 8,
-                  massBudget: Long = DefaultCandidateMassBudget): DataFrame = {
-    val mass = minHashCandidateMass(spark, docs, numHashTables)
+                  massBudget: Long = DefaultCandidateMassBudget,
+                  knownMass: Option[Long] = None): DataFrame = {
+    // knownMass skips the probe when the caller already measured it
+    // (same docs + numHashTables — ScaleSmoke reports the mass and then
+    // routes; without this the linear probe ran twice per smoke stage).
+    val mass = knownMass.getOrElse(
+      minHashCandidateMass(spark, docs, numHashTables))
     val orBanded = mass <= massBudget
     System.err.println(
       s"graft.nearDupAuto: OR-banded candidate mass $mass vs budget $massBudget" +
@@ -228,8 +233,17 @@ object Approx {
       .agg(minExprs.head, minExprs.tail: _*)
       .select(col("doc_id"), array((0 until 16).map(i => col(s"mh$i")): _*).as("sig"))
     // Full-parallelism spread before the quadratic stage — the q59
-    // rationale: the band join + re-score fuse into one stage that runs
-    // at THIS partitioning.
+    // rationale: under the BROADCAST self-join this corpus size plans,
+    // the band join + re-score fuse into one stage that runs at THIS
+    // partitioning, and round-robin spreads a hot band (the sf0.1
+    // near-clique's shared band value) across every task — a hash
+    // spread on (g, v) would serialize that band into one task.
+    // Regime boundary, stated rather than hidden: when the corpus
+    // outgrows the broadcast threshold the planner inserts its own
+    // (g, v) hash exchanges at the shuffle-partition count, this
+    // round-robin exchange buys nothing, and hot-band skew is AQE's
+    // skew-split's job — the right production fix there is sizing
+    // shuffle partitions to the corpus, not this operator-side spread.
     val bandParts = math.max(spark.sessionState.conf.numShufflePartitions,
       spark.sparkContext.defaultParallelism)
     val bands = sigs.select(col("doc_id"), col("sig"), explode(expr(
@@ -800,11 +814,7 @@ object Approx {
     * returned DataFrame — stays resident: O(nodes), the caller's working
     * set. */
   private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    Materialized.free(df)
 
   /** Per-phase wall-clock ticker, active under GRAFT_CC_DEBUG. */
   private final class CcTicker(scope: String) {
@@ -1000,8 +1010,13 @@ object Approx {
                                         fitFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    require(fitFraction > 0.0 && fitFraction <= 1.0,
-      s"fitFraction $fitFraction outside (0,1]")
+    // 1e-6 floor: hashSample's bucket space is one-in-a-million, so a
+    // smaller fraction rounds to an EMPTY fit sample and KMeans would
+    // die deep in ML internals instead of here. The caller must also
+    // keep the expected sample count well above nlist — k centroids
+    // cannot be fit from fewer than k points.
+    require(fitFraction >= 1e-6 && fitFraction <= 1.0,
+      s"fitFraction $fitFraction outside [1e-6, 1]")
     graft.expressions.GraftFunctions.register(emb.sparkSession)
     def dot(a: Column, b: Column) = call_function("double_dot", a, b)
     val featured = emb.select(col("vec_id"), col("embedding"),
@@ -1021,9 +1036,7 @@ object Approx {
     // sampling (cells can only lose boundary pairs; near-identical
     // vectors still quantize together).
     val fitInput = if (fitFraction >= 1.0) featured
-      else featured.filter(
-        pmod(xxhash64(lit(seed), col("vec_id")), lit(1000000L))
-          < lit((fitFraction * 1000000L).toLong))
+      else Sampling.hashSample(featured, Seq("vec_id"), fitFraction, salt = seed)
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(fitInput)

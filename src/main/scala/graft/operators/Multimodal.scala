@@ -132,9 +132,13 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]]("content")
+        // NonFatal only: a decode error means "not an image" (NULL
+        // fields), but an executor OOM on a huge raster or an interrupt
+        // during task kill must stay a task failure, not be recorded as
+        // a normal non-image row.
         val bi =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: Throwable => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (bi == null)
           ImageFeatures(r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
             None, None, None, None)
@@ -165,11 +169,19 @@ object Multimodal {
     * the container; images go through [[decodeImageFeatures]]. The
     * output schema, per-partition batching, and downstream joins are
     * the production shape. */
+  /** The i-th coordinate of the deterministic fake embedding: byte i of
+    * the content fingerprint, scaled to [0,1]. ONE definition — q48
+    * flattens the same coordinates from its post-decode frame, and
+    * sharing the expression is what makes the scaladoc's "exactly
+    * decodeFeatures's formula" structural instead of a copy. */
+  private[graft] def fakeEmbeddingCoord(h: org.apache.spark.sql.Column,
+                                        i: Int): org.apache.spark.sql.Column =
+    shiftright(h, i * 8).bitwiseAND(255).cast("double") / 255.0
+
   def decodeFeatures(media: DataFrame): DataFrame = {
     // real impl: mapPartitions { iter => codec.decode(row.content) ... }
     val h = xxhash64(col("content"))
-    val fakeEmbedding = array((0 until 8).map(i =>
-      (pmod(shiftright(h, i * 8).bitwiseAND(255), lit(256)).cast("double") / 255.0)): _*)
+    val fakeEmbedding = array((0 until 8).map(fakeEmbeddingCoord(h, _)): _*)
     media.select(
       col("media_id"), col("kind"),
       length(col("content")).cast("long").as("n_bytes"),

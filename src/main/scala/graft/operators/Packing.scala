@@ -46,7 +46,11 @@ object Packing {
     * order is ascending `idCol`. `reliable = true` materializes the
     * sized layout via reliable `checkpoint` instead of
     * `localCheckpoint` (same trade as dedupClusters — requires a
-    * checkpoint dir, survives executor loss). */
+    * checkpoint dir, survives executor loss). The sized layout (three
+    * longs per doc) stays RESIDENT behind the returned plan — it is the
+    * working set both phases read, same contract as dedupClusters'
+    * final labels; long-lived sessions release it with
+    * [[Materialized.free]] once done with the result. */
   def packSequences(docs: DataFrame, seqLen: Long,
                     idCol: String = "doc_id", nCol: String = "n_tokens",
                     nParts: Int = 0, reliable: Boolean = false): DataFrame = {

@@ -177,7 +177,11 @@ object Sampling {
     * execution (packSequences' in-window lag guard: range partitioning
     * makes equal triples adjacent, so the lag sees them). `reliable =
     * true` swaps localCheckpoint for a reliable checkpoint (requires a
-    * checkpoint dir; survives executor loss).
+    * checkpoint dir; survives executor loss). The sized layout (four
+    * small columns per doc) stays RESIDENT behind the returned plan —
+    * the working set both phases read, same contract as dedupClusters'
+    * final labels; long-lived sessions release it with
+    * [[Materialized.free]] once done with the result.
     */
   def quotaSample(docs: DataFrame, budget: Long,
                   groupCol: String = "lang", idCol: String = "doc_id",

@@ -408,8 +408,7 @@ object Extended {
       graft.operators.Multimodal.syntheticMedia(documents(s, d)))
     val h = col("content_fp")
     val flat = (0 until 8).map(i =>
-      (pmod(shiftright(h, i * 8).bitwiseAND(255), lit(256)).cast("double") / 255.0)
-        .as(s"f$i"))
+      graft.operators.Multimodal.fakeEmbeddingCoord(h, i).as(s"f$i"))
     feats.select(Seq(col("media_id"), col("kind"), col("n_bytes"),
                      col("content_fp"), col("width"), col("height"),
                      col("channels"), col("mean_luma")) ++ flat: _*)

@@ -75,10 +75,34 @@ class SamplingSpec extends SparkSpec {
     import spark.implicits._
     val docs = Seq((1L, "a", 5L, "k"), (1L, "a", 7L, "k"))
       .toDF("doc_id", "lang", "n_tokens", "rk")
-    val ex = intercept[Exception] {
+    val ex = intercept[Throwable] {
       Sampling.quotaSample(docs, 100L, nParts = 1).collect()
     }
-    assert(ex.getMessage != null)
+    // The specific dupGuard assertion must be what fired — accepting any
+    // exception would keep passing if the guard were pruned away and
+    // some unrelated error happened to throw.
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("duplicate (lang, rk, doc_id)")),
+      s"expected the duplicate-key assertion, got: $ex")
+  }
+
+  test("Materialized.free releases the quota layout's resident block") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, "g", 1L, i.toString))
+      .toDF("doc_id", "lang", "n_tokens", "rk")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val picked = Sampling.quotaSample(docs, 10L)
+    picked.count()
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "expected the sized layout checkpoint to be resident")
+    graft.operators.Materialized.free(picked)
+    // unpersist(blocking = false) — poll briefly for the async release
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (spark.sparkContext.getPersistentRDDs.keySet.exists(added)
+        && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(!spark.sparkContext.getPersistentRDDs.keySet.exists(added),
+      "quota layout block still resident after Materialized.free")
   }
 
   test("quotaSample plan: range-partitioned data path, no per-group reducer") {
