@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TrainingData
+
+/** End-to-end training-set pipeline: stage semantics verified on the
+  * real sf0.01 documents table — contaminated docs dropped, duplicates
+  * collapsed, budgets respected, packing conserves tokens, and the
+  * whole run reproduces bit-for-bit.
+  */
+class TrainingDataSpec extends SparkSpec {
+
+  private lazy val docs = graft.ops.Tables.documents(spark, sf001)
+    .select("doc_id", "text", "lang")
+  // Benchmark = the first ten documents' texts: every one of their
+  // 8-grams is "an eval question", so those docs (and any doc sharing
+  // an 8-gram) must be decontaminated away.
+  private lazy val benchmark = docs.filter(col("doc_id") < 10).select("text")
+  private val budgets = Map("en" -> 3000L, "de" -> 1500L, "es" -> 1500L,
+    "fr" -> 1500L, "zh" -> 1500L)
+
+  private lazy val ts = TrainingData.buildTrainingSet(
+    spark, docs, benchmark, budgets, seqLen = 256L)
+  private lazy val selected = ts.selected.collect()
+
+  test("pipeline survives to a non-empty packed training set") {
+    assert(selected.length > 50)
+    assert(ts.packed.count() > 0)
+  }
+
+  test("contaminated documents are gone") {
+    val picked = selected.map(_.getLong(0)).toSet
+    assert((0L until 10L).forall(id => !picked.contains(id)),
+      "benchmark-source docs must be dropped by decontamination")
+  }
+
+  test("no two selected documents share text") {
+    val texts = docs.join(
+        ts.selected.select("doc_id"), "doc_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("text")).as("d"))
+      .head()
+    assert(texts.getLong(0) === texts.getLong(1))
+  }
+
+  test("every language stays within its token budget (+ one overshoot doc)") {
+    selected.groupBy(_.getString(1)).foreach { case (lang, rows) =>
+      val mass = rows.map(_.getLong(2)).sum
+      val last = rows.maxBy(_.getLong(4)).getLong(2)
+      assert(mass - last < budgets(lang),
+        s"$lang kept $mass tokens against budget ${budgets(lang)}")
+    }
+  }
+
+  test("packing conserves the selected token stream exactly") {
+    val selTokens = selected.map(_.getLong(2)).sum
+    val packTokens = ts.packed.agg(sum(col("slice_len"))).head().getLong(0)
+    assert(packTokens === selTokens)
+    // Full sequences tile exactly; the final one holds the remainder.
+    val perSeq = ts.packed.groupBy("seq_id").agg(sum(col("slice_len")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(perSeq.init.forall(_._2 == 256L))
+    assert(perSeq.last._2 === (if (selTokens % 256 == 0) 256L else selTokens % 256))
+  }
+
+  test("the pipeline is reproducible bit-for-bit") {
+    val again = TrainingData.buildTrainingSet(
+        spark, docs, benchmark, budgets, seqLen = 256L)
+      .selected.collect()
+    assert(again.map(r => (r.getLong(0), r.getLong(4))).sortBy(_._1).toSeq ===
+      selected.map(r => (r.getLong(0), r.getLong(4))).sortBy(_._1).toSeq)
+  }
+}
