@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming sequence packing — the ingest-time twin of
+  * [[graft.operators.Packing.packSequences]]: documents arriving on a
+  * stream append to a per-shard virtual token stream that is cut every
+  * `seqLen` tokens, exactly as the batch operator cuts its doc_id-
+  * ordered stream. The state per shard is ONE long (the fill position),
+  * carried across microbatches by the state store — a restart resumes
+  * mid-sequence where the checkpoint left off.
+  *
+  * Ordering contract: within a microbatch a shard's documents pack in
+  * doc_id order (sorted here, so a batch's output is deterministic);
+  * ACROSS microbatches the order is arrival order — that is the
+  * defining difference from the batch operator, which orders the whole
+  * corpus. Feed batches in id order on one shard and the two agree
+  * row-for-row (proven in StreamingSpec); at scale each parallel
+  * writer is its own shard and seq ids are per-shard, the way
+  * production packers shard their output files.
+  *
+  * Scale shape: state is O(shards) longs — the minimum any packer
+  * needs — and each shard's documents are processed by exactly one
+  * task per microbatch (the groupByKey exchange on shard id is the
+  * only shuffle; token counts ride it, text does not).
+  */
+object StreamingPacking {
+
+  case class DocIn(shard: Long, doc_id: Long, n_tokens: Long)
+  case class PackState(pos: Long)
+  case class PackOut(shard: Long, seq_id: Long, doc_id: Long,
+                     doc_offset: Long, seq_offset: Long, slice_len: Long)
+
+  /** `docs` must expose (shard, doc_id, n_tokens). Works identically in
+    * batch mode (each group arrives complete in one call). Scala Long
+    * division is integer division, so the slice arithmetic is exact at
+    * any stream length — the same 2^53 concern the batch operator's
+    * SQL `div` addresses. */
+  def packStream(docs: DataFrame, seqLen: Long): Dataset[PackOut] = {
+    require(seqLen > 0, "seqLen must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.as[DocIn]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[PackState, PackOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (shard, it, state: GroupState[PackState]) =>
+          var pos = state.getOption.map(_.pos).getOrElse(0L)
+          val out = it.toVector.sortBy(_.doc_id).flatMap { d =>
+            if (d.n_tokens <= 0) Vector.empty[PackOut]
+            else {
+              val start = pos
+              val end = pos + d.n_tokens
+              pos = end
+              (start / seqLen to (end - 1) / seqLen).map { s =>
+                val lo = math.max(s * seqLen, start)
+                val hi = math.min((s + 1) * seqLen, end)
+                PackOut(shard, s, d.doc_id, lo - start, lo - s * seqLen, hi - lo)
+              }
+            }
+          }
+          state.update(PackState(pos))
+          out.iterator
+      }
+  }
+}

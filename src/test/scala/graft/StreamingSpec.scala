@@ -334,6 +334,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamedPairs("snd_expiry") === Set.empty[(Long, Long, Int)])
   }
 
+  test("streaming packing across microbatches == batch packSequences") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingPacking
+    // Real token counts from the sf0.001 documents table, fed on one
+    // shard in doc_id order SPLIT ACROSS THREE MICROBATCHES — the state
+    // store must carry the mid-sequence fill position between batches
+    // (doc streams rarely align to sequence boundaries), and the result
+    // must equal the batch operator's slice map row-for-row.
+    val sized = graft.ops.Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), w => w =!= ""))
+          .cast("long").as("n_tokens"))
+      .collect().map(r => (0L, r.getLong(0), r.getLong(1))).sortBy(_._2)
+    val stream = MemoryStream[(Long, Long, Long)]
+    runToMemory("pack_t",
+      StreamingPacking.packStream(
+        stream.toDF().toDF("shard", "doc_id", "n_tokens"), seqLen = 256L).toDF(),
+      mode = "append") {
+      sized.grouped(math.max(1, sized.length / 3)).foreach { b =>
+        stream.addData(b.toSeq)
+        // One microbatch per chunk: without this, all chunks coalesce
+        // into a single batch and the cross-batch state is never used.
+        spark.streams.active.foreach(_.processAllAvailable())
+      }
+    }
+    val streamed = spark.table("pack_t")
+      .select("seq_id", "doc_id", "doc_offset", "seq_offset", "slice_len")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(t => (t._1, t._4))
+    val batch = graft.operators.Packing.packSequences(
+        sized.map(t => (t._2, t._3)).toSeq.toDF("doc_id", "n_tokens"), 256L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(t => (t._1, t._4))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("Graft facade: registerTables + SQL + named operator") {
     Graft.registerTables(spark, sf0001)
     val viaSql = spark.sql(
