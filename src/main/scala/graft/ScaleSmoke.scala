@@ -223,8 +223,12 @@ object ScaleSmoke {
     // (dense near-dup components ⇒ tiny diameter); dedupClusters throws
     // if labels are still moving at maxIter, so reaching the count IS
     // the assertion.
+    // localSolveEdges = 0 pins the DISTRIBUTED loop: the round-10 local
+    // tail solve would otherwise absorb the remainder and the round
+    // bound this smoke exists to measure would be vacuously true.
     val pairs = graft.ops.Extended.minhashPairs(spark, out).select(col("a"), col("b"))
-    val clusters = graft.operators.Approx.dedupClusters(pairs, maxIter = 5).count()
+    val clusters = graft.operators.Approx.dedupClusters(pairs, maxIter = 5,
+      localSolveEdges = 0L).count()
     println(s"SMOKE q60 converged within 5 rounds ($clusters labeled docs)")
     spark.stop()
   }

@@ -493,15 +493,22 @@ class CapabilitySpec extends SparkSpec {
     import spark.implicits._
     // a path graph 0-1-2-...-9 has diameter 9; min-label propagation
     // cannot finish in 2 rounds — the old code returned a silently
-    // split component here.
+    // split component here. localSolveEdges = 0 pins the DISTRIBUTED
+    // loop: the round-10 local tail solve has no iteration bound and
+    // would (correctly) finish this tiny graph without throwing.
     val chain = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
     intercept[IllegalStateException] {
-      Approx.dedupClusters(chain, maxIter = 2).collect()
+      Approx.dedupClusters(chain, maxIter = 2, localSolveEdges = 0L).collect()
     }
     // and with enough rounds the same graph converges to one component
-    val ok = Approx.dedupClusters(chain, maxIter = 20).collect()
-      .map(r => r.getLong(1)).toSet
+    val ok = Approx.dedupClusters(chain, maxIter = 20, localSolveEdges = 0L)
+      .collect().map(r => r.getLong(1)).toSet
     assert(ok === Set(0L))
+    // the local tail solve reaches the same single component with NO
+    // iteration bound in play
+    val okLocal = Approx.dedupClusters(chain, maxIter = 2).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(okLocal === Set(0L))
   }
 
   test("dedupClusters: label-hop shortcut converges deep chains in O(log d) rounds") {
@@ -512,8 +519,10 @@ class CapabilitySpec extends SparkSpec {
     // compounds label reach every round, so the chain must converge
     // well inside the default budget — this test FAILS (throws
     // non-convergence) if the hop regresses to plain propagation.
+    // localSolveEdges = 0 pins the distributed loop — the default
+    // would local-solve this tiny chain and never exercise the hop.
     val chain = (0L until 39L).map(i => (i, i + 1)).toDF("a", "b")
-    val labels = Approx.dedupClusters(chain).collect()
+    val labels = Approx.dedupClusters(chain, localSolveEdges = 0L).collect()
     assert(labels.map(_.getLong(1)).toSet === Set(0L))
     assert(labels.length === 40)
   }

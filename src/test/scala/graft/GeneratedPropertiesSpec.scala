@@ -228,6 +228,16 @@ class GeneratedPropertiesSpec extends SparkSpec {
           maxContractLevels = 4, minContractEdges = 1L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(gotMulti === want, s"multi-level case $i (${edges.size} edges)")
+      // Same graphs with the driver-local tail solve DISABLED
+      // (localSolveEdges = 0): these small graphs otherwise all take
+      // the round-10 local union-find tail, and the distributed
+      // pointer-doubling loop would lose its arbitrary-graph coverage
+      // (it still owns every remainder that stalls above the collect
+      // budget in production).
+      val gotLoop = graft.operators.Approx.dedupClusters(edges.toDF("a", "b"),
+          localSolveEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotLoop === want, s"distributed-loop case $i (${edges.size} edges)")
     }
   }
 }
