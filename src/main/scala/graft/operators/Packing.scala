@@ -35,9 +35,12 @@ import org.apache.spark.sql.functions._
   * base offsets, which broadcast back for the within-partition running
   * sum. No stage ever sees more than one partition's rows plus a
   * partition-count-sized side; the explode emits ≤ 1 + len/seqLen rows
-  * per document. At 100 TB this is two narrow shuffles (range partition
-  * + the per-partition totals) over (id, token-count) pairs — document
-  * TEXT never moves.
+  * per document. At 100 TB this is three narrow exchanges over (id,
+  * token-count) tuples — the range layout, the within-partition
+  * window's (pid) re-cluster (the checkpoint erases the layout's
+  * partitioning metadata, so Catalyst must re-shuffle the same tiny
+  * rows to prove co-location), and the per-partition totals — document
+  * TEXT never moves through any of them.
   */
 object Packing {
 

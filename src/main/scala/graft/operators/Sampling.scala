@@ -169,7 +169,10 @@ object Sampling {
     * per-(partition, group) totals (≤ partitions × groups tiny rows)
     * take a small window for the group's base offsets, which broadcast
     * back for the within-partition running sum. Only (id, group, n,
-    * key) tuples shuffle; text never moves. The declared q68 twin is
+    * key) tuples shuffle — across three narrow exchanges (range
+    * layout, the window's (pid, group) re-cluster the checkpoint's
+    * erased partitioning metadata forces, and the tiny totals); text
+    * never moves through any of them. The declared q68 twin is
     * DuckDB-oracled value-for-value.
     *
     * The (`groupCol`, `orderCol`, `idCol`) triple must be unique — the
