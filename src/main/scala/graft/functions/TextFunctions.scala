@@ -155,17 +155,26 @@ object TextFunctions {
     * Unit-oracled on fixed docs in CapabilitySpec (expected values
     * re-derived in plain Scala outside the query path). */
   def curate(docs: DataFrame, minQuality: Double = 0.5,
-             maxRepetition: Double = 0.2, minTokens: Int = 10): DataFrame = {
-    val clean = redactPii(col("text"))
-    docs.select(col("doc_id"),
-        fingerprint(clean).as("clean_fp"),
-        qualityScore(col("text")).as("quality"),
-        round(repetitionRatio(col("text")), 4).as("repetition"),
-        tokenCount(col("text")).cast("long").as("n_tokens"))
+             maxRepetition: Double = 0.2, minTokens: Int = 10): DataFrame =
+    curateColumns(docs, minQuality, maxRepetition, minTokens)
+      .select(col("doc_id"), col("clean_fp"), col("quality"),
+        col("repetition"), col("n_tokens"), col("keep"))
+
+  /** curate's scoring APPENDED to `df` as columns (clean_fp, quality,
+    * repetition, n_tokens, keep) — the scan-side form for pipelines
+    * that need the surviving rows WITH their text ([[curate]] projects
+    * features only, which forces a text-shuffling self-join to get the
+    * text back). One definition of the keep rule; curate derives from
+    * this. */
+  def curateColumns(df: DataFrame, minQuality: Double = 0.5,
+                    maxRepetition: Double = 0.2, minTokens: Int = 10): DataFrame =
+    df.withColumn("clean_fp", fingerprint(redactPii(col("text"))))
+      .withColumn("quality", qualityScore(col("text")))
+      .withColumn("repetition", round(repetitionRatio(col("text")), 4))
+      .withColumn("n_tokens", tokenCount(col("text")).cast("long"))
       .withColumn("keep",
         col("quality") >= minQuality && col("repetition") <= maxRepetition &&
           col("n_tokens") >= minTokens)
-  }
 
   /** Repetition score per document: frequency share of the most common
     * word n-gram (degenerate/looped text scores near 1, natural text

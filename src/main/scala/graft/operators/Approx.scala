@@ -638,7 +638,8 @@ object Approx {
     *  2. TAIL SOLVE: whatever remainder survives contraction is
     *     finished either DRIVER-LOCALLY (round 10) — when it has at
     *     most `localSolveEdges` undirected edges, one bounded collect
-    *     (16 bytes/edge; the 1M default caps it at ~16 MB) feeds a
+    *     (~40 bytes/edge as specialized (Long, Long) tuples; the 1M
+    *     default caps transient driver heap at ~40 MB) feeds a
     *     path-compressed min-root union-find, replacing the loop's
     *     several rounds of whole-cluster job dispatch with
     *     milliseconds of driver CPU (measured at sf0.1: the 1613-edge
@@ -862,8 +863,10 @@ object Approx {
     * node of the remainder as a local relation (no executor state). */
   private def localComponents(sess: SparkSession, pairs: DataFrame): DataFrame = {
     import sess.implicits._
-    val edges = pairs.select(col("a"), col("b")).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+    // Collected as Dataset[(Long, Long)], not Array[Row]: specialized
+    // tuples cost ~40 bytes/edge on-heap where GenericRows cost
+    // ~100+ — the localSolveEdges budget is sized to this shape.
+    val edges = pairs.select(col("a"), col("b")).as[(Long, Long)].collect()
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var r = x

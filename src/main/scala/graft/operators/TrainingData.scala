@@ -39,31 +39,41 @@ object TrainingData {
 
   /** Runs the six-stage pipeline over `docs` (doc_id, text, lang).
     * `benchmark` supplies the eval texts to decontaminate against (any
-    * DataFrame with a `text` column; pass an empty one to skip).
-    * `budgets` maps each lang to its token budget — groups absent from
-    * the map are excluded (a mixture is a whitelist). */
+    * DataFrame with a `text` column; pass an empty one to skip): a doc
+    * is dropped when it contains at least `minBenchContainment` of any
+    * single benchmark item's 8-grams — the default drops on ANY shared
+    * 8-gram. `budgets` maps each lang to its token budget — groups
+    * absent from the map are excluded (a mixture is a whitelist).
+    *
+    * The scored+deduped working set is materialized ONCE (five
+    * downstream consumers — the near-dup mass probe, the pair build,
+    * the keeper filter, the contamination join, the mixture input —
+    * would otherwise each re-run the scoring scan); it and
+    * dedupClusters' label checkpoint are FREED before returning, so
+    * the only resident blocks are the ones backing the returned
+    * DataFrames (release those with [[Materialized.free]]). */
   def buildTrainingSet(spark: SparkSession, docs: DataFrame,
                        benchmark: DataFrame, budgets: Map[String, Long],
                        seqLen: Long = 512L, minJaccard: Double = 0.8,
-                       maxContamination: Double = 0.0,
+                       minBenchContainment: Double = 1e-9,
                        minQuality: Double = 0.5, maxRepetition: Double = 0.2,
                        minTokens: Int = 10, salt: Long = 0L): TrainingSet = {
+    import org.apache.spark.sql.expressions.Window
     import graft.functions.TextFunctions
 
-    // 1. Quality: curate() scores scan-side; keep survivors' text for
-    // the later stages (curate itself returns only features).
-    val quality = docs
-      .join(TextFunctions.curate(docs, minQuality, maxRepetition, minTokens)
-          .filter(col("keep")).select(col("doc_id"), col("n_tokens")),
-        "doc_id")
-
-    // 2. Exact dedup, keep-first: one aggregate on the 8-byte content
-    // fingerprint — text never shuffles.
-    val keepers = quality
-      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
-      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    val exactDeduped = quality.join(keepers, "doc_id")
+    // 1+2. Quality scoring scan-side (no self-join — curateColumns
+    // keeps the text), then exact dedup keep-first as a window over
+    // the post-redaction fingerprint: duplicates differing only in PII
+    // dedup together, and the one text-carrying shuffle doubles as the
+    // dedup exchange. Materialized: the shared working set.
+    val wFp = Window.partitionBy("clean_fp").orderBy("doc_id")
+    val exactDeduped =
+      TextFunctions.curateColumns(docs, minQuality, maxRepetition, minTokens)
+        .filter(col("keep"))
+        .withColumn("rn", row_number().over(wFp))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_tokens"))
+        .localCheckpoint(true)
 
     // 3. Near-dup dedup: the mass-routed MinHash family finds pairs,
     // connected components pick one keeper per near-dup cluster. Docs
@@ -76,31 +86,20 @@ object TrainingData {
       .filter(col("ckeeper").isNull || col("ckeeper") === col("doc_id"))
       .select(exactDeduped.columns.map(col): _*)
 
-    // 4. Decontamination: per-doc 8-gram containment vs the broadcast
-    // benchmark shingle set; docs under the contamination ceiling pass,
-    // and docs too short to shingle pass vacuously (no 8-gram of
-    // theirs can appear in an eval set).
-    val benchShingles = benchmark
-      .select(split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 8)
-      .select(explode(expr(
-        "transform(sequence(1, size(toks) - 7), i -> array_join(slice(toks, i, 8), ' '))"))
-        .as("bsh"))
-      .distinct()
-    val ratios = nearDeduped
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 8)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 7), i -> array_join(slice(toks, i, 8), ' '))"))
-        .as("sh"))
-      .join(broadcast(benchShingles), col("sh") === col("bsh"), "left")
-      .groupBy("doc_id")
-      .agg((count(col("bsh")).cast("double") / count(lit(1)).cast("double"))
-        .as("contamination"))
-    val clean = nearDeduped
-      .join(ratios, Seq("doc_id"), "left")
-      .filter(coalesce(col("contamination"), lit(0.0)) <= lit(maxContamination))
-      .select(nearDeduped.columns.map(col): _*)
+    // 4. Decontamination via the library's own containment operator
+    // (robust \s+ tokenization with empty-token filtering and the
+    // full-shingle guard — a benchmark passage split across a newline
+    // or double space still matches): drop every doc that contains
+    // ≥ minBenchContainment of some benchmark item's 8-grams. Bench
+    // ids are content hashes, so the stage stays deterministic for
+    // any benchmark row order.
+    val benchIds = benchmark.select(col("text")).distinct()
+      .select(xxhash64(col("text")).as("doc_id"), col("text"))
+    val contaminated = Approx.ngramContamination(spark,
+        nearDeduped.select(col("doc_id"), col("text")), benchIds,
+        n = 8, minContainment = minBenchContainment)
+      .select(col("doc_id")).distinct()
+    val clean = nearDeduped.join(contaminated, Seq("doc_id"), "left_anti")
 
     // 5. Mixture: per-lang token budgets in salted-hash order.
     val mixIn = clean.select(col("doc_id"), col("lang"), col("n_tokens"),
@@ -110,6 +109,14 @@ object TrainingData {
     // 6. Pack the selected stream into fixed-length sequences.
     val packed = Packing.packSequences(
       selected.select(col("doc_id"), col("n_tokens")), seqLen)
+
+    // Both returned frames are backed by their own (quotaSample /
+    // packSequences) checkpoints by now; the upstream working set and
+    // the clustering labels are dead weight — free them here rather
+    // than leaking one O(corpus) block per build (the degradation
+    // Materialized.free exists to prevent).
+    Materialized.free(labels)
+    Materialized.free(exactDeduped)
     TrainingSet(selected, packed)
   }
 }

@@ -36,7 +36,12 @@ object StreamingPacking {
     * batch mode (each group arrives complete in one call). Scala Long
     * division is integer division, so the slice arithmetic is exact at
     * any stream length — the same 2^53 concern the batch operator's
-    * SQL `div` addresses. */
+    * SQL `div` addresses. A duplicate doc_id WITHIN a microbatch fails
+    * loudly like the batch twin's guard (double-packing would silently
+    * shift every later cut); a replay ACROSS batches is
+    * indistinguishable from a new document without unbounded id state —
+    * deduplicate upstream (dropDuplicatesWithinWatermark) if the
+    * source is at-least-once. */
   def packStream(docs: DataFrame, seqLen: Long): Dataset[PackOut] = {
     require(seqLen > 0, "seqLen must be positive")
     val spark = docs.sparkSession
@@ -47,7 +52,12 @@ object StreamingPacking {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (shard, it, state: GroupState[PackState]) =>
           var pos = state.getOption.map(_.pos).getOrElse(0L)
+          var prevId = Option.empty[Long]
           val out = it.toVector.sortBy(_.doc_id).flatMap { d =>
+            require(!prevId.contains(d.doc_id),
+              s"packStream: duplicate doc_id ${d.doc_id} in shard $shard — " +
+                "packing is defined over unique ids")
+            prevId = Some(d.doc_id)
             if (d.n_tokens <= 0) Vector.empty[PackOut]
             else {
               val start = pos

@@ -372,6 +372,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming packing fails loudly on a duplicate doc_id (batch-twin guard)") {
+    import spark.implicits._
+    import graft.streaming.StreamingPacking
+    // Same contract as packSequences' assert_true lag-guard: silently
+    // packing a replayed row would shift every later sequence cut.
+    val dup = Seq((0L, 1L, 5L), (0L, 1L, 5L), (0L, 2L, 3L))
+      .toDF("shard", "doc_id", "n_tokens")
+    val ex = intercept[Throwable] {
+      StreamingPacking.packStream(dup, seqLen = 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("duplicate doc_id")),
+      s"expected the duplicate-id guard, got: $ex")
+  }
+
   test("Graft facade: registerTables + SQL + named operator") {
     Graft.registerTables(spark, sf0001)
     val viaSql = spark.sql(
