@@ -214,6 +214,24 @@ object ScaleSmoke {
     // cost is one narrow shuffle of (id, token-count) pairs — wall
     // should stay near-flat across `copies` and the slice count linear.
     run("pack_sequences") { SparkEntry.queries("q67_pack_sequences")(spark, out) }
+    // End-to-end training pipeline (round 10): quality → exact dedup →
+    // mass-routed near-dup → decontam (every 997th doc as "benchmark")
+    // → budget mixture → packing, composed in one call. The budget
+    // scales with `copies` so the SELECTED mass grows linearly; wall
+    // should track the near-dup stage (its dominant part). Counted
+    // rows = selected docs.
+    run("training_pipeline") {
+      val docsAll = spark.read.parquet(s"$out/documents.parquet")
+        .select("doc_id", "text", "lang")
+      val bench = docsAll.filter(pmod(col("doc_id"), lit(997)) === 0).select("text")
+      // Quality thresholds opened up: the synthetic vocabulary has no
+      // stopwords, so the production default (quality ≥ 0.5) would
+      // empty the corpus at stage 1 — this smoke measures the
+      // pipeline's SCALE, not filter selectivity on fake text.
+      graft.operators.TrainingData.buildTrainingSet(spark, docsAll, bench,
+        budgets = Map("en" -> 100000L * copies), seqLen = 2048,
+        minQuality = 0.0, maxRepetition = 1.0, minTokens = 1).selected
+    }
     // Event-time family at 1M events / 10× users (round 8 — the family
     // the encoding drift broke; now smoke-covered at scale): q32 is the
     // stateful sessionization path, q15 the per-user interval join.

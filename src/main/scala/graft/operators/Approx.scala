@@ -162,11 +162,15 @@ object Approx {
     * use that family; this ML variant is only safe when this mass
     * check comes back near-linear. */
   def minHashCandidateMass(spark: SparkSession, docs: DataFrame,
-                           numHashTables: Int = 8): Long =
-    mlMinhashBanded(spark, docs, numHashTables)._2
+                           numHashTables: Int = 8): Long = {
+    // coalesce: sum over ZERO buckets (empty or all-stopword-filtered
+    // corpus) is null — the probe must report mass 0, not NPE.
+    val mass = mlMinhashBanded(spark, docs, numHashTables)._2
       .groupBy(col("t"), col("hv")).count()
       .agg(sum(expr("CAST(count * (count - 1) DIV 2 AS DECIMAL(38,0))")).as("mass"))
-      .head().getDecimal(0).longValueExact()
+      .head().getDecimal(0)
+    if (mass == null) 0L else mass.longValueExact()
+  }
 
   /** The measured sandbox fence for the OR-banded candidate mass: the
     * 30× ScaleSmoke's ≈ 3.6·10⁸ candidates filled the disk with spill

@@ -204,6 +204,15 @@ class CapabilitySpec extends SparkSpec {
     assert(sampRecall >= 0.98, f"sampled-fit recall $sampRecall%.4f below pin")
   }
 
+  test("minHashCandidateMass reports 0 on an empty corpus instead of throwing") {
+    import spark.implicits._
+    // sum over zero band buckets is SQL null; the probe must coalesce
+    // it (hit by ScaleSmoke's pipeline run when a quality filter
+    // emptied the corpus upstream — an NPE here killed the whole run).
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Approx.minHashCandidateMass(spark, empty) === 0L)
+  }
+
   test("nearDupAuto routes by measured candidate mass and matches the chosen arm") {
     import spark.implicits._
     // A corpus with two planted near-dup pairs (J = 9/11 ≈ 0.818 and
