@@ -223,7 +223,12 @@ object ScaleSmoke {
     run("training_pipeline") {
       val docsAll = spark.read.parquet(s"$out/documents.parquet")
         .select("doc_id", "text", "lang")
-      val bench = docsAll.filter(pmod(col("doc_id"), lit(997)) === 0).select("text")
+      // FIXED-size benchmark (500 docs at every scale): an eval set
+      // does not grow with the training corpus, and letting it grow
+      // here made the decontam stage O(corpus × bench) = quadratic —
+      // the first cut of this smoke measured exactly that (30×→100×
+      // wall 5.4× for a 3.33× corpus before the fix).
+      val bench = docsAll.filter(col("doc_id") < 500).select("text")
       // Quality thresholds opened up: the synthetic vocabulary has no
       // stopwords, so the production default (quality ≥ 0.5) would
       // empty the corpus at stage 1 — this smoke measures the

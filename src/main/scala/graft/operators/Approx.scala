@@ -480,7 +480,8 @@ object Approx {
     * one pass with no shuffle. */
   def ngramContamination(spark: SparkSession, docs: DataFrame, benchmark: DataFrame,
                          n: Int = 5, minContainment: Double = 0.5): DataFrame = {
-    graft.expressions.GraftFunctions.register(spark)
+    require(minContainment > 0.0,
+      "minContainment must be positive: zero-overlap (doc, bench) pairs are never emitted")
     // Full-length shingles only: a doc with < n tokens yields NO
     // shingles (not one truncated shingle — that made every whitespace-
     // only bench doc emit the "" shingle, pass the size(bs)>0 guard, and
@@ -488,19 +489,33 @@ object Approx {
     def shingles(c: Column) = {
       val toks = filter(split(c, "\\s+"), w => w =!= "")
       when(size(toks) >= n,
-        sort_array(array_distinct(transform(
+        array_distinct(transform(
           sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))))
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
         .otherwise(array().cast("array<string>"))
     }
-    val corpus = docs.select(col("doc_id"), shingles(col("text")).as("ds"))
-    val bench = benchmark
+    // Exploded broadcast EQUI-join on the shingle, not a cross join
+    // with a per-pair set intersect (round 10 — the pipeline smoke
+    // measured the cross join at O(corpus × bench)): both shingle sets
+    // are distinct per row, so each shared shingle joins exactly once
+    // and the (doc, bench) group count IS the intersection size. Work
+    // is O(matching shingles); a corpus doc sharing nothing with the
+    // benchmark costs one hash probe per shingle and never reaches the
+    // aggregate. Zero-overlap pairs are not emitted (hence the
+    // minContainment > 0 precondition — they were filtered out before
+    // anyway).
+    val corpusSh = docs
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val benchSh = benchmark
       .select(col("doc_id").as("bench_id"), shingles(col("text")).as("bs"))
       .filter(size(col("bs")) > 0)
-    val shared = expr("sorted_intersect_size(ds, bs)")
-    corpus.join(broadcast(bench))
+      .select(col("bench_id"), size(col("bs")).cast("double").as("bn"),
+        explode(col("bs")).as("bsh"))
+    corpusSh.join(broadcast(benchSh), col("sh") === col("bsh"))
+      .groupBy(col("doc_id"), col("bench_id"), col("bn"))
+      .agg(count(lit(1)).cast("double").as("shared"))
       .select(col("doc_id"), col("bench_id"),
-        (shared.cast("double") / size(col("bs")).cast("double")).as("containment"))
+        (col("shared") / col("bn")).as("containment"))
       .filter(col("containment") >= minContainment)
   }
 
