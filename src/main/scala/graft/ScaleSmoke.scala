@@ -215,12 +215,17 @@ object ScaleSmoke {
     // should stay near-flat across `copies` and the slice count linear.
     run("pack_sequences") { SparkEntry.queries("q67_pack_sequences")(spark, out) }
     // End-to-end training pipeline (round 10): quality → exact dedup →
-    // mass-routed near-dup → decontam (every 997th doc as "benchmark")
+    // mass-routed near-dup → decontam (fixed 500-doc benchmark slice)
     // → budget mixture → packing, composed in one call. The budget
     // scales with `copies` so the SELECTED mass grows linearly; wall
     // should track the near-dup stage (its dominant part). Counted
-    // rows = selected docs.
+    // rows = selected docs. Each evaluation's TrainingSet checkpoints
+    // are released per its contract — run() evaluates warm + timed, and
+    // two leaked (selected + packed) block sets would sit in storage
+    // while the remaining stages are being timed.
+    var lastSelected: DataFrame = null
     run("training_pipeline") {
+      if (lastSelected != null) graft.operators.Materialized.free(lastSelected)
       val docsAll = spark.read.parquet(s"$out/documents.parquet")
         .select("doc_id", "text", "lang")
       // FIXED-size benchmark (500 docs at every scale): an eval set
@@ -233,10 +238,14 @@ object ScaleSmoke {
       // stopwords, so the production default (quality ≥ 0.5) would
       // empty the corpus at stage 1 — this smoke measures the
       // pipeline's SCALE, not filter selectivity on fake text.
-      graft.operators.TrainingData.buildTrainingSet(spark, docsAll, bench,
+      val ts = graft.operators.TrainingData.buildTrainingSet(spark, docsAll, bench,
         budgets = Map("en" -> 100000L * copies), seqLen = 2048,
-        minQuality = 0.0, maxRepetition = 1.0, minTokens = 1).selected
+        minQuality = 0.0, maxRepetition = 1.0, minTokens = 1)
+      graft.operators.Materialized.free(ts.packed) // counted: selected only
+      lastSelected = ts.selected
+      ts.selected
     }
+    if (lastSelected != null) graft.operators.Materialized.free(lastSelected)
     // Event-time family at 1M events / 10× users (round 8 — the family
     // the encoding drift broke; now smoke-covered at scale): q32 is the
     // stateful sessionization path, q15 the per-user interval join.

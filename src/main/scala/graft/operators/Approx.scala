@@ -475,9 +475,12 @@ object Approx {
     * = |shared shingles| / |benchmark shingles| (containment, NOT
     * Jaccard: a long training doc fully embedding a short benchmark item
     * has low Jaccard but containment 1.0). The benchmark side is small
-    * by construction → broadcast; per-pair intersection runs as the
-    * native sorted-merge. At 100 TB the corpus side streams through in
-    * one pass with no shuffle. */
+    * by construction → broadcast. At 100 TB the corpus side streams
+    * through the broadcast equi-join in one pass; the only exchange is
+    * the (doc, bench) hash aggregate over MATCHING shingle rows —
+    * O(actual contamination), not O(corpus). Duplicate corpus doc_id
+    * rows score as the UNION of their shingles (the distinct count
+    * below), one output row per (doc_id, bench_id). */
   def ngramContamination(spark: SparkSession, docs: DataFrame, benchmark: DataFrame,
                          n: Int = 5, minContainment: Double = 0.5): DataFrame = {
     require(minContainment > 0.0,
@@ -513,7 +516,12 @@ object Approx {
         explode(col("bs")).as("bsh"))
     corpusSh.join(broadcast(benchSh), col("sh") === col("bsh"))
       .groupBy(col("doc_id"), col("bench_id"), col("bn"))
-      .agg(count(lit(1)).cast("double").as("shared"))
+      // countDistinct, not count: a corpus doc_id appearing on several
+      // rows joins each shared shingle once per row — a plain count
+      // would sum across the rows and inflate containment past the
+      // per-row value (even past 1.0 for a verbatim duplicated doc).
+      // Distinct shingles give union-of-rows semantics instead.
+      .agg(countDistinct(col("sh")).cast("double").as("shared"))
       .select(col("doc_id"), col("bench_id"),
         (col("shared") / col("bn")).as("containment"))
       .filter(col("containment") >= minContainment)

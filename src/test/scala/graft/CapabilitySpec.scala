@@ -821,6 +821,20 @@ class CapabilitySpec extends SparkSpec {
     assert(hits(1L) >= 0.9)    // embedded passage → near-full
   }
 
+  test("ngram containment: duplicate corpus rows score as shingle union, not a sum") {
+    import spark.implicits._
+    // The equi-join rewrite joins each shared shingle once PER ROW: a
+    // plain count would score a verbatim-duplicated doc at 2.0 (and
+    // falsely flag two sub-threshold rows summed past the threshold).
+    // countDistinct pins union-of-rows semantics: containment ≤ 1.
+    val passage = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val train = Seq((1L, passage), (1L, passage)).toDF("doc_id", "text")
+    val bench = Seq((100L, passage)).toDF("doc_id", "text")
+    val hits = Approx.ngramContamination(spark, train, bench, n = 5, minContainment = 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(hits(1L) === 1.0, s"duplicated doc must score 1.0, got $hits")
+  }
+
   test("ngram containment: short/empty benchmark docs produce no shingles, no spurious hits (ADVICE r2)") {
     import spark.implicits._
     val train = Seq((1L, "   "), (2L, "tiny doc"), (3L, "a b c d e f g h")).toDF("doc_id", "text")
