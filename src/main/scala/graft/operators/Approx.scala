@@ -478,9 +478,10 @@ object Approx {
     * by construction → broadcast. At 100 TB the corpus side streams
     * through the broadcast equi-join in one pass; the only exchange is
     * the (doc, bench) hash aggregate over MATCHING shingle rows —
-    * O(actual contamination), not O(corpus). Duplicate corpus doc_id
-    * rows score as the UNION of their shingles (the distinct count
-    * below), one output row per (doc_id, bench_id). */
+    * O(actual contamination), not O(corpus). Duplicate doc_id rows —
+    * on EITHER side — score as the UNION of their shingles (corpus via
+    * the distinct count below, benchmark via the per-bench_id distinct
+    * build), one output row per (doc_id, bench_id). */
   def ngramContamination(spark: SparkSession, docs: DataFrame, benchmark: DataFrame,
                          n: Int = 5, minContainment: Double = 0.5): DataFrame = {
     require(minContainment > 0.0,
@@ -509,11 +510,19 @@ object Approx {
     // anyway).
     val corpusSh = docs
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    // Bench shingles distinct per bench_id, NOT per row: two benchmark
+    // rows sharing a bench_id (duplicate or conflicting bench texts)
+    // must score as one union set — a per-row build would join the same
+    // shared shingle once per row, letting containment exceed 1.0 and
+    // two sub-threshold rows sum past the threshold. The union also
+    // defines `bn` (the denominator) as the distinct size of the merged
+    // set, mirroring the corpus side's countDistinct semantics. The
+    // extra aggregate runs on the SMALL side only, pre-broadcast.
     val benchSh = benchmark
-      .select(col("doc_id").as("bench_id"), shingles(col("text")).as("bs"))
-      .filter(size(col("bs")) > 0)
-      .select(col("bench_id"), size(col("bs")).cast("double").as("bn"),
-        explode(col("bs")).as("bsh"))
+      .select(col("doc_id").as("bench_id"), explode(shingles(col("text"))).as("bsh"))
+      .distinct()
+      .withColumn("bn", count(lit(1)).over(
+        Window.partitionBy(col("bench_id"))).cast("double"))
     corpusSh.join(broadcast(benchSh), col("sh") === col("bsh"))
       .groupBy(col("doc_id"), col("bench_id"), col("bn"))
       // countDistinct, not count: a corpus doc_id appearing on several
@@ -875,12 +884,6 @@ object Approx {
     }
   }
 
-  /** Phase 2 of [[dedupClusters]]: iterative min-label propagation with
-    * pointer doubling over an undirected pair set (columns a, b). Runs
-    * on the CONTRACTED graph — the sparse remainder after star
-    * contraction — so the per-round O(E) is over bridges and paths, not
-    * the dense family cliques. Converges in O(log diameter) rounds;
-    * throws on non-convergence within maxIter. */
   /** Driver-local tail solve for a contracted remainder small enough
     * to collect (gated by dedupClusters' `localSolveEdges`): min-root
     * union-find with path compression. Linking the larger root under
@@ -913,6 +916,12 @@ object Approx {
     parent.keys.toSeq.sorted.map(v => (v, find(v))).toDF("cid", "cl")
   }
 
+  /** Phase 2 of [[dedupClusters]]: iterative min-label propagation with
+    * pointer doubling over an undirected pair set (columns a, b). Runs
+    * on the CONTRACTED graph — the sparse remainder after star
+    * contraction — so the per-round O(E) is over bridges and paths, not
+    * the dense family cliques. Converges in O(log diameter) rounds;
+    * throws on non-convergence within maxIter. */
   private def propagateComponents(sess: SparkSession, pairs: DataFrame,
                                   maxIter: Int,
                                   materialize: DataFrame => DataFrame,
@@ -1117,7 +1126,24 @@ object Approx {
     // sampling (cells can only lose boundary pairs; near-identical
     // vectors still quantize together).
     val fitInput = if (fitFraction >= 1.0) featured
-      else Sampling.hashSample(featured, Seq("vec_id"), fitFraction, salt = seed)
+      else {
+        // The 1e-6 floor only guarantees bucket RESOLUTION — a legal
+        // fraction can still sample fewer than nlist rows on a small
+        // corpus (1e-6 × 100k rows ≈ 0), and KMeans would then fail deep
+        // inside Lloyd's instead of at the precondition. Count the
+        // actual sample (one cheap job over the sample's scan) and fall
+        // back to the full-corpus fit when it cannot seed k centroids —
+        // a small corpus is exactly where the full fit is affordable.
+        val sample = Sampling.hashSample(featured, Seq("vec_id"), fitFraction, salt = seed)
+        val sampled = sample.count()
+        if (sampled >= nlist) sample
+        else {
+          System.err.println(
+            s"graft.semanticDedup: fitFraction $fitFraction sampled $sampled " +
+              s"rows < nlist $nlist — falling back to the full-corpus fit")
+          featured
+        }
+      }
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(fitInput)

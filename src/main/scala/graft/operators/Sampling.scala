@@ -81,13 +81,29 @@ object Sampling {
     * exchange from the final executed plan, and a hand-built replica
     * would not trip on drift). */
   private[graft] def quotaLayout(docs: DataFrame, groupCol: String,
-      idCol: String, nCol: String, orderCol: String, parts: Int): DataFrame =
+      idCol: String, nCol: String, orderCol: String, parts: Int): DataFrame = {
+    // Loud n validation (the duplicate-key-guard style): a NULL count
+    // would silently DROP its row from the budget cut (null cum_before
+    // fails the filter) while still occupying a pick_pos, and a negative
+    // count corrupts the running sum — and with it the budget semantics
+    // of every later doc in the group. Both are upstream bugs; fail the
+    // job at the scan rather than emit a plausible wrong mixture.
+    val nRaw = col(nCol).cast("long")
+    val nGuard = coalesce(
+      assert_true(nRaw.isNotNull && nRaw >= 0,
+        lit(s"quotaSample: $nCol must be non-null and >= 0")).cast("long"),
+      lit(0L))
+    // Guard on the LEFT of the add: binary expressions short-circuit on
+    // a null left operand (BinaryExpression.eval returns null without
+    // touching the right child), so `nRaw + nGuard` would skip the
+    // assertion for exactly the NULL rows it exists to catch.
     docs.select(
         col(idCol).as("id"), col(groupCol).as("grp"),
-        col(nCol).cast("long").as("n"), col(orderCol).as("rk"))
+        (nGuard + nRaw).as("n"), col(orderCol).as("rk"))
       .repartitionByRange(parts, col("grp"), col("rk"), col("id"))
       .sortWithinPartitions("grp", "rk", "id")
       .withColumn("pid", spark_partition_id())
+  }
 
   /** Shared core of the quota samplers: every doc's exclusive running
     * token sum (`cum_before`) and 1-based fill position (`pick_pos`)

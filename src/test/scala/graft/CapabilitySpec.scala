@@ -204,6 +204,24 @@ class CapabilitySpec extends SparkSpec {
     assert(sampRecall >= 0.98, f"sampled-fit recall $sampRecall%.4f below pin")
   }
 
+  test("semanticDedup: under-nlist fit sample falls back to the full fit (ADVICE r10)") {
+    // A legal fitFraction can still sample fewer than nlist rows on a
+    // small corpus (the 1e-6 floor only guarantees bucket resolution);
+    // KMeans then used to fail deep inside Lloyd's. The guard counts
+    // the sample and falls back to the full-corpus fit — so the result
+    // must EQUAL the fitFraction=1.0 run, not throw.
+    val emb = spark.range(200).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(1, 16), i -> " +
+        "CAST((pmod(xxhash64(id, i), 2001) - 1000) / 1000.0 AS FLOAT))").as("embedding"))
+    val full = Approx.semanticDedupPairs(emb, 0.35, nlist = 4, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fb = Approx.semanticDedupPairs(emb, 0.35, nlist = 4, seed = 42L,
+        fitFraction = 1e-6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fb === full, "fallback fit must reproduce the full-corpus fit")
+  }
+
   test("minHashCandidateMass reports 0 on an empty corpus instead of throwing") {
     import spark.implicits._
     // sum over zero band buckets is SQL null; the probe must coalesce
@@ -843,6 +861,26 @@ class CapabilitySpec extends SparkSpec {
     val bench = Seq((100L, ""), (101L, "  "), (102L, "three short words")).toDF("doc_id", "text")
     val hits = Approx.ngramContamination(spark, train, bench, n = 5, minContainment = 0.5)
     assert(hits.count() === 0L)
+  }
+
+  test("ngram containment: duplicate BENCH rows score as shingle union too (ADVICE r10)") {
+    import spark.implicits._
+    // Two benchmark rows sharing a bench_id (and here a shingle count)
+    // used to be indistinguishable after explode: a corpus doc matching
+    // either joined shingles from both under one (bench_id, bn) group,
+    // so containment could exceed 1.0 and two sub-threshold rows could
+    // sum past the threshold. The per-bench_id distinct build gives
+    // union semantics: bn = |union|, shared ≤ bn, containment ≤ 1.
+    val p1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val p2 = "one two three four five six seven eight nine ten"
+    val train = Seq((1L, p1), (2L, p2)).toDF("doc_id", "text")
+    val bench = Seq((100L, p1), (100L, p2)).toDF("doc_id", "text")
+    val hits = Approx.ngramContamination(spark, train, bench, n = 5, minContainment = 0.1)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    // Each train doc covers exactly half of the 12-shingle union.
+    assert(hits(1L) === 0.5, s"expected union-denominator 0.5, got $hits")
+    assert(hits(2L) === 0.5, s"expected union-denominator 0.5, got $hits")
+    assert(hits.values.forall(_ <= 1.0), s"containment must stay <= 1: $hits")
   }
 
   test("PII redaction scrubs emails, URLs, IPs, and phone numbers") {

@@ -87,6 +87,29 @@ class SamplingSpec extends SparkSpec {
       s"expected the duplicate-key assertion, got: $ex")
   }
 
+  test("quotaSample: NULL or negative n_tokens fails loudly (ADVICE r10)") {
+    import spark.implicits._
+    // A NULL count used to silently DROP its row (null cum_before fails
+    // the budget filter) while still occupying a pick_pos; a negative
+    // count corrupted the running sum for every later doc in the group.
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val withNull = Seq((1L, "a", Some(5L), "k1"), (2L, "a", None, "k2"))
+      .toDF("doc_id", "lang", "n_tokens", "rk")
+    val exNull = intercept[Throwable] {
+      Sampling.quotaSample(withNull, 100L, nParts = 1).collect()
+    }
+    assert(messages(exNull).exists(_.contains("n_tokens must be non-null")),
+      s"expected the n-validation assertion, got: $exNull")
+    val withNeg = Seq((1L, "a", 5L, "k1"), (2L, "a", -3L, "k2"))
+      .toDF("doc_id", "lang", "n_tokens", "rk")
+    val exNeg = intercept[Throwable] {
+      Sampling.quotaSample(withNeg, 100L, nParts = 1).collect()
+    }
+    assert(messages(exNeg).exists(_.contains("n_tokens must be non-null")),
+      s"expected the n-validation assertion, got: $exNeg")
+  }
+
   test("Materialized.free releases the quota layout's resident block") {
     import spark.implicits._
     val docs = (0L until 50L).map(i => (i, "g", 1L, i.toString))
