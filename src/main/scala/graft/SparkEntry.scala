@@ -91,7 +91,8 @@ object SparkEntry {
     "q65_conversion_latency"  -> Analytics.q65ConversionLatency _,
     "q66_semantic_dedup"      -> Extended.q66SemanticDedup _,
     "q67_pack_sequences"      -> Extended.q67PackSequences _,
-    "q68_mixture_sample"      -> Extended.q68MixtureSample _
+    "q68_mixture_sample"      -> Extended.q68MixtureSample _,
+    "q69_mixture_budgets"     -> Extended.q69MixtureBudgets _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

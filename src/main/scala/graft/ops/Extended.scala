@@ -476,4 +476,26 @@ object Extended {
     graft.operators.Sampling.quotaSample(sized, budget = 2000L)
       .orderBy("doc_id")
   }
+
+  /** q69: PER-GROUP-budget mixture sampling — the form a real mixture
+    * config takes (budget_g = mixture weight_g × target tokens), q68's
+    * uniform fill generalized through
+    * [[graft.operators.Sampling.quotaSampleBudgets]]: en 3000 / de 800 /
+    * es 500 / zh 1200 whitespace tokens, with `fr` deliberately
+    * UNLISTED — a mixture is a whitelist, so an unlisted source
+    * contributes nothing rather than leaking in silently. Same md5
+    * order key and two-phase distributed prefix sum as q68; the budgets
+    * cross as a literal CASE expression (no join, no shuffle), and the
+    * oracle replays the fill with the identical per-language CASE
+    * (ELSE 0 encodes the whitelist), so the running sums, pick order,
+    * per-group cuts, AND the fr exclusion are all value-checked. */
+  def q69MixtureBudgets(s: SparkSession, d: String): DataFrame = {
+    val toks = filter(split(col("text"), "\\s+"), w => w =!= "")
+    val sized = documents(s, d).select(col("doc_id"), col("lang"),
+      size(toks).cast("long").as("n_tokens"),
+      md5(concat_ws(":", lit("mix"), col("doc_id").cast("string"))).as("rk"))
+    graft.operators.Sampling.quotaSampleBudgets(sized,
+        Map("en" -> 3000L, "de" -> 800L, "es" -> 500L, "zh" -> 1200L))
+      .orderBy("doc_id")
+  }
 }

@@ -815,6 +815,32 @@ object Oracle {
         |      AS BIGINT) AS pick_pos
         |  FROM toks)
         |SELECT doc_id, lang, n_tokens, cum_before, pick_pos
-        |FROM ordered WHERE cum_before < 2000 ORDER BY doc_id""".stripMargin
+        |FROM ordered WHERE cum_before < 2000 ORDER BY doc_id""".stripMargin,
+
+    // q69: q68's window twin with a per-language CASE budget — the ELSE
+    // 0 branch value-checks the whitelist (unlisted `fr` contributes
+    // nothing: cum_before < 0 is always false).
+    "q69_mixture_budgets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |    md5('mix:' || CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM documents),
+        | ordered AS (
+        |  SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY rk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY rk, doc_id)
+        |      AS BIGINT) AS pick_pos
+        |  FROM toks)
+        |SELECT doc_id, lang, n_tokens, cum_before, pick_pos
+        |FROM ordered
+        |WHERE cum_before < CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 800
+        |                             WHEN 'es' THEN 500 WHEN 'zh' THEN 1200
+        |                             ELSE 0 END
+        |ORDER BY doc_id""".stripMargin
   )
 }

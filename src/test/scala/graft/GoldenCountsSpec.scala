@@ -89,7 +89,11 @@ class GoldenCountsSpec extends SparkSpec {
     // q68 (round 10): the five languages' 2000-token quotas fill after
     // 181 docs at sf0.01 (oracle-matched; count is budget-driven, so it
     // tracks doc length, not corpus size).
-    "q68_mixture_sample" -> 181
+    "q68_mixture_sample" -> 181,
+    // q69 (round 11): per-language budgets (en 3000/de 800/es 500/
+    // zh 1200, fr unlisted) fill after 110 docs at sf0.01
+    // (oracle-matched; budget-driven like q68).
+    "q69_mixture_budgets" -> 110
   )
 
   test("queries/oracleSql keys line up") {
@@ -172,7 +176,12 @@ class GoldenCountsSpec extends SparkSpec {
   val sf01Pins: Map[String, Long] = Map(
     "q43_minhash_neardup" -> 2968398L,
     "q59_minhash_md5" -> 2528214L,
-    "q60_dedup_clusters" -> 3856L
+    "q60_dedup_clusters" -> 3856L,
+    // q69 is budget-driven (per-language token budgets), so its count
+    // SHRINKS slightly at sf0.1 (denser docs fill the budgets in fewer
+    // picks) — the pin guards the fill semantics across the decade, not
+    // a corpus-proportional law.
+    "q69_mixture_budgets" -> 92L
   )
 
   sf01Pins.toSeq.sortBy(_._1).foreach { case (name, rows) =>
