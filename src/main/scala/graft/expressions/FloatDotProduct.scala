@@ -86,6 +86,8 @@ object GraftFunctions {
     new ExpressionInfo(classOf[DoubleDotProduct].getName, "double_dot")
   val murmurV2Info =
     new ExpressionInfo(classOf[Murmur3V2].getName, "murmur3_v2")
+  val vocabCountInfo =
+    new ExpressionInfo(classOf[VocabTokenCount].getName, "vocab_token_count")
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -106,6 +108,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("murmur3_v2"), murmurV2Info,
       (exprs: Seq[Expression]) => Murmur3V2(exprs(0)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("vocab_token_count"), vocabCountInfo,
+      (exprs: Seq[Expression]) => VocabTokenCount(exprs(0), exprs(1)))
   }
 
   /** SQL-callable after register: `float_dot(<colA>, <colB>)` — column
@@ -161,5 +166,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("double_dot"), GraftFunctions.doubleDotInfo,
         (exprs: Seq[Expression]) => DoubleDotProduct(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("vocab_token_count"), GraftFunctions.vocabCountInfo,
+        (exprs: Seq[Expression]) => VocabTokenCount(exprs(0), exprs(1))))
   }
 }

@@ -1,0 +1,160 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Greedy longest-match (maximal-munch) subword tokenizer over a fixed
+  * vocabulary, compiled into the scan: `vocab_token_count(text, vocab)`
+  * returns the number of vocabulary tokens the text segments into — the
+  * TOKENIZER-token count a training-data pipeline budgets in, where the
+  * declared q41/q67/q68/q69 forms budget in whitespace tokens.
+  *
+  * Semantics (the WordPiece/maximal-munch counting rule, which is also
+  * how a BPE vocab is applied at inference by most production
+  * tokenizers' fast paths):
+  *   - the text is pre-tokenized on `\s+` runs (the repo's whitespace
+  *     convention — same character class as Java regex `\s`);
+  *   - within a word, the longest vocab entry matching at the cursor is
+  *     taken and the cursor advances past it;
+  *   - a position where NO vocab entry matches counts one token
+  *     (byte/char-fallback, the <unk> convention) and advances one char.
+  * Total = Σ per-word token counts. Deterministic, order-independent,
+  * and engine-replayable — CapabilitySpec value-matches a driver-side
+  * replay.
+  *
+  * Scale shape: the vocab must be a FOLDABLE array<string> (a literal —
+  * e.g. `array(lit(...))` from a driver-side vocab/merge table, see
+  * [[graft.operators.Tokenizer]]). The match trie is built ONCE on the
+  * driver at codegen time and ships to executors through the generated
+  * code's reference array, inside the stage's one-per-executor
+  * TorrentBroadcast task binary — per-row work is a trie walk inside
+  * whole-stage codegen, no per-row UDF dispatch, no join, no shuffle.
+  * A 50k-entry vocab is a few MB once, then pure scan-side compute.
+  */
+case class VocabTokenCount(text: Expression, vocab: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = text
+  override def right: Expression = vocab
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (text.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"vocab_token_count expects a string text arg, got ${text.dataType.sql}")
+    else vocab.dataType match {
+      case ArrayType(StringType, _) if vocab.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case ArrayType(StringType, _) =>
+        TypeCheckResult.TypeCheckFailure(
+          "vocab_token_count's vocab must be FOLDABLE (a literal array — " +
+            "build it driver-side; a per-row vocab would rebuild the trie per row)")
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"vocab_token_count expects array<string> vocab, got ${other.sql}")
+    }
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vocab_token_count"
+
+  /** Built once per JVM that evaluates this expression instance: on the
+    * driver for codegen (then shipped built, via addReferenceObj) and
+    * interpreted driver-side folding; on an executor only if the
+    * expression itself is serialized there un-codegen'd (the trie
+    * rebuilds from the literal child — @transient keeps the closure
+    * small either way). */
+  @transient private lazy val trie: VocabTrie = {
+    val arr = vocab.eval(null).asInstanceOf[ArrayData]
+    new VocabTrie((0 until arr.numElements()).map(i =>
+      arr.getUTF8String(i).toString))
+  }
+
+  override protected def nullSafeEval(t: Any, v: Any): Any =
+    trie.countTokens(t.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val trieRef = ctx.addReferenceObj("vocabTrie", trie, classOf[VocabTrie].getName)
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = $trieRef.countTokens($t.toString());")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(text = newLeft, vocab = newRight)
+}
+
+/** The match structure behind [[VocabTokenCount]]: a char-keyed trie
+  * over the vocab with terminal marks, walked left-to-right for the
+  * longest match at each cursor. Transitions live in one primitive
+  * LongMap (key = node << 16 | UTF-16 unit) — no per-node objects, so
+  * a 50k-entry vocab is a few MB and the walk is cache-friendly.
+  * Serializable so interpreted-path expression shipping still works.
+  */
+final class VocabTrie(vocab: Seq[String]) extends Serializable {
+  private val trans = scala.collection.mutable.LongMap.empty[Int]
+  private val terminal = scala.collection.mutable.BitSet.empty
+  private var nNodes = 1
+  vocab.foreach { tok =>
+    require(tok.nonEmpty, "vocab entries must be non-empty")
+    require(!tok.exists(VocabTrie.isWs),
+      s"vocab entry ${tok.take(20)} contains whitespace — entries must not " +
+        "span the \\s+ pre-tokenization boundary")
+    var node = 0
+    var i = 0
+    while (i < tok.length) {
+      val key = node.toLong << 16 | tok.charAt(i)
+      node = trans.get(key) match {
+        case Some(nx) => nx
+        case None =>
+          val nn = nNodes; nNodes += 1; trans(key) = nn; nn
+      }
+      i += 1
+    }
+    terminal += node
+  }
+
+  def size: Int = terminal.size
+
+  /** Token count under greedy longest-match; see [[VocabTokenCount]]
+    * for the exact rule. Called from generated code — keep the
+    * signature primitive-friendly. */
+  def countTokens(s: String): Long = {
+    val n = s.length
+    var i = 0
+    var cnt = 0L
+    while (i < n) {
+      if (VocabTrie.isWs(s.charAt(i))) i += 1
+      else {
+        var node = 0
+        var j = i
+        var last = -1
+        var walking = true
+        while (walking && j < n) {
+          val ch = s.charAt(j)
+          if (VocabTrie.isWs(ch)) walking = false
+          else trans.get(node.toLong << 16 | ch) match {
+            case Some(nx) =>
+              node = nx; j += 1
+              if (terminal(node)) last = j
+            case None => walking = false
+          }
+        }
+        cnt += 1
+        i = if (last > i) last else i + 1
+      }
+    }
+    cnt
+  }
+}
+
+object VocabTrie {
+  /** Java regex `\s` exactly — the same class the declared queries'
+    * `split(text, "\\s+")` pre-tokenization uses (NOT the broader
+    * Character.isWhitespace). */
+  def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+}

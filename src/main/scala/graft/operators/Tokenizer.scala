@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The real-tokenizer seam (VERDICT r10 #1): turn a vocab or BPE merge
+  * table into an `n_tokens` column that packing and mixture sampling
+  * can budget in TOKENIZER tokens instead of whitespace tokens.
+  *
+  * Everything downstream already takes the count as data
+  * ([[Packing.packSequences]]' and [[Sampling.quotaSample]]'s `nCol`,
+  * [[TrainingData.buildTrainingSet]]'s `tokenCounter`); this module
+  * supplies the missing first step at scale: a driver-side vocabulary
+  * (a config artifact — tokenizer vocabs are ≤ a few hundred k entries
+  * by construction) compiled into a codegen'd scan expression
+  * ([[graft.expressions.VocabTokenCount]]), so counting 100 TB of text
+  * is one trie walk per row inside whole-stage codegen — no per-row
+  * Scala UDF, no join against a token table, no shuffle.
+  */
+object Tokenizer {
+
+  /** A BPE merge table → the equivalent counting vocab: the base
+    * alphabet (every character of every merge part, the BPE byte/char
+    * fallback tier) plus each merge's parts and product. Counting with
+    * greedy longest-match over this vocab approximates merge-order BPE
+    * segmentation the way production fast tokenizers do (maximal
+    * munch); the count is exact for any text a full merge replay would
+    * segment the same way, and within ±the rare merge-order inversions
+    * otherwise — the right trade for a BUDGETING count. */
+  def vocabFromMerges(merges: Seq[(String, String)]): Seq[String] = {
+    require(merges.nonEmpty, "merge table must not be empty")
+    val chars = merges.flatMap { case (a, b) => (a + b).map(_.toString) }
+    val parts = merges.flatMap { case (a, b) => Seq(a, b, a + b) }
+    (chars ++ parts).distinct
+  }
+
+  /** The tokenizer-token count of `text` as a codegen'd Column —
+    * greedy longest-match over `vocab` (see
+    * [[graft.expressions.VocabTokenCount]] for the exact rule). Wire
+    * it anywhere an `n_tokens` column is expected:
+    * `docs.withColumn("n_tokens", Tokenizer.tokenCount(spark, vocab,
+    * col("text")))` feeds packSequences / quotaSample* / the pipeline
+    * unchanged. */
+  def tokenCount(spark: SparkSession, vocab: Seq[String], text: Column): Column = {
+    require(vocab.nonEmpty, "vocab must not be empty")
+    graft.expressions.GraftFunctions.register(spark)
+    call_function("vocab_token_count", text, array(vocab.map(lit): _*))
+  }
+
+  /** The vocab-TABLE path: a (token) DataFrame — e.g. a vocab file read
+    * as a table — collected driver-side and compiled into the scan.
+    * The collect is bounded and correct by construction: a tokenizer
+    * vocab is a CONFIG artifact (50k–256k entries for production BPE
+    * vocabs), not data; the guard fails loudly if a caller points this
+    * at a data-sized table. Entry order cannot matter (longest-match
+    * is order-independent), so the collect's nondeterministic row
+    * order is harmless. */
+  def tokenCountFromTable(spark: SparkSession, vocabTable: DataFrame,
+                          tokenCol: String, text: Column,
+                          maxVocab: Int = 1000000): Column = {
+    val vocab = vocabTable.select(col(tokenCol).cast("string").as("t"))
+      .na.drop().distinct().limit(maxVocab + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(vocab.size <= maxVocab,
+      s"vocab table exceeds $maxVocab entries — tokenizer vocabs are " +
+        "config-sized; this looks like a data table")
+    tokenCount(spark, vocab, text)
+  }
+}

@@ -45,6 +45,16 @@ object TrainingData {
     * 8-gram. `budgets` maps each lang to its token budget — groups
     * absent from the map are excluded (a mixture is a whitelist).
     *
+    * `tokenCounter` is the real-tokenizer seam: a Column over the
+    * (post-redaction) `text` column — typically
+    * [[Tokenizer.tokenCount]] over a BPE-style vocab — that REPLACES
+    * the whitespace `n_tokens` for the budgeting stages (mixture fill
+    * and sequence packing), so budgets mean tokenizer tokens. The
+    * QUALITY gate's `minTokens` stays whitespace-based either way (it
+    * is a text-shape filter, not a budget — and it runs before the
+    * counter's input text exists in redacted form). Default None keeps
+    * the whitespace count, bit-identical to rounds ≤ 10.
+    *
     * The scored+deduped working set is materialized ONCE (five
     * downstream consumers — the near-dup mass probe, the pair build,
     * the keeper filter, the contamination join, the mixture input —
@@ -57,7 +67,8 @@ object TrainingData {
                        seqLen: Long = 512L, minJaccard: Double = 0.8,
                        minBenchContainment: Double = 1e-9,
                        minQuality: Double = 0.5, maxRepetition: Double = 0.2,
-                       minTokens: Int = 10, salt: Long = 0L): TrainingSet = {
+                       minTokens: Int = 10, salt: Long = 0L,
+                       tokenCounter: Option[org.apache.spark.sql.Column] = None): TrainingSet = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.TextFunctions
 
@@ -101,8 +112,15 @@ object TrainingData {
       .select(col("doc_id")).distinct()
     val clean = nearDeduped.join(contaminated, Seq("doc_id"), "left_anti")
 
-    // 5. Mixture: per-lang token budgets in salted-hash order.
-    val mixIn = clean.select(col("doc_id"), col("lang"), col("n_tokens"),
+    // 5. Mixture: per-lang token budgets in salted-hash order. The
+    // pluggable counter evaluates here — scan-side over the surviving
+    // docs' text, so a codegen'd vocab count adds zero shuffles and
+    // only runs on rows that cleared dedup + decontamination.
+    val counted = tokenCounter match {
+      case Some(c) => clean.withColumn("n_tokens", c.cast("long"))
+      case None => clean
+    }
+    val mixIn = counted.select(col("doc_id"), col("lang"), col("n_tokens"),
       md5(concat_ws(":", lit(salt), col("doc_id").cast("string"))).as("rk"))
     val selected = Sampling.quotaSampleBudgets(mixIn, budgets)
 

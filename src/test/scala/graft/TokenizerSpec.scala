@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Packing, Sampling, Tokenizer, TrainingData}
+
+/** The real-tokenizer seam (VERDICT r10 #1): greedy longest-match vocab
+  * counting as a codegen'd expression, the merge-table → vocab
+  * derivation, and the invariant that packing/mixture/the full pipeline
+  * compose with tokenizer-token budgets exactly as with whitespace
+  * ones.
+  */
+class TokenizerSpec extends SparkSpec {
+
+  // Independent driver-side replay of the maximal-munch rule — kept
+  // deliberately naive (substring scans, no trie) so it shares no code
+  // with the expression under test.
+  private def replayCount(vocab: Seq[String], text: String): Long = {
+    val ws = "[ \t\n\f\r]"
+    text.split(s"$ws+").filter(_.nonEmpty).map { word =>
+      var i = 0
+      var cnt = 0L
+      while (i < word.length) {
+        val best = vocab.filter(v => word.startsWith(v, i)).map(_.length)
+          .foldLeft(0)(math.max)
+        cnt += 1
+        i += math.max(best, 1)
+      }
+      cnt
+    }.sum
+  }
+
+  private val vocab = Seq("a", "b", "c", "ab", "abc", "bc", "hello", "lo", "l")
+
+  test("vocab_token_count: worked segmentation examples") {
+    import spark.implicits._
+    val cases = Seq(
+      // maximal munch: "abc" is one token, not ab+c or a+bc
+      ("abc", 1L),
+      // "abca" -> abc + a
+      ("abca", 2L),
+      // unknown chars fall back to one token per char: x, y
+      ("xy", 2L),
+      // mixed: ab + x + c
+      ("abxc", 3L),
+      // words never merge across whitespace: ab | c, with tab/newline runs
+      ("ab c", 2L),
+      ("ab\t\nc", 2L),
+      // "hello" is one token though h/e are not in the vocab alone
+      ("hello", 1L),
+      // "hellol" -> hello + l
+      ("hellol", 2L),
+      ("", 0L),
+      ("   \t ", 0L))
+    val got = cases.map(_._1).toDF("text")
+      .select(Tokenizer.tokenCount(spark, vocab, col("text")).as("n"))
+      .as[Long].collect().toSeq
+    assert(got === cases.map(_._2), s"counts $got vs expected ${cases.map(_._2)}")
+  }
+
+  test("vocab_token_count: null text yields null, not a crash or zero") {
+    import spark.implicits._
+    val got = Seq(Some("abc"), None).toDF("text")
+      .select(Tokenizer.tokenCount(spark, vocab, col("text")).as("n"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq === Seq(Some(1L), None))
+  }
+
+  test("vocab_token_count matches the driver-side replay on a generated corpus") {
+    import spark.implicits._
+    // Deterministic pseudo-random words over the vocab alphabet plus
+    // unknown chars, several per row, varied lengths.
+    val texts = (0 until 500).map { i =>
+      val rnd = new scala.util.Random(i)
+      (0 until 1 + rnd.nextInt(12)).map { _ =>
+        (0 until 1 + rnd.nextInt(10)).map { _ =>
+          "abcxloeh".charAt(rnd.nextInt(8))
+        }.mkString
+      }.mkString(" ")
+    }
+    val got = texts.toDF("text")
+      .select(Tokenizer.tokenCount(spark, vocab, col("text")).as("n"))
+      .as[Long].collect().toSeq
+    val want = texts.map(replayCount(vocab, _))
+    assert(got === want)
+  }
+
+  test("vocabFromMerges: base alphabet + parts + products, and merges shrink counts") {
+    import spark.implicits._
+    // th + e -> the ; i + n -> in ; th stays usable alone.
+    val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"))
+    val v = Tokenizer.vocabFromMerges(merges)
+    assert(Set("t", "h", "e", "i", "n", "th", "the", "in").subsetOf(v.toSet))
+    val df = Seq("the thin inn").toDF("text")
+    val merged = df.select(Tokenizer.tokenCount(spark, v, col("text")).as("n"))
+      .as[Long].head()
+    // the=1, thin=th+in=2, inn=in+n=2
+    assert(merged === 5L)
+    val baseOnly = df.select(Tokenizer.tokenCount(spark,
+        Seq("t", "h", "e", "i", "n"), col("text")).as("n"))
+      .as[Long].head()
+    assert(baseOnly === 10L, "char-level count = non-ws chars")
+  }
+
+  test("vocab_token_count runs inside whole-stage codegen, not as a UDF") {
+    import spark.implicits._
+    // Source must be a real (range) scan: a local Seq would be folded by
+    // ConvertToLocalRelation at optimize time and never reach codegen.
+    val df = spark.range(100)
+      .select(concat(lit("abc x"), col("id").cast("string")).as("text"))
+      .select(Tokenizer.tokenCount(spark, vocab, col("text")).as("n"))
+      .filter(col("n") > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"tokenizer fell out of codegen into a UDF:\n$plan")
+    assert(plan.contains("*("), s"tokenizer lost whole-stage codegen:\n$plan")
+    // "abc x<digits>": abc=1, then x + each digit char (digits not in
+    // this vocab) -> 1 + 1 + len(id) tokens.
+    val got = df.as[Long].collect()
+    val want = (0 until 100).map(i => 2L + i.toString.length)
+    assert(got.toSeq === want)
+  }
+
+  test("packing + mixture budget in tokenizer tokens end-to-end (conservation + budgets)") {
+    // The seam's whole point: the SAME packSequences/quotaSampleBudgets,
+    // fed a vocab-counted n_tokens instead of the whitespace one, with
+    // every invariant intact in the new unit.
+    val docs = graft.ops.Tables.documents(spark, sf0001)
+    val bpeVocab = Tokenizer.vocabFromMerges(Seq(
+      ("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"), ("i", "n"),
+      ("e", "r"), ("o", "r"), ("s", "t"), ("e", "n"), ("o", "n"))) ++
+      ('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString)
+    val sized = docs.select(col("doc_id"), col("lang"),
+      Tokenizer.tokenCount(spark, bpeVocab.distinct, col("text")).as("n_tokens"),
+      md5(concat_ws(":", lit("mix"), col("doc_id").cast("string"))).as("rk"))
+    val budgets = Map("en" -> 4000L, "de" -> 1500L, "zh" -> 2000L)
+    val picked = Sampling.quotaSampleBudgets(sized, budgets)
+    val rows = picked.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).toSet.subsetOf(budgets.keySet), "whitelist leaked a group")
+    rows.groupBy(_._2).foreach { case (g, rs) =>
+      // Every kept doc started under budget; mass minus the straddler
+      // stays under budget (≤ one-doc overshoot).
+      assert(rs.forall(_._4 < budgets(g)))
+      val mass = rs.map(_._3).sum
+      assert(mass - rs.maxBy(_._5)._3 < budgets(g), s"group $g overfilled")
+    }
+    // Pack the selection in the same unit: slice conservation says every
+    // selected tokenizer-token lands in exactly one sequence slice.
+    val packed = Packing.packSequences(
+      picked.select(col("doc_id"), col("n_tokens")).filter(col("n_tokens") > 0), 256L)
+    val sliceSum = packed.agg(sum(col("slice_len"))).head().getLong(0)
+    val tokSum = rows.filter(_._3 > 0).map(_._3).sum
+    assert(sliceSum === tokSum, "token conservation broke under the vocab count")
+    graft.operators.Materialized.free(picked)
+    graft.operators.Materialized.free(packed)
+  }
+
+  test("buildTrainingSet accepts a tokenizer counter through the nCol seam") {
+    import spark.implicits._
+    // Small synthetic corpus; budgets in vocab tokens. The pipeline's
+    // selected.n_tokens must BE the vocab counts (not whitespace), and
+    // packing must conserve them.
+    val docs = (0L until 120L).map { i =>
+      val lang = if (i % 3 == 0) "en" else "de"
+      val words = (0 until 12 + (i % 7).toInt).map(j =>
+        s"w${(i * 31 + j * 7) % 40}").mkString(" ")
+      (i, s"doc $i says $words", lang)
+    }.toDF("doc_id", "text", "lang")
+    val vocab = ('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString) ++
+      Seq("doc", "says", "w1", "w2", "w3")
+    val counter = Tokenizer.tokenCount(spark, vocab, col("text"))
+    // Quality gates opened wide: this test pins the COUNTER seam, not
+    // the filter (whose thresholds are tuned for real text, not "w12").
+    val ts = TrainingData.buildTrainingSet(spark, docs,
+      benchmark = Seq.empty[String].toDF("text"),
+      budgets = Map("en" -> 300L, "de" -> 500L),
+      seqLen = 64L, minQuality = 0.0, maxRepetition = 1.0, minTokens = 1,
+      tokenCounter = Some(counter))
+    val sel = ts.selected.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(sel.nonEmpty)
+    // Budget respected in the tokenizer unit.
+    sel.groupBy(_._2).foreach { case (g, rs) =>
+      val budget = Map("en" -> 300L, "de" -> 500L)(g)
+      assert(rs.forall(_._4 < budget), s"group $g has a pick at/past budget")
+    }
+    // The counts flowing through ARE vocab counts: spot-check one doc
+    // against the expression evaluated directly.
+    val byId = docs.select(col("doc_id"), counter.as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sel.foreach { case (id, _, n, _) =>
+      assert(n === byId(id), s"doc $id budgeted $n != vocab count ${byId(id)}")
+    }
+    val sliceSum = ts.packed.agg(sum(col("slice_len"))).head().getLong(0)
+    assert(sliceSum === sel.map(_._3).sum, "pipeline token conservation broke")
+    graft.operators.Materialized.free(ts.selected)
+    graft.operators.Materialized.free(ts.packed)
+  }
+}
