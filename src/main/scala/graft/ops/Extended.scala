@@ -257,71 +257,25 @@ object Extended {
     * that immediately repartition by their own key lose the ordering
     * anyway, so they take this form. */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    // Signatures via explode + 16 codegen'd min-aggregates: one md5 per
-    // distinct-token row, then min((a_i·x+b_i) mod p) per hash — the
-    // exchange carries (doc_id, 16 partial mins), map-side combined,
-    // never tokens or text. The original higher-order-function fold
-    // (transform(sequence(0,15), i -> aggregate(...))) computed the
-    // identical family but interpreted, outside whole-stage codegen —
-    // 23 s at sf0.1 in the round-6 bench vs seconds for this shape.
-    // min is order-independent, and every (a·x+b) mod p < p = the
-    // fold's initial accumulator, so values are bit-identical to the
-    // fold's and to the oracle's literal replay.
-    val p = 2147483647L
-    val minExprs = (0 until 16).map(i =>
-      min((lit(MinHashA(i)) * col("x") + lit(MinHashB(i))) % lit(p)).as(s"mh$i"))
-    val sets = documents(s, d)
-      .select(col("doc_id"),
-              sort_array(array_distinct(expr("filter(split(text, ' '), w -> w <> '')"))).as("set"))
-      .filter(size(col("set")) > 0)
-      .select(col("doc_id"), col("set"), size(col("set")).cast("long").as("n"))
-    val sigs = sets
-      .select(col("doc_id"), explode(col("set")).as("w"))
-      .select(col("doc_id"),
-        expr("CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT)").as("x"))
-      .groupBy("doc_id")
-      .agg(minExprs.head, minExprs.tail: _*)
-      .select(col("doc_id"), array((0 until 16).map(i => col(s"mh$i")): _*).as("sig"))
-    // Spread the banded signatures across the full parallelism before
-    // the candidate join: at small SF the planner broadcasts BOTH the
-    // band build side and the re-score sets, fusing band join + both
-    // joins + the sorted-intersect filter into ONE codegen stage that
-    // runs at the signature aggregate's partitioning — a session tuned
-    // for small aggregates (the bench's 4 shuffle partitions) would run
-    // ~40 s of intersect CPU on 4 cores (measured: 10.4 s -> 1.5 s for
-    // the re-score at 32-way). The exchange moves only (doc_id, sig,
-    // band) rows — one per doc per band — per the pinned discipline.
-    val bandParts = math.max(s.sessionState.conf.numShufflePartitions,
-      s.sparkContext.defaultParallelism)
-    val bands = sigs.select(col("doc_id"), col("sig"), explode(expr(
-        "transform(sequence(0, 3), g -> struct(g, array_join(slice(sig, 1 + 4 * g, 4), ',') AS v))"))
-        .as("band"))
-      .select(col("doc_id"), col("sig"), col("band.g"), col("band.v"))
-      .repartition(bandParts)
-    // Emit-once banding: a pair is emitted only at its MINIMAL matching
-    // band (codegen'd earlier-band check on the flat signature, inside
-    // the band-bucket partitions) — same candidate set as the previous
-    // emit-per-band + distinct(), minus the distinct's full candidate
-    // exchange. The oracle replays banding with DISTINCT; the candidate
-    // SET is identical, so the declared result is unchanged.
-    graft.expressions.GraftFunctions.register(s)
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.g") === col("y.g") && col("x.v") === col("y.v") &&
-        col("x.doc_id") < col("y.doc_id") &&
-        !expr("band_match_before(x.sig, y.sig, 4, x.g)"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-    val inter = graft.expressions.GraftFunctions.sortedIntersectSize(s, "ta", "tb")
+    // ONE family implementation (round 11): the signature build,
+    // emit-once banding, and full-parallelism spread live in
+    // Approx.bandedMd5Candidates — shared literal for literal with the
+    // parametric bandedMinHashNearDup, so a family fix cannot land in
+    // only one arm. This declared form keeps its own ACCEPTANCE rule:
+    // the exact-integer size-ratio prune for J ≥ 0.8 (5·min ≥ 4·max),
+    // the exact unrounded ratio cut the oracle replays, and dround
+    // display rounding. The oracle replays banding with DISTINCT; the
+    // emit-once candidate SET is identical, so the declared result is
+    // unchanged.
+    val (sets, cand) = graft.operators.Approx.bandedMd5Candidates(s, documents(s, d))
     val ratio = col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")
-    cand
-      .join(sets.select(col("doc_id").as("a"), col("set").as("ta"), col("n").as("na")), "a")
-      .join(sets.select(col("doc_id").as("b"), col("set").as("tb"), col("n").as("nb")), "b")
+    graft.operators.Approx.rescoredPairs(s, cand, sets,
       // Size-ratio pruning before any intersection runs (the q35 idiom):
       // J ≥ 0.8 forces min(|A|,|B|)/max(|A|,|B|) ≥ 0.8, i.e. 5·min ≥
       // 4·max in exact integer math — candidates failing it skip the
       // sorted-merge entirely; the exact ratio filter below still
       // decides membership, so the declared result cannot change.
-      .filter(col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
-      .select(col("a"), col("b"), inter.as("i"), col("na"), col("nb"))
+      col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
       .filter(ratio >= 0.8)
       .select(col("a"), col("b"), dround(ratio, 4).as("jaccard"))
   }
