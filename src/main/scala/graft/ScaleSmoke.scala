@@ -210,6 +210,20 @@ object ScaleSmoke {
           fitFraction = math.min(1.0, 50000.0 / nDocs))
         .filter(!col("is_keeper"))
     }
+    // Round 11: with the fit sampled, the residual superlinear term is
+    // the flat ASSIGNMENT — O(N·nlist) = O(N²) under nlist ∝ N. The
+    // coarse-quantizer tree (ivf_tree_assign) cuts it to O(N·√nlist);
+    // measured side-by-side. Dropped counts must stay ≈ the sfit run's
+    // (boundary-only divergence; tight-regime recall pinned in
+    // CapabilitySpec).
+    run("semantic_dedup_tree") {
+      graft.operators.Approx.semanticDedup(
+          spark.read.parquet(s"$out/embeddings.parquet"),
+          minSim = 0.98, nlist = 8 * copies,
+          fitFraction = math.min(1.0, 50000.0 / nDocs),
+          treeAssign = true)
+        .filter(!col("is_keeper"))
+    }
     // Sequence packing at scale (round 9): the two-phase prefix sum's
     // cost is one narrow shuffle of (id, token-count) pairs — wall
     // should stay near-flat across `copies` and the slice count linear.

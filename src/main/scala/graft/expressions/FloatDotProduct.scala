@@ -88,6 +88,8 @@ object GraftFunctions {
     new ExpressionInfo(classOf[Murmur3V2].getName, "murmur3_v2")
   val vocabCountInfo =
     new ExpressionInfo(classOf[VocabTokenCount].getName, "vocab_token_count")
+  val ivfTreeInfo =
+    new ExpressionInfo(classOf[IvfTreeAssign].getName, "ivf_tree_assign")
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -111,6 +113,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("vocab_token_count"), vocabCountInfo,
       (exprs: Seq[Expression]) => VocabTokenCount(exprs(0), exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("ivf_tree_assign"), ivfTreeInfo,
+      (exprs: Seq[Expression]) => IvfTreeAssign(exprs(0), exprs(1), exprs(2), exprs(3)))
   }
 
   /** SQL-callable after register: `float_dot(<colA>, <colB>)` — column
@@ -169,5 +174,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("vocab_token_count"), GraftFunctions.vocabCountInfo,
         (exprs: Seq[Expression]) => VocabTokenCount(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("ivf_tree_assign"), GraftFunctions.ivfTreeInfo,
+        (exprs: Seq[Expression]) => IvfTreeAssign(exprs(0), exprs(1), exprs(2), exprs(3))))
   }
 }

@@ -1115,8 +1115,9 @@ object Approx {
     * (double_dot cosine, min-label clustering). */
   def semanticDedup(emb: DataFrame, minSim: Double = 0.95,
                     nlist: Int = 8, seed: Long = 42L,
-                    fitFraction: Double = 1.0): DataFrame = {
-    val pairs = semanticDedupPairs(emb, minSim, nlist, seed, fitFraction)
+                    fitFraction: Double = 1.0,
+                    treeAssign: Boolean = false): DataFrame = {
+    val pairs = semanticDedupPairs(emb, minSim, nlist, seed, fitFraction, treeAssign)
     val labels = dedupClusters(pairs.select(col("a"), col("b")))
       .toDF("vid", "keeper")
     // Back-join over the full corpus: vectors with no qualifying pair
@@ -1141,7 +1142,8 @@ object Approx {
     * downstream of the model is a declarative plan. */
   private[graft] def semanticDedupPairs(emb: DataFrame, minSim: Double,
                                         nlist: Int, seed: Long,
-                                        fitFraction: Double = 1.0): DataFrame = {
+                                        fitFraction: Double = 1.0,
+                                        treeAssign: Boolean = false): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     // 1e-6 floor: hashSample's bucket space is one-in-a-million, so a
@@ -1197,7 +1199,33 @@ object Approx {
     // Spark 4 default, not a quiet NaN), and "no direction" cannot be a
     // near-duplicate of anything; semanticDedup's back-join still
     // returns them as their own keeper.
-    val sides = model.transform(featured)
+    // treeAssign (round 11, VERDICT r10 #5): the flat `model.transform`
+    // scores every vector against all nlist centroids — O(N·nlist),
+    // which is O(N²) under the constant-cell-size scaling path (nlist ∝
+    // N). The coarse-quantizer tree scores ~√nlist group means, then
+    // only the best 2 groups' members — O(N·√nlist), as one codegen'd
+    // expression over the (centroids, top_of) literals (the grouping
+    // itself is a driver-side seeded Lloyd over nlist POINTS — free at
+    // any corpus size). Assignment is the standard IVF approximation
+    // (nearest member of probed groups ≠ global nearest near group
+    // boundaries): cells can only LOSE boundary pairs; CapabilitySpec
+    // re-measures and pins tight-regime recall with the tree on, and
+    // the declared q66 keeps the exact flat assign (flag off).
+    // nprobe = 2, measured at the 100× smoke: nprobe = 1 funneled
+    // whole-group boundary mass into a 12.6k-vector hot cell (2.5× the
+    // flat assign's within-cell pair mass — the quadratic stage ate the
+    // assign savings); 2 probes restore near-flat balance.
+    val assigned =
+      if (!treeAssign) model.transform(featured)
+      else {
+        val cents = model.clusterCenters.map(_.toArray)
+        val k = math.max(1, math.round(math.sqrt(cents.length.toDouble)).toInt)
+        val topOf = graft.expressions.IvfTreeAssign.groupCentroids(cents, k)
+        featured.withColumn("cell",
+          call_function("ivf_tree_assign", col("embedding"),
+            typedLit(cents.map(_.toSeq).toSeq), typedLit(topOf.toSeq), lit(2)))
+      }
+    val sides = assigned
       .select(col("vec_id"), col("embedding"), col("cell"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
       .filter(col("nrm") > 0)

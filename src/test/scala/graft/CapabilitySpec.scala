@@ -202,6 +202,20 @@ class CapabilitySpec extends SparkSpec {
     assert(sampGot.count() === sampHit, "sampled-fit precision must be 1.0")
     val sampRecall = sampHit.toDouble / nFamTruth
     assert(sampRecall >= 0.98, f"sampled-fit recall $sampRecall%.4f below pin")
+
+    // Tree-assign regime (round 11): the coarse-quantizer tree cuts the
+    // flat O(N·nlist) assignment to O(N·√nlist); assignment can differ
+    // from exact argmin only near GROUP boundaries, and near-identical
+    // vectors still land in the same cell (they tree-descend
+    // identically), so tight-regime recall must hold under the same
+    // sampled fit. Precision stays structurally 1.0 (exact re-score).
+    val treeGot = Approx.semanticDedupPairs(fam, 0.98, nlist = 8, seed = 42L,
+        fitFraction = 0.5, treeAssign = true)
+      .select(col("a"), col("b"))
+    val treeHit = treeGot.join(famTruth, Seq("a", "b")).count()
+    assert(treeGot.count() === treeHit, "tree-assign precision must be 1.0")
+    val treeRecall = treeHit.toDouble / nFamTruth
+    assert(treeRecall >= 0.98, f"tree-assign recall $treeRecall%.4f below pin")
   }
 
   test("semanticDedup: under-nlist fit sample falls back to the full fit (ADVICE r10)") {
