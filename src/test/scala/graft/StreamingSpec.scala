@@ -372,6 +372,66 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming quota fill across microbatches == batch quotaSampleBudgets") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingQuota
+    // The real sf0.001 corpus with q69's budgets and order key, fed in
+    // (rk, doc_id) order SPLIT ACROSS THREE MICROBATCHES: the state
+    // store must carry each group's (tokens, picks) pair between
+    // batches — budgets usually fill mid-stream, not on a batch
+    // boundary — and the selection must equal the batch operator's
+    // row-for-row (including fr's whitelist exclusion).
+    val budgets = Map("en" -> 3000L, "de" -> 800L, "es" -> 500L, "zh" -> 1200L)
+    val toks = filter(split(col("text"), "\\s+"), w => w =!= "")
+    val corpus = graft.ops.Tables.documents(spark, sf0001)
+      .select(col("lang"), col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        md5(concat_ws(":", lit("mix"), col("doc_id").cast("string"))).as("rk"))
+    val ordered = corpus.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._4, t._2))
+    val stream = MemoryStream[(String, Long, Long, String)]
+    runToMemory("quota_t",
+      StreamingQuota.quotaStreamBudgets(
+        stream.toDF().toDF("grp", "doc_id", "n_tokens", "rk"), budgets).toDF(),
+      mode = "append") {
+      ordered.grouped(math.max(1, ordered.length / 3)).foreach { b =>
+        stream.addData(b.toSeq)
+        spark.streams.active.foreach(_.processAllAvailable())
+      }
+    }
+    val streamed = spark.table("quota_t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    val batch = graft.operators.Sampling.quotaSampleBudgets(corpus, budgets)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(streamed.nonEmpty)
+    assert(!streamed.exists(_._2 == "fr"), "whitelist must exclude fr")
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("streaming quota guards: negative counts and duplicate keys fail loudly") {
+    import spark.implicits._
+    import graft.streaming.StreamingQuota
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val neg = Seq(("en", 1L, -5L, "k1"))
+      .toDF("grp", "doc_id", "n_tokens", "rk")
+    val exNeg = intercept[Throwable] {
+      StreamingQuota.quotaStream(neg, 100L).collect()
+    }
+    assert(messages(exNeg).exists(_.contains("n_tokens must be >= 0")),
+      s"expected the n guard, got: $exNeg")
+    val dup = Seq(("en", 1L, 5L, "k1"), ("en", 1L, 7L, "k1"))
+      .toDF("grp", "doc_id", "n_tokens", "rk")
+    val exDup = intercept[Throwable] {
+      StreamingQuota.quotaStream(dup, 100L).collect()
+    }
+    assert(messages(exDup).exists(_.contains("duplicate (rk, doc_id)")),
+      s"expected the duplicate-key guard, got: $exDup")
+  }
+
   test("streaming packing fails loudly on a duplicate doc_id (batch-twin guard)") {
     import spark.implicits._
     import graft.streaming.StreamingPacking
@@ -393,7 +453,7 @@ class StreamingSpec extends SparkSpec {
     val viaSql = spark.sql(
       "SELECT c_mktsegment, count(*) AS n FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1")
     assert(viaSql.count() === 5)
-    assert(Graft.operators.size === 68)
+    assert(Graft.operators.size === 69)
     assert(Graft.query("q21_sort_topk")(spark, sf0001).count() === 25)
     // SQL over the events view (ns-timestamp table) works too
     assert(spark.sql("SELECT count(*) FROM events WHERE user_id < 5").head.getLong(0) > 0)
