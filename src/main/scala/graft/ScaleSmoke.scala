@@ -143,24 +143,23 @@ object ScaleSmoke {
     }
     run("q38_star_denorm") { SparkEntry.queries("q38_star_denorm")(spark, out) }
     // Round 11 (VERDICT r10 #6): the ONE recorded smoke spill is q38's
-    // sort under this session's FIXED 32 shuffle partitions at 100×
-    // (805 MB in r10) — a session artifact, not an operator flaw. The
-    // production rule is sizing the exchange to the data: partitions ≈
-    // decoded fact bytes / 128 MB target (decoded ≈ 3× the parquet
-    // bytes on this snappy-compressed schema). Measured side by side;
-    // the sized run must report spillMB=0.
-    val liBytes = {
-      def du(f: java.io.File): Long =
-        if (f.isFile) f.length
-        else Option(f.listFiles).map(_.map(du).sum).getOrElse(0L)
-      du(new java.io.File(s"$out/lineitem.parquet"))
+    // sort at 100× (805 MB in r10). Raising shuffle.partitions does NOT
+    // fix it — this session runs AQE, which re-coalesces post-shuffle
+    // partitions to its 64 MB (compressed) advisory target, and 64 MB
+    // of compressed join output decodes to ~0.5 GB of sort rows, past
+    // the per-task execution share (heap × 0.6 / 32 concurrent tasks ≈
+    // 150 MB here). Measured at 100×: parts 32/96/192/384 all spill
+    // 400–805 MB; advisory 16 MB → spill 0 AND faster (5.35 → 3.91 s;
+    // 8 MB: 3.48 s). The production rule: advisory (compressed)
+    // partition bytes ≤ per-task execution memory / decode expansion
+    // (~8× on this wide denormalized row). Restore is in a finally so
+    // a failed run cannot leak the setting into later smoke stages.
+    try {
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      run("q38_sized_advisory") { SparkEntry.queries("q38_star_denorm")(spark, out) }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
     }
-    val sizedParts = math.max(32L, liBytes * 3 / (128L << 20)).toInt
-    println(f"SMOKE q38 sized exchange: lineitem parquet ${liBytes / 1e6}%.0f MB " +
-      s"-> $sizedParts shuffle partitions (rule: 3x parquet bytes / 128 MB)")
-    spark.conf.set("spark.sql.shuffle.partitions", sizedParts)
-    run("q38_sized_parts") { SparkEntry.queries("q38_star_denorm")(spark, out) }
-    spark.conf.set("spark.sql.shuffle.partitions", 32)
     run("q63_outlier_zscore") { SparkEntry.queries("q63_outlier_zscore")(spark, out) }
     run("q59_minhash_md5") { SparkEntry.queries("q59_minhash_md5")(spark, out) }
     run("q60_dedup_clusters") { SparkEntry.queries("q60_dedup_clusters")(spark, out) }

@@ -125,11 +125,12 @@ final class IvfTreeModel(cents: Array[Array[Double]], topOf: Array[Int],
     m
   }
 
+  private val dim = cents(0).length
+
   private def d2(v: ArrayData, c: Array[Double]): Double = {
-    val n = math.min(v.numElements(), c.length)
     var acc = 0.0
     var i = 0
-    while (i < n) {
+    while (i < dim) {
       val d = v.getFloat(i).toDouble - c(i)
       acc += d * d
       i += 1
@@ -140,9 +141,16 @@ final class IvfTreeModel(cents: Array[Array[Double]], topOf: Array[Int],
   /** Cell id for `v`: the `nprobe` nearest group means, then the
     * nearest member centroid among those groups' members. Called from
     * generated code. Top-n selection is a tiny insertion pass (nprobe
-    * ≤ 4 in practice); ties break on the lower group index, then the
-    * lower cell id — fully deterministic. */
+    * ≤ 4 in practice); an exact distance tie across probed groups
+    * breaks to the LOWER CELL ID (globally, regardless of which probe
+    * found it) — fully deterministic. A vector whose length differs
+    * from the centroid dimension fails loudly, matching the flat
+    * `model.transform` path (a truncated comparison would assign a
+    * corrupted row a plausible wrong cell silently). */
   def assign(v: ArrayData): Int = {
+    require(v.numElements() == dim,
+      s"ivf_tree_assign: vector of length ${v.numElements()} vs " +
+        s"$dim-dimensional centroids")
     val np = math.min(nprobe, groupMeans.length)
     val topG = new Array[Int](np)
     val topD = Array.fill(np)(Double.MaxValue)

@@ -1176,17 +1176,20 @@ object Approx {
         // The 1e-6 floor only guarantees bucket RESOLUTION — a legal
         // fraction can still sample fewer than nlist rows on a small
         // corpus (1e-6 × 100k rows ≈ 0), and KMeans would then fail deep
-        // inside Lloyd's instead of at the precondition. Count the
-        // actual sample (one cheap job over the sample's scan) and fall
-        // back to the full-corpus fit when it cannot seed k centroids —
-        // a small corpus is exactly where the full fit is affordable.
+        // inside Lloyd's instead of at the precondition. The guard only
+        // needs "does the sample reach nlist rows?", so it counts
+        // through limit(nlist) — the scan short-circuits once nlist
+        // survivors are found, costing ~nothing on the large corpora
+        // where the guard can never fire (a full sample.count() would
+        // add one complete corpus pass per call). Falls back to the
+        // full-corpus fit when k centroids cannot be seeded — a small
+        // corpus is exactly where the full fit is affordable.
         val sample = Sampling.hashSample(featured, Seq("vec_id"), fitFraction, salt = seed)
-        val sampled = sample.count()
-        if (sampled >= nlist) sample
+        if (sample.limit(nlist).count() >= nlist) sample
         else {
           System.err.println(
-            s"graft.semanticDedup: fitFraction $fitFraction sampled $sampled " +
-              s"rows < nlist $nlist — falling back to the full-corpus fit")
+            s"graft.semanticDedup: fitFraction $fitFraction sampled fewer " +
+              s"than nlist $nlist rows — falling back to the full-corpus fit")
           featured
         }
       }

@@ -46,14 +46,18 @@ object TrainingData {
     * absent from the map are excluded (a mixture is a whitelist).
     *
     * `tokenCounter` is the real-tokenizer seam: a Column over the
-    * (post-redaction) `text` column — typically
-    * [[Tokenizer.tokenCount]] over a BPE-style vocab — that REPLACES
-    * the whitespace `n_tokens` for the budgeting stages (mixture fill
-    * and sequence packing), so budgets mean tokenizer tokens. The
-    * QUALITY gate's `minTokens` stays whitespace-based either way (it
-    * is a text-shape filter, not a budget — and it runs before the
-    * counter's input text exists in redacted form). Default None keeps
-    * the whitespace count, bit-identical to rounds ≤ 10.
+    * `text` column — typically [[Tokenizer.tokenCount]] over a
+    * BPE-style vocab — that REPLACES the whitespace `n_tokens` for the
+    * budgeting stages (mixture fill and sequence packing), so budgets
+    * mean tokenizer tokens. It sees the ORIGINAL text: redaction here
+    * only feeds the dedup fingerprint (`clean_fp` — so docs differing
+    * only in PII dedup together); no redacted text column flows
+    * through the pipeline, and a caller whose training tokens are
+    * post-redaction should redact BEFORE calling (budgets then count
+    * what is actually trained on). The QUALITY gate's `minTokens`
+    * stays whitespace-based either way (a text-shape filter, not a
+    * budget). Default None keeps the whitespace count, bit-identical
+    * to rounds ≤ 10.
     *
     * The scored+deduped working set is materialized ONCE (five
     * downstream consumers — the near-dup mass probe, the pair build,

@@ -16,7 +16,10 @@ class TokenizerSpec extends SparkSpec {
   // deliberately naive (substring scans, no trie) so it shares no code
   // with the expression under test.
   private def replayCount(vocab: Seq[String], text: String): Long = {
-    val ws = "[ \t\n\f\r]"
+    // The FULL Java-regex \\s class; \\u000B spelled as an escape, not an
+    // invisible literal byte, so the width parity with VocabTrie.isWs
+    // is auditable (review finding, round 11).
+    val ws = "[ \t\n\u000B\f\r]"
     text.split(s"$ws+").filter(_.nonEmpty).map { word =>
       var i = 0
       var cnt = 0L

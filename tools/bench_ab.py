@@ -39,13 +39,27 @@ def sh(cmd, cwd, env=None, check=True):
 
 
 def bench_once(cwd, sf):
+    # bench_out.json is a TRACKED round record (graft.Bench writes it in
+    # cwd): snapshot and restore it so an A/B run — possibly at a
+    # non-protocol SF — can never leave wrong-scale numbers in the tree
+    # for a later `git add -A` to commit (this happened once; the r10
+    # sf0.1 record was briefly replaced by an sf0.01 validation run).
     out = os.path.join(cwd, "bench_out.json")
-    if os.path.exists(out):
-        os.remove(out)
-    sh(["sbt", "-batch", "runMain graft.Bench"], cwd,
-       env={"SPARK_GRAFT_SF_DIR": sf, "SPARK_GRAFT_CPUS": os.environ.get("SPARK_GRAFT_CPUS", "32")})
-    lines = [json.loads(l) for l in open(out) if l.strip()]
-    return {rec["metric"]: rec for rec in lines}
+    prior = open(out).read() if os.path.exists(out) else None
+    try:
+        if prior is not None:
+            os.remove(out)
+        sh(["sbt", "-batch", "runMain graft.Bench"], cwd,
+           env={"SPARK_GRAFT_SF_DIR": sf,
+                "SPARK_GRAFT_CPUS": os.environ.get("SPARK_GRAFT_CPUS", "32")})
+        lines = [json.loads(l) for l in open(out) if l.strip()]
+        return {rec["metric"]: rec for rec in lines}
+    finally:
+        if prior is not None:
+            with open(out, "w") as f:
+                f.write(prior)
+        elif os.path.exists(out):
+            os.remove(out)
 
 
 def main():
@@ -92,8 +106,19 @@ def main():
         ["total_ext"] if which == "ext" else ["total", "total_ext"])
     table = {}
     for m in metrics:
-        h = min(rec[m]["value"] for rec in results["HEAD"] if m in rec)
-        b = min(rec[m]["value"] for rec in results["BASE"] if m in rec)
+        hs = [rec[m]["value"] for rec in results["HEAD"] if m in rec]
+        bs = [rec[m]["value"] for rec in results["BASE"] if m in rec]
+        if not hs or not bs:
+            # An old baseline may predate a metric (total_ext arrived in
+            # round 6) — report and keep going rather than crash after
+            # an hour of bench runs.
+            print(f"[ab] {m}: missing from "
+                  f"{'HEAD' if not hs else 'BASE'} records — skipped")
+            table[m] = {"head_min": None, "base_min": None,
+                        "ratio_head_over_base": None, "top_movers": []}
+            continue
+        h = min(hs)
+        b = min(bs)
         # Per-query minima across runs, then the largest movers.
         hq, bq = {}, {}
         for rec in results["HEAD"]:
