@@ -92,7 +92,8 @@ object SparkEntry {
     "q66_semantic_dedup"      -> Extended.q66SemanticDedup _,
     "q67_pack_sequences"      -> Extended.q67PackSequences _,
     "q68_mixture_sample"      -> Extended.q68MixtureSample _,
-    "q69_mixture_budgets"     -> Extended.q69MixtureBudgets _
+    "q69_mixture_budgets"     -> Extended.q69MixtureBudgets _,
+    "q70_vocab_tokens"        -> Extended.q70VocabTokens _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -452,4 +452,31 @@ object Extended {
         Map("en" -> 3000L, "de" -> 800L, "es" -> 500L, "zh" -> 1200L))
       .orderBy("doc_id")
   }
+
+  /** q70's fixed counting vocab — ONE definition feeds both the Spark
+    * expression and the DuckDB oracle ([[Oracle.sql]] renders it into
+    * the recursive CTE's VALUES list), so the two engines replay the
+    * same greedy segmentation by construction. BPE-ish shape: ten
+    * common merge products over the base a–z / 0–9 alphabet; plain
+    * lowercase ASCII only (entries are spliced into SQL literals). */
+  private[graft] val Q70Vocab: Seq[String] =
+    Seq("the", "th", "in", "an", "and", "er", "or", "st", "en", "on") ++
+      ('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString)
+
+  /** q70: tokenizer-token counts per document — the round-11 vocab
+    * tokenizer ([[graft.operators.Tokenizer.tokenCount]], the
+    * codegen'd greedy longest-match `vocab_token_count` expression)
+    * declared as a first-class oracle-checked query. The DuckDB twin
+    * replays maximal munch EXACTLY: per word, a precomputed
+    * max-match-length table (word positions × vocab), then a recursive
+    * CTE walks the cursor (`pos → pos + max(match, 1)`) counting one
+    * token per visited position — the same rule the trie walk
+    * implements, so the custom expression itself is value-checked
+    * against an independent engine, unknown-char fallback and all. */
+  def q70VocabTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        graft.operators.Tokenizer.tokenCount(s, Q70Vocab, col("text"))
+          .as("n_vocab_tokens"))
+      .orderBy("doc_id")
 }

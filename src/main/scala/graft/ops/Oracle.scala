@@ -841,6 +841,45 @@ object Oracle {
         |WHERE cum_before < CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 800
         |                             WHEN 'es' THEN 500 WHEN 'zh' THEN 1200
         |                             ELSE 0 END
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // q70: independent replay of the greedy longest-match (maximal
+    // munch) vocab tokenizer — the ONE declared query whose Spark side
+    // is a custom codegen'd expression (vocab_token_count), here
+    // value-checked by a different engine. Structure: words (split +
+    // ordinality), ml = max vocab match length at every (word, pos)
+    // (precomputed so the recursive part stays join-only — DuckDB
+    // forbids aggregates/subqueries there), then the walk advances the
+    // cursor by max(match, 1) counting one token per visited position;
+    // per-word count = max(cnt) at the walk's fixpoint. The vocab
+    // VALUES list renders from Extended.Q70Vocab — one definition, two
+    // engines.
+    "q70_vocab_tokens" -> {
+      val vals = Extended.Q70Vocab.map(v => s"('$v')").mkString(",")
+      s"""WITH RECURSIVE vocab(v) AS (VALUES $vals),
+        | words AS (
+        |  SELECT doc_id, wi, arr[wi] AS w
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+        |        FROM documents),
+        |       unnest(range(1, len(arr) + 1)) AS t(wi)
+        |  WHERE arr[wi] <> ''),
+        | ml AS (
+        |  SELECT w.doc_id, w.wi, p.pos, max(len(v.v)) AS m
+        |  FROM words w, unnest(range(1, len(w.w) + 1)) AS p(pos), vocab v
+        |  WHERE substr(w.w, p.pos, len(v.v)) = v.v
+        |  GROUP BY w.doc_id, w.wi, p.pos),
+        | walk(doc_id, wi, w, pos, cnt) AS (
+        |  SELECT doc_id, wi, w, 1, 1 FROM words WHERE len(w) >= 1
+        |  UNION ALL
+        |  SELECT wk.doc_id, wk.wi, wk.w, wk.pos + COALESCE(ml.m, 1), wk.cnt + 1
+        |  FROM walk wk LEFT JOIN ml
+        |    ON ml.doc_id = wk.doc_id AND ml.wi = wk.wi AND ml.pos = wk.pos
+        |  WHERE wk.pos + COALESCE(ml.m, 1) <= len(wk.w)),
+        | perword AS (SELECT doc_id, wi, max(cnt) AS n FROM walk GROUP BY doc_id, wi)
+        |SELECT d.doc_id, CAST(COALESCE(sum(p.n), 0) AS BIGINT) AS n_vocab_tokens
+        |FROM documents d
+        |LEFT JOIN perword p ON p.doc_id = d.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+    }
   )
 }

@@ -93,7 +93,10 @@ class GoldenCountsSpec extends SparkSpec {
     // q69 (round 11): per-language budgets (en 3000/de 800/es 500/
     // zh 1200, fr unlisted) fill after 110 docs at sf0.01
     // (oracle-matched; budget-driven like q68).
-    "q69_mixture_budgets" -> 110
+    "q69_mixture_budgets" -> 110,
+    // q70 (round 11): one row per document — the vocab tokenizer's
+    // counts, value-checked by the recursive-CTE maximal-munch replay.
+    "q70_vocab_tokens" -> 500
   )
 
   test("queries/oracleSql keys line up") {

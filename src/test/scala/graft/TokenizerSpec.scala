@@ -105,6 +105,23 @@ class TokenizerSpec extends SparkSpec {
     assert(baseOnly === 10L, "char-level count = non-ws chars")
   }
 
+  test("tokenCountFromTable compiles a vocab table into the scan, collect bounded") {
+    import spark.implicits._
+    val vocabDf = Seq("ab", "abc", "c").toDF("token")
+    val c = Tokenizer.tokenCountFromTable(spark, vocabDf, "token", col("text"))
+    // "abca" -> abc (maximal munch) + a (unknown char fallback)
+    val got = Seq("abca").toDF("text").select(c.as("n")).as[Long].head()
+    assert(got === 2L)
+    // The guard must fire BEFORE compiling a data-sized table into the
+    // plan — a caller pointing this at a token-per-row data table gets
+    // a loud error, not a gigabyte literal.
+    val big = spark.range(50).select(concat(lit("t"), col("id")).as("token"))
+    val ex = intercept[IllegalArgumentException] {
+      Tokenizer.tokenCountFromTable(spark, big, "token", col("text"), maxVocab = 10)
+    }
+    assert(ex.getMessage.contains("exceeds"))
+  }
+
   test("vocab_token_count runs inside whole-stage codegen, not as a UDF") {
     import spark.implicits._
     // Source must be a real (range) scan: a local Seq would be folded by
