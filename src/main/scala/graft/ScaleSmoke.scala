@@ -154,11 +154,20 @@ object ScaleSmoke {
     // partition bytes ≤ per-task execution memory / decode expansion
     // (~8× on this wide denormalized row). Restore is in a finally so
     // a failed run cannot leak the setting into later smoke stages.
+    val priorAdvisory =
+      spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes")
     try {
       spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       run("q38_sized_advisory") { SparkEntry.queries("q38_star_denorm")(spark, out) }
     } finally {
-      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+      // Restore what was actually there (not a hardcoded default) so a
+      // future session-level advisory override survives this block.
+      priorAdvisory match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      }
     }
     run("q63_outlier_zscore") { SparkEntry.queries("q63_outlier_zscore")(spark, out) }
     run("q59_minhash_md5") { SparkEntry.queries("q59_minhash_md5")(spark, out) }

@@ -459,9 +459,17 @@ object Extended {
     * same greedy segmentation by construction. BPE-ish shape: ten
     * common merge products over the base a–z / 0–9 alphabet; plain
     * lowercase ASCII only (entries are spliced into SQL literals). */
-  private[graft] val Q70Vocab: Seq[String] =
-    Seq("the", "th", "in", "an", "and", "er", "or", "st", "en", "on") ++
+  private[graft] val Q70Vocab: Seq[String] = {
+    val v = Seq("the", "th", "in", "an", "and", "er", "or", "st", "en", "on") ++
       ('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString)
+    // Self-enforcing invariant (review r11): entries are spliced into
+    // SQL literals AND must stay inside the engines' parity envelope
+    // (the oracle counts code points, the trie counts UTF-16 units —
+    // identical only on BMP/ASCII; quotes would break the VALUES list).
+    require(v.forall(_.matches("[a-z0-9]+")),
+      "Q70Vocab entries must be plain lowercase ASCII")
+    v
+  }
 
   /** q70: tokenizer-token counts per document — the round-11 vocab
     * tokenizer ([[graft.operators.Tokenizer.tokenCount]], the
@@ -472,11 +480,20 @@ object Extended {
     * CTE walks the cursor (`pos → pos + max(match, 1)`) counting one
     * token per visited position — the same rule the trie walk
     * implements, so the custom expression itself is value-checked
-    * against an independent engine, unknown-char fallback and all. */
+    * against an independent engine, unknown-char fallback and all.
+    *
+    * Engine-parity envelope, stated (review r11): the oracle's split
+    * uses the explicit `[ \t\n\x0B\f\r]+` class (exactly Java `\s`,
+    * unlike RE2's `\s` which excludes the vertical tab), NULL text
+    * coalesces to 0 on BOTH sides, and the unknown-char fallback
+    * counts UTF-16 units (Spark) vs code points (DuckDB) — identical
+    * on the BMP; an astral-plane corpus would diverge and is outside
+    * the declared envelope (the testdata is ASCII). */
   def q70VocabTokens(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"),
-        graft.operators.Tokenizer.tokenCount(s, Q70Vocab, col("text"))
-          .as("n_vocab_tokens"))
+        coalesce(
+          graft.operators.Tokenizer.tokenCount(s, Q70Vocab, col("text")),
+          lit(0L)).as("n_vocab_tokens"))
       .orderBy("doc_id")
 }

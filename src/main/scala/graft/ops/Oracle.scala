@@ -859,7 +859,8 @@ object Oracle {
       s"""WITH RECURSIVE vocab(v) AS (VALUES $vals),
         | words AS (
         |  SELECT doc_id, wi, arr[wi] AS w
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+') AS arr
         |        FROM documents),
         |       unnest(range(1, len(arr) + 1)) AS t(wi)
         |  WHERE arr[wi] <> ''),
