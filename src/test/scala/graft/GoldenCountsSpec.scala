@@ -184,7 +184,11 @@ class GoldenCountsSpec extends SparkSpec {
     // SHRINKS slightly at sf0.1 (denser docs fill the budgets in fewer
     // picks) — the pin guards the fill semantics across the decade, not
     // a corpus-proportional law.
-    "q69_mixture_budgets" -> 92L
+    "q69_mixture_budgets" -> 92L,
+    // q70 emits one row per document (5000 at sf0.1); the value side is
+    // oracle-checked at sf0.01 and thread-invariance-checked (4 vs 16
+    // threads, identical checksums — round 11).
+    "q70_vocab_tokens" -> 5000L
   )
 
   sf01Pins.toSeq.sortBy(_._1).foreach { case (name, rows) =>
