@@ -105,6 +105,35 @@ class TokenizerSpec extends SparkSpec {
     assert(baseOnly === 10L, "char-level count = non-ws chars")
   }
 
+  test("VocabTrie invariants hold on generated corpora (driver-side, 1000 texts)") {
+    import graft.expressions.VocabTrie
+    // Pure-trie properties — these hold for ANY text and vocab, so they
+    // guard the walk's semantics rather than specific values.
+    val trie = new VocabTrie(vocab)
+    val maxLen = vocab.map(_.length).max
+    // Every vocab entry is exactly one token of itself.
+    vocab.foreach(v => assert(trie.countTokens(v) === 1L, s"entry $v"))
+    val rnd = new scala.util.Random(7)
+    (0 until 1000).foreach { _ =>
+      val words = (0 until 1 + rnd.nextInt(8)).map(_ =>
+        (0 until 1 + rnd.nextInt(12)).map(_ =>
+          "abcxloh?9".charAt(rnd.nextInt(9))).mkString)
+      val text = words.mkString(" ")
+      val n = trie.countTokens(text)
+      val chars = words.map(_.length).sum
+      // Bounds: one token consumes between 1 and maxLen chars.
+      assert(n <= chars, s"count $n > $chars non-ws chars for '$text'")
+      assert(n >= (chars + maxLen - 1) / maxLen, s"count $n too low for '$text'")
+      // Whitespace-run invariance: the separator shape cannot matter.
+      assert(trie.countTokens(words.mkString("  \t ")) === n)
+      assert(trie.countTokens(" \n" + text + "\r ") === n)
+      // Word-concatenation additivity across a whitespace boundary.
+      val split = rnd.nextInt(words.length)
+      val (l, r) = words.splitAt(split)
+      assert(trie.countTokens(l.mkString(" ")) + trie.countTokens(r.mkString(" ")) === n)
+    }
+  }
+
   test("tokenCountFromTable compiles a vocab table into the scan, collect bounded") {
     import spark.implicits._
     val vocabDf = Seq("ab", "abc", "c").toDF("token")
