@@ -143,31 +143,42 @@ object ScaleSmoke {
     }
     run("q38_star_denorm") { SparkEntry.queries("q38_star_denorm")(spark, out) }
     // Round 11 (VERDICT r10 #6): the ONE recorded smoke spill is q38's
-    // sort at 100× (805 MB in r10). Raising shuffle.partitions does NOT
-    // fix it — this session runs AQE, which re-coalesces post-shuffle
-    // partitions to its 64 MB (compressed) advisory target, and 64 MB
-    // of compressed join output decodes to ~0.5 GB of sort rows, past
-    // the per-task execution share (heap × 0.6 / 32 concurrent tasks ≈
-    // 150 MB here). Measured at 100×: parts 32/96/192/384 all spill
-    // 400–805 MB; advisory 16 MB → spill 0 AND faster (5.35 → 3.91 s;
-    // 8 MB: 3.48 s). The production rule: advisory (compressed)
-    // partition bytes ≤ per-task execution memory / decode expansion
-    // (~8× on this wide denormalized row). Restore is in a finally so
-    // a failed run cannot leak the setting into later smoke stages.
+    // sort (805 MB at 100×, 1.8 GB at 300×). Two constraints bind, and
+    // BOTH must be sized — measured across two decades:
+    //  - the AQE ADVISORY (64 MB compressed default) re-coalesces
+    //    post-shuffle partitions regardless of shuffle.partitions; 64 MB
+    //    compressed decodes to ~0.5 GB of sort rows per task, past the
+    //    per-task execution share. At 100× (where 32 initial partitions
+    //    were still fine-grained enough) advisory 16 MB alone → spill 0
+    //    and faster (5.35 → 3.91 s; 8 MB: 3.48 s).
+    //  - the INITIAL partition count (shuffle.partitions unless
+    //    coalescePartitions.initialPartitionNum is set) CAPS how fine
+    //    AQE can go — it only merges, never splits. At 300× the 3 GB
+    //    exchange over 32 initial partitions is ~95 MB compressed each,
+    //    already past the advisory, so the advisory is unreachable and
+    //    both settings spill 1.8 GB; initialPartitionNum = 512 → spill
+    //    0 and faster (12.8 → 10.8 s at 16 MB; even the 64 MB default
+    //    is spill-free once the initial count is fine enough).
+    // Production rule: initial partitions ≳ exchange bytes / advisory,
+    // advisory ≤ per-task execution memory / decode expansion (~8×
+    // here); AQE then coalesces to the right size instead of being
+    // capped below it. Restores are in a finally so a failed run
+    // cannot leak settings into later smoke stages.
     val priorAdvisory =
       spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val priorInit =
+      spark.conf.getOption("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
     try {
       spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", 512)
       run("q38_sized_advisory") { SparkEntry.queries("q38_star_denorm")(spark, out) }
     } finally {
-      // Restore what was actually there (not a hardcoded default) so a
-      // future session-level advisory override survives this block.
-      priorAdvisory match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", v)
-        case None =>
-          spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      def restore(key: String, prior: Option[String]): Unit = prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
       }
+      restore("spark.sql.adaptive.advisoryPartitionSizeInBytes", priorAdvisory)
+      restore("spark.sql.adaptive.coalescePartitions.initialPartitionNum", priorInit)
     }
     run("q63_outlier_zscore") { SparkEntry.queries("q63_outlier_zscore")(spark, out) }
     run("q59_minhash_md5") { SparkEntry.queries("q59_minhash_md5")(spark, out) }
