@@ -99,7 +99,7 @@ object TrainingData {
     val nearDeduped = exactDeduped
       .join(labels, col("doc_id") === col("cid"), "left")
       .filter(col("ckeeper").isNull || col("ckeeper") === col("doc_id"))
-      .select(exactDeduped.columns.map(col): _*)
+      .select(exactDeduped.columns.toIndexedSeq.map(col): _*)
 
     // 4. Decontamination via the library's own containment operator
     // (robust \s+ tokenization with empty-token filtering and the
