@@ -59,6 +59,41 @@ class EdgeCorpusSpec extends SparkSpec {
       "empty/whitespace docs leaked into MinHash pairs")
   }
 
+  test("q69/q70: degenerate docs flow through mixture sampling and vocab counting") {
+    // q70: exactly one row per doc; empty/whitespace docs count 0;
+    // exact duplicates count equally; multi-space runs are invariant
+    // (doc 3 re-counted single-spaced must match).
+    val counts = Extended.q70VocabTokens(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.size === 7)
+    assert(counts(0L) === 0L && counts(1L) === 0L,
+      s"empty/whitespace docs must count 0: $counts")
+    assert(counts(4L) === counts(5L), "exact duplicates must count equally")
+    assert(counts(2L) > 0L && counts(3L) > 0L)
+    import spark.implicits._
+    val singleSpaced = Seq("alpha beta gamma").toDF("text")
+      .select(graft.operators.Tokenizer.tokenCount(spark,
+        Extended.Q70Vocab, col("text")).as("n")).as[Long].head()
+    assert(counts(3L) === singleSpaced, "whitespace-run shape changed the count")
+
+    // q69: every doc is "en" (budget 3000, far above this corpus's
+    // mass) — all 7 rows kept, and the fill invariants hold even with
+    // the 0-token docs in the stream: cum_before advances by EXACTLY
+    // the previous pick's n_tokens (0-token docs occupy a pick_pos
+    // without moving the running sum).
+    val picked = Extended.q69MixtureBudgets(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._4)
+    assert(picked.length === 7)
+    assert(picked.map(_._4).toSeq === (1L to 7L))
+    picked.sliding(2).foreach {
+      case Array(prev, cur) =>
+        assert(cur._3 === prev._3 + prev._2,
+          s"cum_before must advance by the previous n_tokens: $prev -> $cur")
+      case _ =>
+    }
+  }
+
   test("q62 LM score: only docs with an adjacent non-empty token pair are scored") {
     val rows = Extended.q62LmBigramScore(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
