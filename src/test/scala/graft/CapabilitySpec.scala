@@ -236,6 +236,54 @@ class CapabilitySpec extends SparkSpec {
     assert(fb === full, "fallback fit must reproduce the full-corpus fit")
   }
 
+  test("GraftExtensions plugin injects every native function into a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    // The --conf spark.sql.extensions path was previously untested: a
+    // typo in one injectFunction would ship silently (only the
+    // imperative GraftFunctions.register path runs in specs). Build a
+    // NEW SparkSession over the shared context with the plugin applied
+    // (clearing default/active makes getOrCreate construct rather than
+    // reuse) and resolve every injected function through SQL. The
+    // session is NOT stopped — that would kill the shared context.
+    // Touch the shared session FIRST: run standalone, no context exists
+    // yet and the extension builder would try (and fail) to create one.
+    val master = spark.sparkContext.master
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master(master)
+        .withExtensions(new graft.expressions.GraftExtensions())
+        .getOrCreate()
+      // One probe per injected function — keep in sync with
+      // GraftExtensions.apply (8 functions as of round 11).
+      val probes = Seq(
+        "float_dot(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT)))",
+        "double_dot(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT)))",
+        "sorted_intersect_size(array('a','b'), array('b','c'))",
+        "band_match_before(array(1L, 2L), array(1L, 3L), 1, 1)",
+        "packed_trigrams('abc')",
+        "murmur3_v2('a')",
+        "vocab_token_count('abab x', array('ab'))",
+        "ivf_tree_assign(array(CAST(0.0 AS FLOAT)), array(array(CAST(0.0 AS DOUBLE))), array(0), 1)")
+      probes.foreach { p =>
+        val row = s2.sql(s"SELECT $p").collect()
+        assert(row.length === 1, s"plugin function probe failed: $p")
+      }
+      // Spot-check two values so the probes prove semantics, not just
+      // resolution.
+      assert(s2.sql("SELECT vocab_token_count('abab x', array('ab'))")
+        .head().getLong(0) === 3L)
+      assert(s2.sql("SELECT sorted_intersect_size(array('a','b'), array('b','c'))")
+        .head().getLong(0) === 1L)
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("minHashCandidateMass reports 0 on an empty corpus instead of throwing") {
     import spark.implicits._
     // sum over zero band buckets is SQL null; the probe must coalesce
