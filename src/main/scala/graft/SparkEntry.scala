@@ -93,7 +93,8 @@ object SparkEntry {
     "q67_pack_sequences"      -> Extended.q67PackSequences _,
     "q68_mixture_sample"      -> Extended.q68MixtureSample _,
     "q69_mixture_budgets"     -> Extended.q69MixtureBudgets _,
-    "q70_vocab_tokens"        -> Extended.q70VocabTokens _
+    "q70_vocab_tokens"        -> Extended.q70VocabTokens _,
+    "q71_ann_planes"          -> Extended.q71AnnPlanes _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import Determinism._
@@ -496,4 +496,75 @@ object Extended {
           graft.operators.Tokenizer.tokenCount(s, Q70Vocab, col("text")),
           lit(0L)).as("n_vocab_tokens"))
       .orderBy("doc_id")
+
+  /** q71's hyperplane family: 8 planes × 64 integer coefficients in
+    * [−8, 8], drawn once from a seeded Random — the q59 explicit-family
+    * idiom applied to ANN. Integer values keep every product exact
+    * (float element widened × whole double) and the seeded draw is
+    * replayed into the oracle's SQL as literals, so both engines
+    * compute bit-identical plane dots and bucket signs. */
+  private[graft] val Q71Planes: Seq[Seq[Int]] = {
+    val r = new scala.util.Random(20260814L)
+    Seq.fill(8)(Seq.fill(64)(r.nextInt(17) - 8))
+  }
+
+  /** q71: hyperplane-LSH approximate nearest neighbours with an
+    * EXPLICIT literal family — the value-checked twin of the rows-only
+    * q46 (whose seeded runtime hyperplanes have no SQL form), closing
+    * the last rows-only FAMILY gap the way q58/q59 twinned q44/q43:
+    * every vector's 8-bit bucket is the sign pattern of its dots with
+    * [[Q71Planes]]; candidates are corpus vectors within bucket
+    * Hamming ≤ 3 of a probe (multi-probe — 93 of 256 buckets, a 2.8×
+    * scan cut); exact float32 cosine re-score (q36's machinery, which
+    * DuckDB's `list_cosine_similarity` matches bit-for-bit) picks the
+    * top 5. The Hamming radius is the recall/scan dial, measured at
+    * sf0.01 vs exact q36 top-5: ≤2 → 0.36 (14% of buckets), ≤3 → 0.64
+    * (36%), ≤4 → 0.90 (64%) — single-table multi-probe recall is
+    * bounded by construction; the production RECALL path is the
+    * multi-table [[graft.operators.Approx.annLshCosine]] (q46,
+    * recall 0.94), which this query value-checks the machinery of.
+    *
+    * Cross-engine parity is by CONSTRUCTION: each plane dot renders as
+    * the same left-associated chain of `element[d] × double(coef)`
+    * products in both engines (float operands widen into exact double
+    * products, added in the identical order), so the sign — and with
+    * it the bucket, the candidate set, and the rounded score — cannot
+    * drift. Scale shape: the bucket is one scan-side expression; the
+    * declared form broadcasts the bounded probe side (q36/q45's
+    * convention); the production equi-join-per-bucket variant is
+    * [[graft.operators.Approx.annLshCosine]], recall-pinned against
+    * exact search in CapabilitySpec. */
+  def q71AnnPlanes(s: SparkSession, d: String): DataFrame = {
+    val dot = (a: String, b: String) => graft.expressions.GraftFunctions.floatDot(s, a, b)
+    def planeDot(e: Column, cs: Seq[Int]): Column =
+      cs.zipWithIndex.map { case (c, j) =>
+        element_at(e, j + 1) * lit(c.toDouble)
+      }.reduce(_ + _)
+    def bucket(e: Column): Column =
+      Q71Planes.zipWithIndex.map { case (cs, i) =>
+        when(planeDot(e, cs) > 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val vecs = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      bucket(col("embedding")).as("bkt"))
+    val probes = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+        col("bkt").as("pb"),
+        sqrt(dot("embedding", "embedding")).cast("float").as("pnorm"))
+    val corpus = vecs
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("bkt").as("nb"),
+        sqrt(dot("embedding", "embedding")).cast("float").as("nnorm"))
+      .repartition(math.min(s.sparkContext.defaultParallelism, 8))
+    val sim = (dot("pe", "ne") / (col("pnorm") * col("nnorm"))).cast("float")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(col("sim").desc, col("nid"))
+    broadcast(probes).crossJoin(corpus)
+      .filter(col("nid") =!= col("pid") &&
+        bit_count(col("pb").bitwiseXOR(col("nb")).cast("long")) <= 3)
+      .select(col("pid"), col("nid"), round(sim, 4).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy("pid", "rn")
+      .select("pid", "nid", "sim")
+  }
 }

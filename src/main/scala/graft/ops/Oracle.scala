@@ -881,6 +881,38 @@ object Oracle {
         |FROM documents d
         |LEFT JOIN perword p ON p.doc_id = d.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+    },
+
+    // q71: the explicit-hyperplane ANN replayed literal for literal —
+    // each plane dot is the SAME left-associated chain of
+    // element × double(coefficient) products as the Spark expression
+    // (float widens into an exact double product; identical addition
+    // order), so bucket signs, the Hamming ≤ 3 candidate set, and the
+    // float32 cosine re-score (list_cosine_similarity ≡ float_dot,
+    // the q36/q45-proven pairing) all value-match.
+    "q71_ann_planes" -> {
+      def dotSql(cs: Seq[Int]): String =
+        cs.zipWithIndex.map { case (c, j) =>
+          s"(embedding[${j + 1}] * ${c.toDouble})"
+        }.mkString(" + ")
+      val bucketSql = Extended.Q71Planes.zipWithIndex.map { case (cs, i) =>
+        s"(CASE WHEN ${dotSql(cs)} > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH vecs AS (
+        |  SELECT vec_id, embedding, $bucketSql AS bkt FROM embeddings),
+        | probes AS (
+        |  SELECT vec_id AS pid, embedding AS pe, bkt AS pb
+        |  FROM vecs WHERE vec_id < 10),
+        | cand AS (
+        |  SELECT pid, v.vec_id AS nid,
+        |    round(list_cosine_similarity(pe, v.embedding), 4) AS sim
+        |  FROM probes, vecs v
+        |  WHERE v.vec_id <> pid
+        |    AND bit_count(CAST(xor(pb, v.bkt) AS BIGINT)) <= 3)
+        |SELECT pid, nid, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY pid ORDER BY sim DESC, nid) AS rn
+        |  FROM cand) t
+        |WHERE rn <= 5 ORDER BY pid, rn""".stripMargin
     }
   )
 }

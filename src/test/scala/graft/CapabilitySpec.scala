@@ -236,6 +236,20 @@ class CapabilitySpec extends SparkSpec {
     assert(fb === full, "fallback fit must reproduce the full-corpus fit")
   }
 
+  test("q71 explicit-plane ANN recall vs exact q36 top-5 (measured dial pinned)") {
+    // Single-table Hamming ≤ 3 multi-probe: measured 0.64 at sf0.01
+    // (the dial: ≤2 → 0.36, ≤4 → 0.90 — see the builder's scaladoc);
+    // pinned at the floor with layout tolerance. The production RECALL
+    // path is the multi-table annLshCosine (q46, pinned 0.9+ below).
+    val exact = graft.SparkEntry.queries("q36_cosine_topk")(spark, sf001)
+      .select(col("pid"), col("nid"))
+    val ann = graft.SparkEntry.queries("q71_ann_planes")(spark, sf001)
+      .select(col("pid"), col("nid"))
+    val hit = ann.join(exact, Seq("pid", "nid")).count()
+    val recall = hit.toDouble / exact.count()
+    assert(recall >= 0.6, f"q71 recall $recall%.3f fell below the pinned floor")
+  }
+
   test("GraftExtensions plugin injects every native function into a fresh session") {
     import org.apache.spark.sql.SparkSession
     // The --conf spark.sql.extensions path was previously untested: a

@@ -96,7 +96,10 @@ class GoldenCountsSpec extends SparkSpec {
     "q69_mixture_budgets" -> 110,
     // q70 (round 11): one row per document — the vocab tokenizer's
     // counts, value-checked by the recursive-CTE maximal-munch replay.
-    "q70_vocab_tokens" -> 500
+    "q70_vocab_tokens" -> 500,
+    // q71 (round 11): full top-5 for all 10 probes — the Hamming ≤ 3
+    // multi-probe always finds ≥ 5 candidates on this corpus.
+    "q71_ann_planes" -> 50
   )
 
   test("queries/oracleSql keys line up") {
@@ -185,6 +188,9 @@ class GoldenCountsSpec extends SparkSpec {
     // picks) — the pin guards the fill semantics across the decade, not
     // a corpus-proportional law.
     "q69_mixture_budgets" -> 92L,
+    // q71 keeps full top-5 coverage at sf0.1 (bucket occupancy only
+    // grows with the corpus).
+    "q71_ann_planes" -> 50L,
     // q70 emits one row per document (5000 at sf0.1); the value side is
     // oracle-checked at sf0.01 and thread-invariance-checked (4 vs 16
     // threads, identical checksums — round 11).
