@@ -26,7 +26,10 @@ class PlanQualitySpec extends SparkSpec {
       "q64_ngram_jaccard",
       // q62 crossJoins its broadcast 1-row vocabulary scalar into the
       // bigram-count model — same shape as q37's document-count scalar.
-      "q62_lm_bigram_score")
+      "q62_lm_bigram_score",
+      // q71 is q36's probe-bounded broadcast pair loop with the
+      // Hamming-bucket prune as the join predicate (round 11).
+      "q71_ann_planes")
 
   test("no query plan contains an unintended cartesian product or Scala UDF") {
     SparkEntry.queries.keys.foreach { name =>
