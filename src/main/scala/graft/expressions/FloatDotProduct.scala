@@ -91,32 +91,33 @@ object GraftFunctions {
   val ivfTreeInfo =
     new ExpressionInfo(classOf[IvfTreeAssign].getName, "ivf_tree_assign")
 
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("float_dot"), info,
-      (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1)))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("sorted_intersect_size"), intersectInfo,
-      (exprs: Seq[Expression]) => SortedIntersectSize(exprs(0), exprs(1)))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("band_match_before"), bandInfo,
-      (exprs: Seq[Expression]) => BandMatchBefore(exprs(0), exprs(1), exprs(2), exprs(3)))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("packed_trigrams"), trigramInfo,
-      (exprs: Seq[Expression]) => PackedTrigrams(exprs(0)))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("double_dot"), doubleDotInfo,
-      (exprs: Seq[Expression]) => DoubleDotProduct(exprs(0), exprs(1)))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("murmur3_v2"), murmurV2Info,
-      (exprs: Seq[Expression]) => Murmur3V2(exprs(0)))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("vocab_token_count"), vocabCountInfo,
-      (exprs: Seq[Expression]) => VocabTokenCount(exprs(0), exprs(1)))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("ivf_tree_assign"), ivfTreeInfo,
-      (exprs: Seq[Expression]) => IvfTreeAssign(exprs(0), exprs(1), exprs(2), exprs(3)))
-  }
+  /** The one canonical registration table: both the imperative
+    * `register(spark)` path and the `spark.sql.extensions` plugin walk
+    * THIS list, so a new native function added here reaches both paths
+    * by construction (and the plugin spec derives its probe-name set
+    * from it — an entry without a probe fails the build loudly). */
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("float_dot"), info,
+      exprs => FloatDotProduct(exprs(0), exprs(1))),
+    (FunctionIdentifier("sorted_intersect_size"), intersectInfo,
+      exprs => SortedIntersectSize(exprs(0), exprs(1))),
+    (FunctionIdentifier("band_match_before"), bandInfo,
+      exprs => BandMatchBefore(exprs(0), exprs(1), exprs(2), exprs(3))),
+    (FunctionIdentifier("packed_trigrams"), trigramInfo,
+      exprs => PackedTrigrams(exprs(0))),
+    (FunctionIdentifier("double_dot"), doubleDotInfo,
+      exprs => DoubleDotProduct(exprs(0), exprs(1))),
+    (FunctionIdentifier("murmur3_v2"), murmurV2Info,
+      exprs => Murmur3V2(exprs(0))),
+    (FunctionIdentifier("vocab_token_count"), vocabCountInfo,
+      exprs => VocabTokenCount(exprs(0), exprs(1))),
+    (FunctionIdentifier("ivf_tree_assign"), ivfTreeInfo,
+      exprs => IvfTreeAssign(exprs(0), exprs(1), exprs(2), exprs(3))))
+
+  def register(spark: SparkSession): Unit =
+    registrations.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
 
   /** SQL-callable after register: `float_dot(<colA>, <colB>)` — column
     * references by (possibly qualified) name, resolved by the analyzer. */
@@ -152,30 +153,6 @@ object GraftFunctions {
   * into every session built with
   * `--conf spark.sql.extensions=graft.expressions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(
-      (FunctionIdentifier("float_dot"), GraftFunctions.info,
-        (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1))))
-    ext.injectFunction(
-      (FunctionIdentifier("sorted_intersect_size"), GraftFunctions.intersectInfo,
-        (exprs: Seq[Expression]) => SortedIntersectSize(exprs(0), exprs(1))))
-    ext.injectFunction(
-      (FunctionIdentifier("band_match_before"), GraftFunctions.bandInfo,
-        (exprs: Seq[Expression]) => BandMatchBefore(exprs(0), exprs(1), exprs(2), exprs(3))))
-    ext.injectFunction(
-      (FunctionIdentifier("packed_trigrams"), GraftFunctions.trigramInfo,
-        (exprs: Seq[Expression]) => PackedTrigrams(exprs(0))))
-    ext.injectFunction(
-      (FunctionIdentifier("murmur3_v2"), GraftFunctions.murmurV2Info,
-        (exprs: Seq[Expression]) => Murmur3V2(exprs(0))))
-    ext.injectFunction(
-      (FunctionIdentifier("double_dot"), GraftFunctions.doubleDotInfo,
-        (exprs: Seq[Expression]) => DoubleDotProduct(exprs(0), exprs(1))))
-    ext.injectFunction(
-      (FunctionIdentifier("vocab_token_count"), GraftFunctions.vocabCountInfo,
-        (exprs: Seq[Expression]) => VocabTokenCount(exprs(0), exprs(1))))
-    ext.injectFunction(
-      (FunctionIdentifier("ivf_tree_assign"), GraftFunctions.ivfTreeInfo,
-        (exprs: Seq[Expression]) => IvfTreeAssign(exprs(0), exprs(1), exprs(2), exprs(3))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.registrations.foreach(ext.injectFunction)
 }

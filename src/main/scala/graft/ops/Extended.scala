@@ -535,7 +535,6 @@ object Extended {
     * [[graft.operators.Approx.annLshCosine]], recall-pinned against
     * exact search in CapabilitySpec. */
   def q71AnnPlanes(s: SparkSession, d: String): DataFrame = {
-    val dot = (a: String, b: String) => graft.expressions.GraftFunctions.floatDot(s, a, b)
     def planeDot(e: Column, cs: Seq[Int]): Column =
       cs.zipWithIndex.map { case (c, j) =>
         element_at(e, j + 1) * lit(c.toDouble)
@@ -544,27 +543,14 @@ object Extended {
       Q71Planes.zipWithIndex.map { case (cs, i) =>
         when(planeDot(e, cs) > 0, lit(1 << i)).otherwise(lit(0))
       }.reduce(_ + _)
+    // The probe/rank/score scaffolding is q36's, shared verbatim
+    // (TextSim.probeCosineTopk — one implementation for both queries);
+    // q71's whole delta is the scan-side bucket column and the
+    // Hamming ≤ 3 candidate gate on it.
     val vecs = embeddings(s, d).select(col("vec_id"), col("embedding"),
       bucket(col("embedding")).as("bkt"))
-    val probes = vecs.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("pid"), col("embedding").as("pe"),
-        col("bkt").as("pb"),
-        sqrt(dot("embedding", "embedding")).cast("float").as("pnorm"))
-    val corpus = vecs
-      .select(col("vec_id").as("nid"), col("embedding").as("ne"),
-        col("bkt").as("nb"),
-        sqrt(dot("embedding", "embedding")).cast("float").as("nnorm"))
-      .repartition(math.min(s.sparkContext.defaultParallelism, 8))
-    val sim = (dot("pe", "ne") / (col("pnorm") * col("nnorm"))).cast("float")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("pid").orderBy(col("sim").desc, col("nid"))
-    broadcast(probes).crossJoin(corpus)
-      .filter(col("nid") =!= col("pid") &&
-        bit_count(col("pb").bitwiseXOR(col("nb")).cast("long")) <= 3)
-      .select(col("pid"), col("nid"), round(sim, 4).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .orderBy("pid", "rn")
-      .select("pid", "nid", "sim")
+    TextSim.probeCosineTopk(s, vecs, extras = Seq("bkt"),
+      pairPred =
+        bit_count(col("pbkt").bitwiseXOR(col("nbkt")).cast("long")) <= 3)
   }
 }

@@ -110,8 +110,21 @@ object TextSim {
     * though vectors are unit-norm. All accumulation in float32 to match
     * the oracle bit-for-bit; sim is rounded to 4dp BEFORE the rank with
     * nid tie-break (SURVEY.md §2.12 rule 3). Scale twin: Approx.annLsh. */
-  def q36CosineTopk(s: SparkSession, d: String): DataFrame = {
-    val emb = embeddings(s, d)
+  def q36CosineTopk(s: SparkSession, d: String): DataFrame =
+    probeCosineTopk(s, embeddings(s, d))
+
+  /** Shared scaffolding of the probe-broadcast cosine top-5 family
+    * (q36 exact, q71 bucketed ANN): the parity-critical conventions —
+    * float32 dot via the codegen'd native expression, norms precomputed
+    * per SIDE before the pair join (never per pair), sim rounded to 4dp
+    * BEFORE the rank with nid tie-break (SURVEY §2.12 rule 3), probe
+    * side broadcast, corpus spread over ≤8 splits (q35 note) — live
+    * HERE exactly once, so a convention fix cannot reach one query and
+    * miss the other. `vecs` carries (vec_id, embedding [, extras]);
+    * each extra column c surfaces as p\<c\> / n\<c\> for `pairPred`
+    * (e.g. q71's Hamming-bucket gate) to reference. */
+  private[ops] def probeCosineTopk(s: SparkSession, vecs: DataFrame,
+      extras: Seq[String] = Nil, pairPred: Column = lit(true)): DataFrame = {
     // The dot product runs as the native codegen'd FloatDotProduct
     // expression (tight primitive loop, same float32 left-fold as the
     // builtin-HOF fdot and as DuckDB's list_cosine_similarity).
@@ -119,19 +132,21 @@ object TextSim {
     // Norms are precomputed per side BEFORE the pair join — computing
     // them inside the pair expression would redo an O(dim) fold per pair
     // (n·k times) instead of once per vector.
-    val probes = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("pid"), col("embedding").as("pe"),
-              sqrt(dot("embedding", "embedding")).cast("float").as("pnorm"))
+    val probes = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("pid") +: col("embedding").as("pe") +:
+              sqrt(dot("embedding", "embedding")).cast("float").as("pnorm") +:
+              extras.map(c => col(c).as(s"p$c")): _*)
     // single-file input = single split: spread the NLJ stream side across
     // cores, width capped at 8 (see q35 note).
-    val corpus = emb
-      .select(col("vec_id").as("nid"), col("embedding").as("ne"),
-              sqrt(dot("embedding", "embedding")).cast("float").as("nnorm"))
+    val corpus = vecs
+      .select(col("vec_id").as("nid") +: col("embedding").as("ne") +:
+              sqrt(dot("embedding", "embedding")).cast("float").as("nnorm") +:
+              extras.map(c => col(c).as(s"n$c")): _*)
       .repartition(math.min(s.sparkContext.defaultParallelism, 8))
     val sim = (dot("pe", "ne") / (col("pnorm") * col("nnorm"))).cast("float")
     val w = Window.partitionBy("pid").orderBy(col("sim").desc, col("nid"))
     broadcast(probes).crossJoin(corpus)
-      .filter(col("nid") =!= col("pid"))
+      .filter(col("nid") =!= col("pid") && pairPred)
       .select(col("pid"), col("nid"), round(sim, 4).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)

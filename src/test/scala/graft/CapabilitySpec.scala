@@ -271,18 +271,26 @@ class CapabilitySpec extends SparkSpec {
         .master(master)
         .withExtensions(new graft.expressions.GraftExtensions())
         .getOrCreate()
-      // One probe per injected function — keep in sync with
-      // GraftExtensions.apply (8 functions as of round 11).
-      val probes = Seq(
-        "float_dot(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT)))",
-        "double_dot(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT)))",
-        "sorted_intersect_size(array('a','b'), array('b','c'))",
-        "band_match_before(array(1L, 2L), array(1L, 3L), 1, 1)",
-        "packed_trigrams('abc')",
-        "murmur3_v2('a')",
-        "vocab_token_count('abab x', array('ab'))",
-        "ivf_tree_assign(array(CAST(0.0 AS FLOAT)), array(array(CAST(0.0 AS DOUBLE))), array(0), 1)")
-      probes.foreach { p =>
+      // One probe per injected function, keyed by name. Completeness is
+      // STRUCTURAL, not a comment: the probed-name set must equal the
+      // canonical GraftFunctions.registrations table (which both the
+      // plugin and the imperative register() walk), so adding a 9th
+      // native function without a probe here fails the build loudly.
+      val probes = Map(
+        "float_dot" -> "float_dot(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT)))",
+        "double_dot" -> "double_dot(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT)))",
+        "sorted_intersect_size" -> "sorted_intersect_size(array('a','b'), array('b','c'))",
+        "band_match_before" -> "band_match_before(array(1L, 2L), array(1L, 3L), 1, 1)",
+        "packed_trigrams" -> "packed_trigrams('abc')",
+        "murmur3_v2" -> "murmur3_v2('a')",
+        "vocab_token_count" -> "vocab_token_count('abab x', array('ab'))",
+        "ivf_tree_assign" -> "ivf_tree_assign(array(CAST(0.0 AS FLOAT)), array(array(CAST(0.0 AS DOUBLE))), array(0), 1)")
+      val registered =
+        graft.expressions.GraftFunctions.registrations.map(_._1.funcName).toSet
+      assert(probes.keySet === registered,
+        s"plugin probe list drifted from GraftFunctions.registrations: " +
+          s"unprobed=${registered -- probes.keySet} stale=${probes.keySet -- registered}")
+      probes.values.foreach { p =>
         val row = s2.sql(s"SELECT $p").collect()
         assert(row.length === 1, s"plugin function probe failed: $p")
       }
