@@ -94,7 +94,8 @@ object SparkEntry {
     "q68_mixture_sample"      -> Extended.q68MixtureSample _,
     "q69_mixture_budgets"     -> Extended.q69MixtureBudgets _,
     "q70_vocab_tokens"        -> Extended.q70VocabTokens _,
-    "q71_ann_planes"          -> Extended.q71AnnPlanes _
+    "q71_ann_planes"          -> Extended.q71AnnPlanes _,
+    "q72_vocab_token_ids"     -> Extended.q72VocabTokenIds _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

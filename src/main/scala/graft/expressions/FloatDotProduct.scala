@@ -90,6 +90,8 @@ object GraftFunctions {
     new ExpressionInfo(classOf[VocabTokenCount].getName, "vocab_token_count")
   val ivfTreeInfo =
     new ExpressionInfo(classOf[IvfTreeAssign].getName, "ivf_tree_assign")
+  val vocabTokenizeInfo =
+    new ExpressionInfo(classOf[VocabTokenize].getName, "vocab_tokenize")
 
   /** The one canonical registration table: both the imperative
     * `register(spark)` path and the `spark.sql.extensions` plugin walk
@@ -112,7 +114,9 @@ object GraftFunctions {
     (FunctionIdentifier("vocab_token_count"), vocabCountInfo,
       exprs => VocabTokenCount(exprs(0), exprs(1))),
     (FunctionIdentifier("ivf_tree_assign"), ivfTreeInfo,
-      exprs => IvfTreeAssign(exprs(0), exprs(1), exprs(2), exprs(3))))
+      exprs => IvfTreeAssign(exprs(0), exprs(1), exprs(2), exprs(3))),
+    (FunctionIdentifier("vocab_tokenize"), vocabTokenizeInfo,
+      exprs => VocabTokenize(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit =
     registrations.foreach { case (id, inf, builder) =>

@@ -87,6 +87,73 @@ case class VocabTokenCount(text: Expression, vocab: Expression)
     copy(text = newLeft, vocab = newRight)
 }
 
+/** Greedy longest-match tokenization to token IDS:
+  * `vocab_tokenize(text, vocab)` returns `array<long>` — the 0-based
+  * vocab index of each matched entry in segmentation order, `-1` for
+  * each unknown-char fallback position (the <unk> convention). The
+  * segmentation rule (and therefore `size(vocab_tokenize(t, v)) =
+  * vocab_token_count(t, v)` for every input, property-pinned in
+  * TokenizerSpec) is EXACTLY [[VocabTokenCount]]'s: same `\s+`
+  * pre-tokenization, same maximal munch, same one-char fallback —
+  * both walks share one [[VocabTrie]].
+  *
+  * This is the missing half of the tokenizer seam: counts budget the
+  * pipeline (packing spans, mixture quotas), ids are the PAYLOAD a
+  * packed training row carries. Scale shape identical to the count
+  * form — foldable vocab literal, trie built once driver-side, shipped
+  * via the generated code's reference array, per-row walk inside
+  * whole-stage codegen. Duplicate vocab entries resolve to the FIRST
+  * occurrence's index (the count form is insensitive to duplicates;
+  * feeding a distinct vocab makes ids unambiguous).
+  */
+case class VocabTokenize(text: Expression, vocab: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = text
+  override def right: Expression = vocab
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (text.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"vocab_tokenize expects a string text arg, got ${text.dataType.sql}")
+    else vocab.dataType match {
+      case ArrayType(StringType, _) if vocab.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case ArrayType(StringType, _) =>
+        TypeCheckResult.TypeCheckFailure(
+          "vocab_tokenize's vocab must be FOLDABLE (a literal array — " +
+            "build it driver-side; a per-row vocab would rebuild the trie per row)")
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"vocab_tokenize expects array<string> vocab, got ${other.sql}")
+    }
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vocab_tokenize"
+
+  @transient private lazy val trie: VocabTrie = {
+    val arr = vocab.eval(null).asInstanceOf[ArrayData]
+    new VocabTrie((0 until arr.numElements()).map(i =>
+      arr.getUTF8String(i).toString))
+  }
+
+  override protected def nullSafeEval(t: Any, v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      trie.tokenizeIds(t.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val trieRef = ctx.addReferenceObj("vocabTrie", trie, classOf[VocabTrie].getName)
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $trieRef.tokenizeIds($t.toString()));""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(text = newLeft, vocab = newRight)
+}
+
 /** The match structure behind [[VocabTokenCount]]: a char-keyed trie
   * over the vocab with terminal marks, walked left-to-right for the
   * longest match at each cursor. Transitions live in one primitive
@@ -97,8 +164,12 @@ case class VocabTokenCount(text: Expression, vocab: Expression)
 final class VocabTrie(vocab: Seq[String]) extends Serializable {
   private val trans = scala.collection.mutable.LongMap.empty[Int]
   private val terminal = scala.collection.mutable.BitSet.empty
+  // terminal node → 0-based index of the FIRST vocab entry ending there
+  // (duplicate entries trace the same path; first occurrence wins — the
+  // count walk never reads this, only tokenizeIds does).
+  private val terminalId = scala.collection.mutable.HashMap.empty[Int, Int]
   private var nNodes = 1
-  vocab.foreach { tok =>
+  vocab.zipWithIndex.foreach { case (tok, id) =>
     require(tok.nonEmpty, "vocab entries must be non-empty")
     require(!tok.exists(VocabTrie.isWs),
       s"vocab entry ${tok.take(20)} contains whitespace — entries must not " +
@@ -115,6 +186,7 @@ final class VocabTrie(vocab: Seq[String]) extends Serializable {
       i += 1
     }
     terminal += node
+    if (!terminalId.contains(node)) terminalId(node) = id
   }
 
   def size: Int = terminal.size
@@ -148,6 +220,39 @@ final class VocabTrie(vocab: Seq[String]) extends Serializable {
       }
     }
     cnt
+  }
+
+  /** Token IDS under the IDENTICAL walk as [[countTokens]] (same
+    * cursor rule, so the result length always equals the count):
+    * 0-based vocab index per match, −1 per one-char fallback. Called
+    * from generated code. */
+  def tokenizeIds(s: String): Array[Long] = {
+    val n = s.length
+    val out = scala.collection.mutable.ArrayBuilder.make[Long]
+    var i = 0
+    while (i < n) {
+      if (VocabTrie.isWs(s.charAt(i))) i += 1
+      else {
+        var node = 0
+        var j = i
+        var last = -1
+        var lastId = -1
+        var walking = true
+        while (walking && j < n) {
+          val ch = s.charAt(j)
+          if (VocabTrie.isWs(ch)) walking = false
+          else trans.get(node.toLong << 16 | ch) match {
+            case Some(nx) =>
+              node = nx; j += 1
+              if (terminal(node)) { last = j; lastId = terminalId(node) }
+            case None => walking = false
+          }
+        }
+        if (last > i) { out += lastId.toLong; i = last }
+        else { out += -1L; i += 1 }
+      }
+    }
+    out.result()
   }
 }
 

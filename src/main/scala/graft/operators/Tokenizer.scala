@@ -47,6 +47,19 @@ object Tokenizer {
     call_function("vocab_token_count", text, array(vocab.map(lit): _*))
   }
 
+  /** The token IDS of `text` as a codegen'd `array<long>` Column — the
+    * same greedy longest-match walk as [[tokenCount]] (0-based vocab
+    * index per match, −1 per unknown-char fallback; see
+    * [[graft.expressions.VocabTokenize]]), so
+    * `size(tokenIds(...)) == tokenCount(...)` always. This is the
+    * PAYLOAD half of the seam: counts budget packing/mixture, ids are
+    * what a packed training sequence carries. */
+  def tokenIds(spark: SparkSession, vocab: Seq[String], text: Column): Column = {
+    require(vocab.nonEmpty, "vocab must not be empty")
+    graft.expressions.GraftFunctions.register(spark)
+    call_function("vocab_tokenize", text, array(vocab.map(lit): _*))
+  }
+
   /** The vocab-TABLE path: a (token) DataFrame — e.g. a vocab file read
     * as a table — collected driver-side and compiled into the scan.
     * The collect is bounded and correct by construction: a tokenizer

@@ -497,6 +497,35 @@ object Extended {
           lit(0L)).as("n_vocab_tokens"))
       .orderBy("doc_id")
 
+  /** q72: the tokenizer's SEGMENTATION itself, as a token stream —
+    * [[q70VocabTokens]]' walk emitting ids instead of a count
+    * ([[graft.operators.Tokenizer.tokenIds]], the codegen'd
+    * `vocab_tokenize` expression): per document, one row per token in
+    * order — `idx` the 0-based position in the stream, `token_id` the
+    * 0-based [[Q70Vocab]] index of the greedy longest match (−1 per
+    * unknown-char fallback). Declared EXPLODED rather than as an
+    * `array<long>` column because the driver's value compare is
+    * scalar-shaped (every oracled query to date emits scalars); the
+    * array form is the same expression un-exploded and is
+    * property-pinned against the count in TokenizerSpec.
+    *
+    * The DuckDB twin extends q70's replay: the max-match table
+    * additionally carries `arg_max(id, len)` — the matched ENTRY,
+    * unambiguous because equal-length matches at one position are the
+    * same string over a distinct vocab — the visited walk positions
+    * join back to it (−1 when no match), and a per-doc row_number over
+    * (word, pos) linearizes words into the stream index, exactly
+    * posexplode's order. Same engine-parity envelope as q70 (ASCII
+    * corpus; Java-`\s` split class spelled explicitly in the SQL).
+    * NULL/whitespace-only text → zero rows on both sides. */
+  def q72VocabTokenIds(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        posexplode(graft.operators.Tokenizer.tokenIds(s, Q70Vocab, col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("idx"),
+        col("col").as("token_id"))
+      .orderBy("doc_id", "idx")
+
   /** q71's hyperplane family: 8 planes × 64 integer coefficients in
     * [−8, 8], drawn once from a seeded Random — the q59 explicit-family
     * idiom applied to ANN. Integer values keep every product exact

@@ -913,6 +913,53 @@ object Oracle {
         |  SELECT *, row_number() OVER (PARTITION BY pid ORDER BY sim DESC, nid) AS rn
         |  FROM cand) t
         |WHERE rn <= 5 ORDER BY pid, rn""".stripMargin
+    },
+
+    // q72: q70's maximal-munch replay extended from counts to the
+    // SEGMENTATION itself, linearized to one row per token. Delta vs
+    // q70: the vocab VALUES carry the 0-based entry index; ml
+    // additionally takes arg_max(id, len) — the longest match's
+    // entry, unique because equal-length matches at one position are
+    // the same string and the vocab is distinct; the walk drops its
+    // counter (every walk row IS one emitted token position) and
+    // joins back to ml for the id (-1 when no match — the one-char
+    // fallback); a per-doc row_number over (word, pos) is exactly
+    // posexplode's stream order.
+    "q72_vocab_token_ids" -> {
+      val vals = Extended.Q70Vocab.zipWithIndex
+        .map { case (v, i) => s"($i,'$v')" }.mkString(",")
+      s"""WITH RECURSIVE vocab(id, v) AS (VALUES $vals),
+        | words AS (
+        |  SELECT doc_id, wi, arr[wi] AS w
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+') AS arr
+        |        FROM documents),
+        |       unnest(range(1, len(arr) + 1)) AS t(wi)
+        |  WHERE arr[wi] <> ''),
+        | ml AS (
+        |  SELECT w.doc_id, w.wi, p.pos, max(len(v.v)) AS m,
+        |         arg_max(v.id, len(v.v)) AS tid
+        |  FROM words w, unnest(range(1, len(w.w) + 1)) AS p(pos), vocab v
+        |  WHERE substr(w.w, p.pos, len(v.v)) = v.v
+        |  GROUP BY w.doc_id, w.wi, p.pos),
+        | walk(doc_id, wi, w, pos) AS (
+        |  SELECT doc_id, wi, w, 1 FROM words WHERE len(w) >= 1
+        |  UNION ALL
+        |  SELECT wk.doc_id, wk.wi, wk.w, wk.pos + COALESCE(ml.m, 1)
+        |  FROM walk wk LEFT JOIN ml
+        |    ON ml.doc_id = wk.doc_id AND ml.wi = wk.wi AND ml.pos = wk.pos
+        |  WHERE wk.pos + COALESCE(ml.m, 1) <= len(wk.w)),
+        | toks AS (
+        |  SELECT wk.doc_id, wk.wi, wk.pos,
+        |         CAST(COALESCE(ml.tid, -1) AS BIGINT) AS tok
+        |  FROM walk wk LEFT JOIN ml
+        |    ON ml.doc_id = wk.doc_id AND ml.wi = wk.wi AND ml.pos = wk.pos)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wi, pos) - 1
+        |    AS BIGINT) AS idx,
+        |  tok AS token_id
+        |FROM toks
+        |ORDER BY doc_id, idx""".stripMargin
     }
   )
 }

@@ -99,7 +99,11 @@ class GoldenCountsSpec extends SparkSpec {
     "q70_vocab_tokens" -> 500,
     // q71 (round 11): full top-5 for all 10 probes — the Hamming ≤ 3
     // multi-probe always finds ≥ 5 candidates on this corpus.
-    "q71_ann_planes" -> 50
+    "q71_ann_planes" -> 50,
+    // q72 (round 11): one row per TOKEN (the exploded segmentation) —
+    // the corpus tokenizes to 107193 Q70Vocab tokens at sf0.01,
+    // value-checked id-for-id by the oracle's arg_max replay.
+    "q72_vocab_token_ids" -> 107193
   )
 
   test("queries/oracleSql keys line up") {

@@ -170,6 +170,95 @@ class TokenizerSpec extends SparkSpec {
     assert(got.toSeq === want)
   }
 
+  // Driver-side replay of the maximal-munch SEGMENTATION (ids, not
+  // counts) — same naive no-trie shape as replayCount. maxBy keeps the
+  // first maximal element, matching the trie's first-occurrence rule
+  // for duplicate entries; length ties between distinct entries are
+  // impossible (same start, same length ⇒ same string).
+  private def replayIds(vocab: Seq[String], text: String): Seq[Long] = {
+    val ws = "[ \t\n\f\r]"
+    text.split(s"$ws+").filter(_.nonEmpty).toSeq.flatMap { word =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var i = 0
+      while (i < word.length) {
+        val ms = vocab.zipWithIndex.filter { case (v, _) => word.startsWith(v, i) }
+        if (ms.isEmpty) { out += -1L; i += 1 }
+        else { val (v, id) = ms.maxBy(_._1.length); out += id.toLong; i += v.length }
+      }
+      out
+    }
+  }
+
+  test("vocab_tokenize: worked segmentation examples (ids)") {
+    import spark.implicits._
+    // vocab indices: a=0 b=1 c=2 ab=3 abc=4 bc=5 hello=6 lo=7 l=8
+    val cases = Seq(
+      ("abca", Seq(4L, 0L)),        // maximal munch: abc, then a
+      ("abxc", Seq(3L, -1L, 2L)),   // unknown x falls back to -1
+      ("hellol", Seq(6L, 8L)),      // hello, l
+      ("xy", Seq(-1L, -1L)),
+      ("ab c", Seq(3L, 2L)),        // never merges across whitespace
+      ("", Seq.empty[Long]),
+      ("   \t ", Seq.empty[Long]))
+    val got = cases.map(_._1).toDF("text")
+      .select(Tokenizer.tokenIds(spark, vocab, col("text")).as("ids"))
+      .as[Seq[Long]].collect().toSeq
+    assert(got === cases.map(_._2), s"ids $got vs expected ${cases.map(_._2)}")
+    // NULL text stays NULL (not an empty array).
+    val nulls = Seq(Some("abc"), None).toDF("text")
+      .select(Tokenizer.tokenIds(spark, vocab, col("text")).as("ids"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getSeq[Long](0)))
+    assert(nulls.toSeq === Seq(Some(Seq(4L)), None))
+  }
+
+  test("vocab_tokenize matches the replay and its size IS vocab_token_count") {
+    import spark.implicits._
+    val texts = (0 until 500).map { i =>
+      val rnd = new scala.util.Random(1000 + i)
+      (0 until 1 + rnd.nextInt(12)).map { _ =>
+        (0 until 1 + rnd.nextInt(10)).map { _ =>
+          "abcxloeh".charAt(rnd.nextInt(8))
+        }.mkString
+      }.mkString(" ")
+    }
+    val got = texts.toDF("text")
+      .select(Tokenizer.tokenIds(spark, vocab, col("text")).as("ids"),
+        Tokenizer.tokenCount(spark, vocab, col("text")).as("n"))
+      .collect().map(r => (r.getSeq[Long](0), r.getLong(1)))
+    got.zip(texts).foreach { case ((ids, n), t) =>
+      assert(ids === replayIds(vocab, t), s"segmentation diverged on '$t'")
+      // The one invariant every consumer leans on: the ids ARE the
+      // budgeted count, element for element.
+      assert(ids.size.toLong === n, s"size(ids) != count on '$t'")
+    }
+  }
+
+  test("vocab_tokenize: duplicate vocab entries resolve to the first index") {
+    import spark.implicits._
+    val got = Seq("abab").toDF("text")
+      .select(Tokenizer.tokenIds(spark, Seq("ab", "x", "ab"), col("text")).as("ids"))
+      .as[Seq[Long]].head()
+    assert(got === Seq(0L, 0L))
+  }
+
+  test("vocab_tokenize runs inside whole-stage codegen, not as a UDF") {
+    import spark.implicits._
+    val df = spark.range(100)
+      .select(concat(lit("abc x"), col("id").cast("string")).as("text"))
+      .select(Tokenizer.tokenIds(spark, vocab, col("text")).as("ids"))
+      .filter(size(col("ids")) > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"tokenizer fell out of codegen into a UDF:\n$plan")
+    assert(plan.contains("*("), s"tokenizer lost whole-stage codegen:\n$plan")
+    // "abc x<digits>": abc, then x and each digit as fallbacks under
+    // the letters-only test vocab.
+    val got = df.as[Seq[Long]].collect()
+    got.zipWithIndex.foreach { case (ids, i) =>
+      assert(ids === 4L +: Seq.fill(1 + i.toString.length)(-1L), s"row $i: $ids")
+    }
+  }
+
   test("packing + mixture budget in tokenizer tokens end-to-end (conservation + budgets)") {
     // The seam's whole point: the SAME packSequences/quotaSampleBudgets,
     // fed a vocab-counted n_tokens instead of the whitespace one, with
