@@ -95,7 +95,9 @@ object SparkEntry {
     "q69_mixture_budgets"     -> Extended.q69MixtureBudgets _,
     "q70_vocab_tokens"        -> Extended.q70VocabTokens _,
     "q71_ann_planes"          -> Extended.q71AnnPlanes _,
-    "q72_vocab_token_ids"     -> Extended.q72VocabTokenIds _
+    "q72_vocab_token_ids"     -> Extended.q72VocabTokenIds _,
+    "q73_repetition_stats"    -> Extended.q73RepetitionStats _,
+    "q74_boilerplate_scrub"   -> Extended.q74BoilerplateScrub _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

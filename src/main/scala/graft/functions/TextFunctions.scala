@@ -95,6 +95,25 @@ object TextFunctions {
     graft.ops.Determinism.dround((lenScore + alpha + stop + punctPenalty) / 4.0, 4)
   }
 
+  /** The multiplicity of an array's most frequent element, as a narrow
+    * codegen'd expression: the longest run in the SORTED array equals
+    * the mode's count, found by one linear `aggregate` fold with a
+    * (prev, run, best) accumulator — no explode, no groupBy, no
+    * exchange. This is the piece that keeps q73's Gopher repetition
+    * signals a pure scan-side pass at 100 TB (the relational mode —
+    * explode → count per (doc, token) → max — costs a corpus-wide
+    * shuffle for a per-row statistic). Empty arrays → 0. */
+  def modeCount(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+
   /** 64-bit rolling (polynomial) content fingerprint via the built-in
     * xxhash64 — stable across partitions/engines, the cheap exact-dup
     * pre-filter: equal fingerprints → candidate duplicates, so the

@@ -526,6 +526,92 @@ object Extended {
         col("col").as("token_id"))
       .orderBy("doc_id", "idx")
 
+  /** q73: within-document repetition signals — the Gopher-rule quality
+    * features (Rae et al. 2021, "repetition filters"): the fraction of
+    * tokens that are repeats (`dup_tok_frac`), the share of the single
+    * most frequent token (`top_tok_frac`), and the fraction of word
+    * bigrams that are repeats (`dup_bigram_frac`). Deliberately
+    * SHUFFLE-FREE: distinct counts come from `array_distinct` on the
+    * split array and the mode's count from a linear run-length fold
+    * over the SORTED token array (`aggregate` over `array_sort` — a
+    * (prev, run, best) accumulator), so the whole query is one narrow
+    * scan-side pass per document; at 100 TB there is no exchange at
+    * all until the declared orderBy. The oracle computes the same
+    * quantities the relational way (unnest → group → max(count)) —
+    * integer counts both sides, so the method difference cannot
+    * drift. All ratios `dround`-ed at 4 with zero-guards; empty and
+    * whitespace-only docs emit zeros (none exist in this corpus, but
+    * the guards keep the form total). */
+  def q73RepetitionStats(s: SparkSession, d: String): DataFrame = {
+    val toks = filter(split(trim(col("text")), "\\s+"), w => w =!= "")
+    // bigrams as "w1 w2": whitespace cannot occur inside a token, so
+    // the space join is collision-free.
+    val bigrams = zip_with(
+      slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+      slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    // Longest run in the sorted array == the mode's multiplicity
+    // (see TextFunctions.modeCount for why this beats explode+groupBy).
+    val topCnt = graft.functions.TextFunctions.modeCount(col("toks"))
+    val n = col("n_tokens").cast("double")
+    val nb = col("n_bi").cast("double")
+    documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        size(bigrams).cast("long").as("n_bi"),
+        size(array_distinct(bigrams)).cast("long").as("n_bi_distinct"),
+        topCnt.as("top_cnt"))
+      .select(col("doc_id"), col("n_tokens"),
+        dround((col("n_tokens") - col("n_distinct")).cast("double") /
+          greatest(n, lit(1.0)), 4).as("dup_tok_frac"),
+        dround(col("top_cnt").cast("double") /
+          greatest(n, lit(1.0)), 4).as("top_tok_frac"),
+        dround((col("n_bi") - col("n_bi_distinct")).cast("double") /
+          greatest(nb, lit(1.0)), 4).as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** q74: corpus-level boilerplate scrub — the CCNet-style "remove the
+    * most corpus-frequent lines" step adapted to this corpus's shape
+    * (single-line docs → word granularity): the 5 words with the
+    * highest document frequency (ties broken by the word, so the set
+    * is deterministic) are boilerplate; every document is REWRITTEN
+    * with those words removed, order preserved. This is the one
+    * declared query that rewrites text from a corpus-level statistic —
+    * the plan shape is the point: the boilerplate set is vocabulary-
+    * sized (a `TakeOrderedAndProject` over a partial-agged
+    * `countDistinct`), so it BROADCASTS to the token stream (marking
+    * left join — never a shuffle keyed on the hot boilerplate words,
+    * which would put ~80% of all tokens in 5 keys), and the rebuild is
+    * ONE exchange on doc_id: `collect_list` of (pos, word) structs
+    * with a null-mark conditional (collect_list drops nulls, so
+    * boilerplate tokens vanish while still counting into `n_removed`),
+    * sorted by the struct's leading pos and joined with single spaces.
+    * Docs whose every token is boilerplate keep their row
+    * (`n_kept = 0` → empty string, never a dropped doc). */
+  def q74BoilerplateScrub(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"),
+        posexplode(filter(split(trim(col("text")), "\\s+"), w => w =!= "")))
+      .toDF("doc_id", "pos", "w")
+    val bp = tok.groupBy("w").agg(countDistinct("doc_id").as("df"))
+      .orderBy(col("df").desc, col("w")).limit(5)
+      .select(col("w"), lit(true).as("bp"))
+    tok.join(broadcast(bp), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("bp"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("bp").isNull, struct(col("pos"), col("w"))))),
+            x => x("w")),
+          " ").as("kept_text"))
+      .orderBy("doc_id")
+  }
+
   /** q71's hyperplane family: 8 planes × 64 integer coefficients in
     * [−8, 8], drawn once from a seeded Random — the q59 explicit-family
     * idiom applied to ANN. Integer values keep every product exact

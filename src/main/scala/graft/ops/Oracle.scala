@@ -960,6 +960,77 @@ object Oracle {
         |  tok AS token_id
         |FROM toks
         |ORDER BY doc_id, idx""".stripMargin
-    }
+    },
+
+    // q73: the same repetition quantities computed the RELATIONAL way
+    // (unnest → per-(doc, token) counts → max/sum/count) where the
+    // Spark side is a shuffle-free array pass (array_distinct +
+    // sorted-run fold). Every input to a ratio is an exact integer on
+    // both sides, so the method difference cannot drift; dround is the
+    // explicit floor formula (all ratios >= 0). Docs with no tokens
+    // (none in this corpus) would emit zeros via the LEFT JOIN
+    // COALESCEs on both sides.
+    "q73_repetition_stats" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |  FROM documents),
+        | words AS (
+        |  SELECT doc_id, wi, arr[wi] AS w
+        |  FROM base, unnest(range(1, len(arr) + 1)) AS t(wi)
+        |  WHERE arr[wi] <> ''),
+        | cnt AS (
+        |  SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+        | tstat AS (
+        |  SELECT doc_id, sum(c) AS n, count(*) AS nd, max(c) AS topc
+        |  FROM cnt GROUP BY doc_id),
+        | big AS (
+        |  SELECT a.doc_id, a.w || ' ' || b.w AS bg
+        |  FROM words a JOIN words b
+        |    ON b.doc_id = a.doc_id AND b.wi = a.wi + 1),
+        | bstat AS (
+        |  SELECT doc_id, count(*) AS nb, count(DISTINCT bg) AS nbd
+        |  FROM big GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(t.n, 0) AS BIGINT) AS n_tokens,
+        |  floor((COALESCE(t.n, 0) - COALESCE(t.nd, 0))
+        |        / greatest(COALESCE(t.n, 0), 1)
+        |        * 10000.0 + 0.5) / 10000.0 AS dup_tok_frac,
+        |  floor(COALESCE(t.topc, 0) / greatest(COALESCE(t.n, 0), 1)
+        |        * 10000.0 + 0.5) / 10000.0 AS top_tok_frac,
+        |  floor((COALESCE(b.nb, 0) - COALESCE(b.nbd, 0))
+        |        / greatest(COALESCE(b.nb, 0), 1)
+        |        * 10000.0 + 0.5) / 10000.0 AS dup_bigram_frac
+        |FROM documents d
+        |LEFT JOIN tstat t ON t.doc_id = d.doc_id
+        |LEFT JOIN bstat b ON b.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // q74: boilerplate replay — the top-5-by-document-frequency set is
+    // deterministic (ties broken by the word), the mark is a LEFT JOIN
+    // against it, and string_agg's in-aggregate ORDER BY wi with its
+    // NULL-skipping CASE mirrors collect_list's null-dropping
+    // conditional exactly. Output domain = docs with >= 1 token, the
+    // same domain posexplode produces on the Spark side.
+    "q74_boilerplate_scrub" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |  FROM documents),
+        | words AS (
+        |  SELECT doc_id, wi, arr[wi] AS w
+        |  FROM base, unnest(range(1, len(arr) + 1)) AS t(wi)
+        |  WHERE arr[wi] <> ''),
+        | bp AS (
+        |  SELECT w FROM (
+        |    SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY w)
+        |  ORDER BY df DESC, w LIMIT 5),
+        | marked AS (
+        |  SELECT wo.doc_id, wo.wi, wo.w, (bp.w IS NOT NULL) AS is_bp
+        |  FROM words wo LEFT JOIN bp ON bp.w = wo.w)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  COALESCE(string_agg(CASE WHEN NOT is_bp THEN w END, ' '
+        |                      ORDER BY wi), '') AS kept_text
+        |FROM marked GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -985,6 +985,33 @@ class CapabilitySpec extends SparkSpec {
     assert(out(4) == "nothing sensitive here, just 42 and v2.0")
   }
 
+  test("modeCount: sorted-run fold equals the relational mode on worked + random arrays") {
+    import spark.implicits._
+    // Worked examples, including the empty array and an empty-string
+    // element (the fold's "" sentinel starts at run 0, so a leading ""
+    // still counts correctly).
+    val cases = Seq(
+      (Seq("a", "b", "a", "a"), 3L),
+      (Seq("x"), 1L),
+      (Seq.empty[String], 0L),
+      (Seq("", "", "y"), 2L),
+      (Seq("t", "t", "u", "u"), 2L))
+    val got = cases.map(_._1).toDF("arr")
+      .select(TextFunctions.modeCount(col("arr")).as("m")).as[Long].collect()
+    assert(got.toSeq === cases.map(_._2))
+    // Random cross-check vs the driver-side relational mode.
+    val rnd = new scala.util.Random(7)
+    val arrays = (0 until 200).map(_ =>
+      (0 until rnd.nextInt(40)).map(_ => ('a' + rnd.nextInt(4)).toChar.toString))
+    val sparkSide = arrays.toDF("arr")
+      .select(TextFunctions.modeCount(col("arr")).as("m")).as[Long].collect()
+    arrays.zip(sparkSide).foreach { case (arr, m) =>
+      val want = if (arr.isEmpty) 0L
+        else arr.groupBy(identity).values.map(_.size).max.toLong
+      assert(m === want, s"modeCount diverged on $arr")
+    }
+  }
+
   test("language-ID heuristic identifies constructed multilingual samples") {
     import spark.implicits._
     // The testdata corpus has no language signal (same English-ish jargon

@@ -103,7 +103,11 @@ class GoldenCountsSpec extends SparkSpec {
     // q72 (round 11): one row per TOKEN (the exploded segmentation) —
     // the corpus tokenizes to 107193 Q70Vocab tokens at sf0.01,
     // value-checked id-for-id by the oracle's arg_max replay.
-    "q72_vocab_token_ids" -> 107193
+    "q72_vocab_token_ids" -> 107193,
+    // q73/q74 (round 11): one row per document — repetition signals
+    // and the boilerplate-scrubbed rewrite, both oracle-matched.
+    "q73_repetition_stats" -> 500,
+    "q74_boilerplate_scrub" -> 500
   )
 
   test("queries/oracleSql keys line up") {
@@ -198,7 +202,11 @@ class GoldenCountsSpec extends SparkSpec {
     // q70 emits one row per document (5000 at sf0.1); the value side is
     // oracle-checked at sf0.01 and thread-invariance-checked (4 vs 16
     // threads, identical checksums — round 11).
-    "q70_vocab_tokens" -> 5000L
+    "q70_vocab_tokens" -> 5000L,
+    // q73/q74 are per-document (5000 at sf0.1); both parity-checked
+    // against DuckDB at sf0.001/sf0.01/sf0.1 when declared (round 11).
+    "q73_repetition_stats" -> 5000L,
+    "q74_boilerplate_scrub" -> 5000L
   )
 
   sf01Pins.toSeq.sortBy(_._1).foreach { case (name, rows) =>

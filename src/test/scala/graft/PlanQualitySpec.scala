@@ -292,6 +292,36 @@ class PlanQualitySpec extends SparkSpec {
       "expected an equi-join keyed on the cell")
   }
 
+  test("q73 computes every repetition signal in one narrow scan pass") {
+    // The point of the sorted-run-fold/array_distinct formulation: no
+    // aggregate operator, no exchange except the declared orderBy's
+    // range partition — at 100 TB the whole query is a single map pass.
+    val p = plan("q73_repetition_stats")
+    val exchanges = p.split("\\(\\d+\\) ").filter(_.startsWith("Exchange"))
+    assert(exchanges.length === 1,
+      s"q73 grew a compute shuffle (expected only the orderBy):\n${p.take(600)}")
+    assert(exchanges.head.contains("rangepartitioning"),
+      s"q73's one exchange should be the orderBy range partition: ${exchanges.head.take(200)}")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"q73 should have no aggregate operator (all signals are array exprs):\n${p.take(600)}")
+    assert(p.contains("struct<doc_id:bigint,text:string>"),
+      "q73 should scan only doc_id and text")
+  }
+
+  test("q74's boilerplate set broadcasts — the hot words never key a shuffle join") {
+    // The 5 boilerplate words cover ~80% of all tokens; a shuffle join
+    // keyed on the word would funnel the corpus into 5 partitions. The
+    // set must come out of a TakeOrderedAndProject (vocabulary-sized
+    // partial agg, never a global sort) and join as a broadcast.
+    val p = plan("q74_boilerplate_scrub")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q74's boilerplate mark lost its broadcast:\n${p.take(600)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"q74 joins on the hot word via a shuffle:\n${p.take(600)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q74's top-5 selection became a global sort:\n${p.take(600)}")
+  }
+
   test("whole-stage codegen is active in the scan-heavy queries") {
     // the AQE-final simple plan marks fused codegen stages with "*(n)"
     Seq("q01_scan_filter_project", "q03_agg_pricing", "q38_star_denorm").foreach { n =>
