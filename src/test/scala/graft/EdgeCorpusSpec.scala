@@ -94,6 +94,53 @@ class EdgeCorpusSpec extends SparkSpec {
     }
   }
 
+  test("q72/q73/q74: degenerate docs through segmentation, repetition, and scrubbing") {
+    // q72: token-less docs emit NO rows (posexplode of an empty array),
+    // and each doc's id-stream length equals q70's count — the
+    // size==count invariant on the shapes the real corpus never has.
+    val counts = Extended.q70VocabTokens(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streams = Extended.q72VocabTokenIds(spark, dir).collect()
+      .map(r => r.getLong(0)).groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(!streams.contains(0L) && !streams.contains(1L),
+      s"token-less docs leaked segmentation rows: $streams")
+    (2L to 6L).foreach { id =>
+      assert(streams.getOrElse(id, 0L) === counts(id),
+        s"doc $id: stream length != q70 count")
+    }
+
+    // q73: one row per doc INCLUDING token-less ones (zero-guards);
+    // worked fractions on doc 4 ("the" appears twice in 9 tokens).
+    val rep = Extended.q73RepetitionStats(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rep.keySet === (0L to 6L).toSet)
+    assert(rep(0L) === ((0L, 0.0, 0.0, 0.0)) && rep(1L) === ((0L, 0.0, 0.0, 0.0)),
+      s"token-less docs must zero-guard: $rep")
+    assert(rep(2L) === ((1L, 0.0, 1.0, 0.0)),
+      s"single-token doc: mode covers everything, no dup bigrams: ${rep(2L)}")
+    assert(rep(3L) === ((3L, 0.0, 0.3333, 0.0)),
+      s"multi-space runs must not create empty tokens: ${rep(3L)}")
+    assert(rep(4L) === ((9L, 0.1111, 0.2222, 0.0)),
+      s"doc 4: 1 repeat of 9, mode 2/9, all bigrams distinct: ${rep(4L)}")
+    assert(rep(4L) === rep(5L), "exact duplicates must score identically")
+
+    // q74: df on this corpus — every doc-4 word except dog/cat has
+    // df 3; ties break by the word, so the boilerplate set is exactly
+    // {brown, fox, jumps, lazy, over}. Token-less docs are OUT of the
+    // output domain; the rewrite single-spaces multi-space runs.
+    val scrub = Extended.q74BoilerplateScrub(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(scrub.keySet === (2L to 6L).toSet,
+      s"q74 domain must be docs with >= 1 token: ${scrub.keySet}")
+    assert(scrub(2L) === ((0L, "solitary")))
+    assert(scrub(3L) === ((0L, "alpha beta gamma")),
+      s"multi-space runs single-space in the rewrite: ${scrub(3L)}")
+    assert(scrub(4L) === ((5L, "the quick the dog")), s"doc 4 scrub: ${scrub(4L)}")
+    assert(scrub(6L) === ((5L, "the quick the cat")), s"doc 6 scrub: ${scrub(6L)}")
+    assert(scrub(4L)._1 === scrub(5L)._1 && scrub(5L)._2 === "the quick the dog")
+  }
+
   test("q62 LM score: only docs with an adjacent non-empty token pair are scored") {
     val rows = Extended.q62LmBigramScore(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
