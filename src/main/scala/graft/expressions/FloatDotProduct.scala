@@ -92,6 +92,8 @@ object GraftFunctions {
     new ExpressionInfo(classOf[IvfTreeAssign].getName, "ivf_tree_assign")
   val vocabTokenizeInfo =
     new ExpressionInfo(classOf[VocabTokenize].getName, "vocab_tokenize")
+  val bpeTokensInfo =
+    new ExpressionInfo(classOf[BpeTokens].getName, "bpe_tokens")
 
   /** The one canonical registration table: both the imperative
     * `register(spark)` path and the `spark.sql.extensions` plugin walk
@@ -116,7 +118,9 @@ object GraftFunctions {
     (FunctionIdentifier("ivf_tree_assign"), ivfTreeInfo,
       exprs => IvfTreeAssign(exprs(0), exprs(1), exprs(2), exprs(3))),
     (FunctionIdentifier("vocab_tokenize"), vocabTokenizeInfo,
-      exprs => VocabTokenize(exprs(0), exprs(1))))
+      exprs => VocabTokenize(exprs(0), exprs(1))),
+    (FunctionIdentifier("bpe_tokens"), bpeTokensInfo,
+      exprs => BpeTokens(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit =
     registrations.foreach { case (id, inf, builder) =>

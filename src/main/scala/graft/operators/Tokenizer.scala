@@ -60,6 +60,27 @@ object Tokenizer {
     call_function("vocab_tokenize", text, array(vocab.map(lit): _*))
   }
 
+  /** TRUE merge-order BPE segmentation as a codegen'd `array<string>`
+    * Column ([[graft.expressions.BpeTokens]]): replays `merges` —
+    * ("left", "right") pairs in rank order, the tokenizer-file
+    * convention — exactly as a production BPE encoder does. Use when
+    * the segmentation must MATCH a real tokenizer; use [[tokenCount]]
+    * (greedy longest-match over [[vocabFromMerges]]) when a cheap
+    * budgeting count suffices. The two genuinely diverge on
+    * merge-order inversions (pinned in TokenizerSpec). */
+  def bpeTokens(spark: SparkSession, merges: Seq[(String, String)], text: Column): Column = {
+    require(merges.nonEmpty, "merge table must not be empty")
+    graft.expressions.GraftFunctions.register(spark)
+    call_function("bpe_tokens", text,
+      array(merges.map { case (a, b) => lit(s"$a $b") }: _*))
+  }
+
+  /** The merge-replay token count: `size(bpeTokens(...))` as a long —
+    * the drop-in `n_tokens` column for packing/mixture when budgets
+    * must be in TRUE BPE tokens. */
+  def bpeTokenCount(spark: SparkSession, merges: Seq[(String, String)], text: Column): Column =
+    size(bpeTokens(spark, merges, text)).cast("long")
+
   /** The vocab-TABLE path: a (token) DataFrame — e.g. a vocab file read
     * as a table — collected driver-side and compiled into the scan.
     * The collect is bounded and correct by construction: a tokenizer

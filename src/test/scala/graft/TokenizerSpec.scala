@@ -336,4 +336,130 @@ class TokenizerSpec extends SparkSpec {
     graft.operators.Materialized.free(ts.selected)
     graft.operators.Materialized.free(ts.packed)
   }
+
+  // ---- true merge-order BPE (bpe_tokens) ----
+
+  // Independent driver-side replay of the BPE encode loop — naive
+  // (list-of-strings, re-scan per iteration), shares no code with
+  // BpeMergeTable.
+  private def replayBpe(merges: Seq[(String, String)], text: String): Seq[String] = {
+    val rank = merges.zipWithIndex.toMap
+    val ws = "[ \t\n\f\r]"
+    text.split(s"$ws+").filter(_.nonEmpty).toSeq.flatMap { word =>
+      var syms = word.map(_.toString).toList
+      var go = true
+      while (go && syms.length > 1) {
+        val ranked = syms.zip(syms.tail).flatMap(p => rank.get(p).map(p -> _))
+        if (ranked.isEmpty) go = false
+        else {
+          val (bestPair, _) = ranked.minBy(_._2)
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var rest = syms
+          while (rest.nonEmpty) rest match {
+            case a :: b :: tail if (a, b) == bestPair =>
+              out += a + b; rest = tail
+            case a :: tail => out += a; rest = tail
+            case Nil =>
+          }
+          syms = out.toList
+        }
+      }
+      syms
+    }
+  }
+
+  test("bpe_tokens: worked merge-order examples") {
+    import spark.implicits._
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
+    val cases = Seq(
+      ("lower", Seq("low", "er")),
+      ("lowest", Seq("low", "e", "s", "t")),
+      ("low lower", Seq("low", "low", "er")),   // words encode independently
+      ("xyz", Seq("x", "y", "z")),              // untouched chars pass through
+      ("", Seq.empty[String]),
+      ("   ", Seq.empty[String]),
+      ("looow", Seq("lo", "o", "o", "w")))      // one merge pass, left-to-right
+    val got = cases.map(_._1).toDF("text")
+      .select(Tokenizer.bpeTokens(spark, merges, col("text")).as("t"))
+      .as[Seq[String]].collect().toSeq
+    assert(got === cases.map(_._2), s"got $got expected ${cases.map(_._2)}")
+    // NULL text stays NULL.
+    val nulls = Seq(Some("low"), None).toDF("text")
+      .select(Tokenizer.bpeTokens(spark, merges, col("text")).as("t"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getSeq[String](0)))
+    assert(nulls.toSeq === Seq(Some(Seq("low")), None))
+  }
+
+  test("bpe_tokens diverges from greedy longest-match exactly where merge order says") {
+    import spark.implicits._
+    // merges [(b,c), (a,b)]: BPE on "abc" applies rank 0 first -> [a, bc];
+    // greedy longest-match over the derived vocab takes the leftmost
+    // longest entry -> [ab, c]. Same table, different algorithms — the
+    // reason the seam carries both arms.
+    val merges = Seq(("b", "c"), ("a", "b"))
+    val gVocab = Tokenizer.vocabFromMerges(merges)
+    val row = Seq("abc").toDF("text").select(
+      Tokenizer.bpeTokens(spark, merges, col("text")).as("bpe"),
+      graft.operators.Tokenizer.tokenIds(spark, gVocab, col("text")).as("greedy_ids"),
+      Tokenizer.tokenCount(spark, gVocab, col("text")).as("greedy_n")).head()
+    assert(row.getSeq[String](0) === Seq("a", "bc"))
+    assert(row.getLong(2) === 2L)
+    assert(row.getSeq[Long](1).map(id => gVocab(id.toInt)) === Seq("ab", "c"),
+      "greedy should take the leftmost-longest entry, not the merge order")
+  }
+
+  test("bpe_tokens matches the naive replay on random corpora and reassembles") {
+    import spark.implicits._
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"), ("a", "b"),
+      ("ab", "c"), ("h", "e"), ("he", "l"), ("hel", "lo"), ("o", "w"))
+    val rnd = new scala.util.Random(42)
+    val texts = (0 until 300).map { _ =>
+      (0 until 1 + rnd.nextInt(8)).map { _ =>
+        (0 until 1 + rnd.nextInt(12)).map(_ =>
+          "lowerabchs".charAt(rnd.nextInt(10))).mkString
+      }.mkString(" ")
+    }
+    val got = texts.toDF("text")
+      .select(Tokenizer.bpeTokens(spark, merges, col("text")).as("t"))
+      .as[Seq[String]].collect()
+    got.zip(texts).foreach { case (toks, t) =>
+      assert(toks === replayBpe(merges, t), s"BPE diverged on '$t'")
+      // Segmentation is a partition of the non-whitespace chars.
+      assert(toks.mkString === t.split("\\s+").filter(_.nonEmpty).mkString,
+        s"tokens do not reassemble '$t'")
+    }
+  }
+
+  test("bpe_tokens runs inside whole-stage codegen, not as a UDF") {
+    import spark.implicits._
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val df = spark.range(50)
+      .select(concat(lit("abc x"), col("id").cast("string")).as("text"))
+      .select(Tokenizer.bpeTokens(spark, merges, col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"bpe_tokens fell out of codegen into a UDF:\n$plan")
+    assert(plan.contains("*("), s"bpe_tokens lost whole-stage codegen:\n$plan")
+    val got = df.as[Seq[String]].collect()
+    got.zipWithIndex.foreach { case (toks, i) =>
+      assert(toks.head === "abc" && toks.tail === ("x" + i.toString).map(_.toString),
+        s"row $i: $toks")
+    }
+  }
+
+  test("packing budgets in TRUE BPE tokens through the same nCol seam") {
+    // bpeTokenCount is a drop-in n_tokens source: conservation must
+    // hold in the new unit exactly as for whitespace/greedy counts.
+    val docs = graft.ops.Tables.documents(spark, sf0001)
+    val merges = Seq(("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"),
+      ("e", "r"), ("o", "r"), ("s", "t"), ("o", "n"))
+    val sized = docs.select(col("doc_id"),
+      Tokenizer.bpeTokenCount(spark, merges, col("text")).as("n_tokens"))
+    val total = sized.agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(total > 0L)
+    val packed = Packing.packSequences(sized, seqLen = 512)
+    val sliceSum = packed.agg(sum(col("slice_len"))).head().getLong(0)
+    assert(sliceSum === total, "BPE-token conservation broke through packing")
+  }
 }
