@@ -266,6 +266,16 @@ object ScaleSmoke {
     // cost is one narrow shuffle of (id, token-count) pairs — wall
     // should stay near-flat across `copies` and the slice count linear.
     run("pack_sequences") { SparkEntry.queries("q67_pack_sequences")(spark, out) }
+    // Repetition signals (round 11): shuffle-free by construction (the
+    // plan pin proves no exchange but the orderBy) — shuffleWriteMB
+    // here is ~rows × 40 B of final-sort rows, wall linear in corpus.
+    run("q73_repetition") { SparkEntry.queries("q73_repetition_stats")(spark, out) }
+    // Boilerplate scrub (round 11): the one exchange that carries TEXT
+    // (the doc_id rebuild — inherent to a corpus-statistic rewrite).
+    // Expect shuffleWriteMB ≈ the corpus's token bytes + per-token pos
+    // structs, linear in `copies`; the df-ranking side is
+    // vocabulary-sized and must stay invisible here.
+    run("q74_boilerplate") { SparkEntry.queries("q74_boilerplate_scrub")(spark, out) }
     // End-to-end training pipeline (round 10): quality → exact dedup →
     // mass-routed near-dup → decontam (fixed 500-doc benchmark slice)
     // → budget mixture → packing, composed in one call. The budget

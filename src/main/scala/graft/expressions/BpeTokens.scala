@@ -70,8 +70,7 @@ case class BpeTokens(text: Expression, merges: Expression)
 
   @transient private lazy val table: BpeMergeTable = {
     val arr = merges.eval(null).asInstanceOf[ArrayData]
-    new BpeMergeTable((0 until arr.numElements()).map(i =>
-      arr.getUTF8String(i).toString))
+    new BpeMergeTable(VocabTrie.stringElems(arr, prettyName))
   }
 
   override protected def nullSafeEval(t: Any, m: Any): Any =

@@ -69,8 +69,7 @@ case class VocabTokenCount(text: Expression, vocab: Expression)
     * small either way). */
   @transient private lazy val trie: VocabTrie = {
     val arr = vocab.eval(null).asInstanceOf[ArrayData]
-    new VocabTrie((0 until arr.numElements()).map(i =>
-      arr.getUTF8String(i).toString))
+    new VocabTrie(VocabTrie.stringElems(arr, prettyName))
   }
 
   override protected def nullSafeEval(t: Any, v: Any): Any =
@@ -134,8 +133,7 @@ case class VocabTokenize(text: Expression, vocab: Expression)
 
   @transient private lazy val trie: VocabTrie = {
     val arr = vocab.eval(null).asInstanceOf[ArrayData]
-    new VocabTrie((0 until arr.numElements()).map(i =>
-      arr.getUTF8String(i).toString))
+    new VocabTrie(VocabTrie.stringElems(arr, prettyName))
   }
 
   override protected def nullSafeEval(t: Any, v: Any): Any =
@@ -262,4 +260,17 @@ object VocabTrie {
     * Character.isWhitespace). */
   def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Literal-array extraction with a LOUD null check for the tokenizer
+    * expressions' config arrays: a nullable-TYPED literal is legal
+    * (checkInputDataTypes accepts any containsNull), but a null
+    * ELEMENT is a config error — report it with the function name and
+    * index instead of an NPE from deep inside the trie/rank build
+    * (review finding, round 11). */
+  def stringElems(arr: ArrayData, fn: String): Seq[String] =
+    (0 until arr.numElements()).map { i =>
+      require(!arr.isNullAt(i),
+        s"$fn: the literal array contains a NULL element at index $i")
+      arr.getUTF8String(i).toString
+    }
 }

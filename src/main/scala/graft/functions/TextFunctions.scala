@@ -95,14 +95,20 @@ object TextFunctions {
     graft.ops.Determinism.dround((lenScore + alpha + stop + punctPenalty) / 4.0, 4)
   }
 
-  /** The multiplicity of an array's most frequent element, as a narrow
-    * codegen'd expression: the longest run in the SORTED array equals
-    * the mode's count, found by one linear `aggregate` fold with a
-    * (prev, run, best) accumulator — no explode, no groupBy, no
+  /** The multiplicity of a STRING array's most frequent element, as a
+    * narrow codegen'd expression: the longest run in the SORTED array
+    * equals the mode's count, found by one linear `aggregate` fold
+    * with a (prev, run, best) accumulator — no explode, no groupBy, no
     * exchange. This is the piece that keeps q73's Gopher repetition
     * signals a pure scan-side pass at 100 TB (the relational mode —
     * explode → count per (doc, token) → max — costs a corpus-wide
-    * shuffle for a per-row statistic). Empty arrays → 0. */
+    * shuffle for a per-row statistic). Empty arrays → 0.
+    *
+    * Scope (by the accumulator's string-typed `prev`): `array<string>`
+    * only — another element type fails analysis on the struct-schema
+    * mismatch. NULL elements are not counted as a mode (NULL === prev
+    * is NULL, so each restarts the run at 1): pass filtered token
+    * arrays, as every caller here does. */
   def modeCount(arr: Column): Column =
     aggregate(
       array_sort(arr),

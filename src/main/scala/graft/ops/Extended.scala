@@ -539,11 +539,13 @@ object Extended {
     * all until the declared orderBy. The oracle computes the same
     * quantities the relational way (unnest → group → max(count)) —
     * integer counts both sides, so the method difference cannot
-    * drift. All ratios `dround`-ed at 4 with zero-guards; empty and
-    * whitespace-only docs emit zeros (none exist in this corpus, but
-    * the guards keep the form total). */
+    * drift. All ratios `dround`-ed at 4 with zero-guards; NULL, empty,
+    * and whitespace-only docs emit zeros (none exist in this corpus,
+    * but the guards keep the form total — the coalesce matches the
+    * oracle's LEFT JOIN zeros, the q70 convention). */
   def q73RepetitionStats(s: SparkSession, d: String): DataFrame = {
-    val toks = filter(split(trim(col("text")), "\\s+"), w => w =!= "")
+    val toks =
+      filter(split(trim(coalesce(col("text"), lit(""))), "\\s+"), w => w =!= "")
     // bigrams as "w1 w2": whitespace cannot occur inside a token, so
     // the space join is collision-free.
     val bigrams = zip_with(

@@ -969,10 +969,12 @@ object Oracle {
     // both sides, so the method difference cannot drift; dround is the
     // explicit floor formula (all ratios >= 0). Docs with no tokens
     // (none in this corpus) would emit zeros via the LEFT JOIN
-    // COALESCEs on both sides.
+    // COALESCEs on both sides. The split spells Java's `\s` class out
+    // explicitly (q70's envelope note: RE2's \s lacks \x0B).
     "q73_repetition_stats" ->
       """WITH base AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |  SELECT doc_id, regexp_split_to_array(trim(text),
+        |    '[ \t\n\x0B\f\r]+') AS arr
         |  FROM documents),
         | words AS (
         |  SELECT doc_id, wi, arr[wi] AS w
@@ -1013,7 +1015,8 @@ object Oracle {
     // same domain posexplode produces on the Spark side.
     "q74_boilerplate_scrub" ->
       """WITH base AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |  SELECT doc_id, regexp_split_to_array(trim(text),
+        |    '[ \t\n\x0B\f\r]+') AS arr
         |  FROM documents),
         | words AS (
         |  SELECT doc_id, wi, arr[wi] AS w

@@ -176,7 +176,7 @@ class TokenizerSpec extends SparkSpec {
   // for duplicate entries; length ties between distinct entries are
   // impossible (same start, same length ⇒ same string).
   private def replayIds(vocab: Seq[String], text: String): Seq[Long] = {
-    val ws = "[ \t\n\f\r]"
+    val ws = "[ \t\n\u000B\f\r]"  // \u000B as an escape (auditable), see replayCount
     text.split(s"$ws+").filter(_.nonEmpty).toSeq.flatMap { word =>
       val out = scala.collection.mutable.ArrayBuffer.empty[Long]
       var i = 0
@@ -344,7 +344,7 @@ class TokenizerSpec extends SparkSpec {
   // BpeMergeTable.
   private def replayBpe(merges: Seq[(String, String)], text: String): Seq[String] = {
     val rank = merges.zipWithIndex.toMap
-    val ws = "[ \t\n\f\r]"
+    val ws = "[ \t\n\u000B\f\r]"  // \u000B as an escape (auditable), see replayCount
     text.split(s"$ws+").filter(_.nonEmpty).toSeq.flatMap { word =>
       var syms = word.map(_.toString).toList
       var go = true
@@ -445,6 +445,22 @@ class TokenizerSpec extends SparkSpec {
     got.zipWithIndex.foreach { case (toks, i) =>
       assert(toks.head === "abc" && toks.tail === ("x" + i.toString).map(_.toString),
         s"row $i: $toks")
+    }
+  }
+
+  test("tokenizer config arrays reject NULL elements loudly, with the function name") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    for ((fn, sql) <- Seq(
+      ("vocab_token_count", "SELECT vocab_token_count(text, array('a', NULL)) FROM t"),
+      ("vocab_tokenize", "SELECT vocab_tokenize(text, array('a', NULL)) FROM t"),
+      ("bpe_tokens", "SELECT bpe_tokens(text, array('a b', NULL)) FROM t"))) {
+      Seq("abc").toDF("text").createOrReplaceTempView("t")
+      val ex = intercept[Throwable] { spark.sql(sql).collect() }
+      val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("NULL element") && msgs.contains(fn),
+        s"$fn: expected a loud config error naming the function, got: $msgs")
     }
   }
 
