@@ -146,4 +146,41 @@ object Packing {
       .withColumn("fill_ratio",
         col("total_tokens").cast("double") /
           (col("n_sequences") * lit(seqLen)).cast("double"))
+
+  /** Materialize packed sequences' PAYLOAD — the "downstream loader"
+    * the slice-map contract promises, as an operator: one row per
+    * sequence, `(seq_id, token_ids)`, where `token_ids` is the
+    * seqLen-long concatenation of the documents' id slices (the final
+    * sequence carries `total mod seqLen`). The token count is
+    * `size(idsCol)` BY CONSTRUCTION, so the budget the slice map was
+    * computed from and the payload emitted here cannot disagree.
+    *
+    * Scale shape: the slice map itself still moves no payload (see
+    * [[packSequences]]); materialization is where the ids inherently
+    * cross the wire, and they cross exactly twice — once through the
+    * doc-keyed join that pairs each slice row with its document's
+    * array, once through the seq_id exchange that brings a sequence's
+    * pieces together (partial ObjectHashAggregate first, so each map
+    * task pre-merges its pieces). `slice()` on the join side trims the
+    * array BEFORE the reassembly shuffle, so a straddling document
+    * ships only the tokens each sequence actually uses. Keep the
+    * slice-map form for anything that doesn't need the raw ids (stats,
+    * budgets, audits); materialize once, at the end, into the training
+    * sink. */
+  def packTokenIds(docs: DataFrame, seqLen: Long,
+                   idsCol: String = "token_ids", idCol: String = "doc_id",
+                   nParts: Int = 0, reliable: Boolean = false): DataFrame = {
+    val ids = docs.select(col(idCol), col(idsCol))
+    val sized = ids.select(col(idCol),
+      size(col(idsCol)).cast("long").as("n_tokens"))
+    val slices = packSequences(sized, seqLen, idCol, "n_tokens", nParts, reliable)
+    slices.join(ids, Seq(idCol))
+      .select(col("seq_id"), col("seq_offset"),
+        slice(col(idsCol), (col("doc_offset") + 1).cast("int"),
+          col("slice_len").cast("int")).as("piece"))
+      .groupBy("seq_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("seq_offset"), col("piece")))),
+        x => x("piece"))).as(idsCol))
+  }
 }

@@ -124,4 +124,49 @@ class PackingSpec extends SparkSpec {
     // the ONLY waste is the final partial sequence
     assert(stats.getDouble(4) === total.toDouble / (nSeq * 512).toDouble)
   }
+
+  test("packTokenIds: worked example — payload equals the stream, cut at seqLen") {
+    import spark.implicits._
+    // Docs of 3, 5, 4 ids; seqLen 4 → stream of 12 cut into exactly
+    // [0,1,2,10], [11,12,13,14], [20,21,22,23]: doc 1 straddles the
+    // first cut, doc 2 straddles nothing but fills sequence 2 alone.
+    val docs = Seq(
+      (0L, Seq(0L, 1L, 2L)),
+      (1L, Seq(10L, 11L, 12L, 13L, 14L)),
+      (2L, Seq(20L, 21L, 22L, 23L))
+    ).toDF("doc_id", "token_ids")
+    val got = Packing.packTokenIds(docs, seqLen = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got === Map(
+      0L -> Seq(0L, 1L, 2L, 10L),
+      1L -> Seq(11L, 12L, 13L, 14L),
+      2L -> Seq(20L, 21L, 22L, 23L)))
+  }
+
+  test("packTokenIds: the materialized payload IS the doc-order stream (real corpus)") {
+    // End-to-end over the documents table with real vocab_tokenize ids:
+    // flattening the sequences in seq_id order must reproduce the
+    // concatenation of every document's id stream in doc_id order, and
+    // every sequence except the last must be exactly seqLen long.
+    val docs = graft.ops.Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        graft.operators.Tokenizer.tokenIds(spark,
+          graft.ops.Extended.Q70Vocab, col("text")).as("token_ids"))
+    val seqLen = 512L
+    val out = Packing.packTokenIds(docs, seqLen)
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val stream = docs.orderBy("doc_id").collect()
+      .flatMap(_.getSeq[Long](1))
+    assert(out.map(_._1).toSeq === out.indices.map(_.toLong),
+      "seq ids must be dense from 0")
+    out.dropRight(1).foreach { case (sid, ids) =>
+      assert(ids.length === seqLen, s"sequence $sid not full")
+    }
+    assert(out.last._2.length === (stream.length % seqLen == 0 match {
+      case true => seqLen; case false => stream.length % seqLen
+    }), "last sequence must carry total mod seqLen")
+    assert(out.flatMap(_._2).toSeq === stream.toSeq,
+      "materialized payload diverged from the doc-order stream")
+  }
 }
