@@ -203,6 +203,11 @@ class GoldenCountsSpec extends SparkSpec {
     // oracle-checked at sf0.01 and thread-invariance-checked (4 vs 16
     // threads, identical checksums — round 11).
     "q70_vocab_tokens" -> 5000L,
+    // q72 emits one row per TOKEN: the sf0.1 corpus (5000 docs)
+    // tokenizes to 1066725 Q70Vocab tokens — the pin that would catch a
+    // scale-only segmentation regression (sf0.01: 107193, oracle-
+    // value-checked there).
+    "q72_vocab_token_ids" -> 1066725L,
     // q73/q74 are per-document (5000 at sf0.1); both parity-checked
     // against DuckDB at sf0.001/sf0.01/sf0.1 when declared (round 11).
     "q73_repetition_stats" -> 5000L,
