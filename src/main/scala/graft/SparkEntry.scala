@@ -97,7 +97,8 @@ object SparkEntry {
     "q71_ann_planes"          -> Extended.q71AnnPlanes _,
     "q72_vocab_token_ids"     -> Extended.q72VocabTokenIds _,
     "q73_repetition_stats"    -> Extended.q73RepetitionStats _,
-    "q74_boilerplate_scrub"   -> Extended.q74BoilerplateScrub _
+    "q74_boilerplate_scrub"   -> Extended.q74BoilerplateScrub _,
+    "q75_packed_token_ids"    -> Extended.q75PackedTokenIds _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

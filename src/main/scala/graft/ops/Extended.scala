@@ -614,6 +614,29 @@ object Extended {
       .orderBy("doc_id")
   }
 
+  /** q75: the packed TRAINING ROWS themselves, oracle-checked — the
+    * composition q72 ∘ q67 as one declared query:
+    * [[graft.operators.Packing.packTokenIds]] materializes (seq_id,
+    * token_ids) sequences of exactly 512 [[Q70Vocab]] ids from the
+    * document stream, exploded here to (seq_id, pos, token_id) scalars
+    * for the driver's compare. Because packing's stream order is
+    * ascending doc_id — the same (doc_id, idx) order q72's segmentation
+    * emits — the DuckDB twin is q72's walk plus ONE window: the global
+    * stream position `row_number() - 1`, then seq_id = div 512 and
+    * pos = mod 512. A value mismatch anywhere in the slice map, the
+    * per-slice array arithmetic, or the reassembly sort would
+    * misplace ids and fail the hash — this is the end-to-end
+    * value-check of the payload loop, not just its row count. */
+  def q75PackedTokenIds(s: SparkSession, d: String): DataFrame = {
+    val ids = documents(s, d).select(col("doc_id"),
+      graft.operators.Tokenizer.tokenIds(s, Q70Vocab, col("text")).as("token_ids"))
+    graft.operators.Packing.packTokenIds(ids, seqLen = 512L)
+      .select(col("seq_id"), posexplode(col("token_ids")))
+      .select(col("seq_id"), col("pos").cast("long").as("pos"),
+        col("col").as("token_id"))
+      .orderBy("seq_id", "pos")
+  }
+
   /** q71's hyperplane family: 8 planes × 64 integer coefficients in
     * [−8, 8], drawn once from a seeded Random — the q59 explicit-family
     * idiom applied to ANN. Integer values keep every product exact

@@ -7,6 +7,44 @@ package graft.ops
   */
 object Oracle {
 
+  /** The q70/q72 maximal-munch walk as a shared CTE chain (vocab values
+    * → whitespace-split words → per-position max-match table with
+    * arg_max entry ids → recursive cursor walk → toks). Ends at the
+    * `toks` CTE so consumers append their own final SELECT (q72: the
+    * per-doc stream; q75: the global packed stream). Lives in an
+    * s-interpolated string: escape processing IS applied, so the
+    * whitespace class is written doubled. */
+  private lazy val vocabWalkCtes: String = {
+    val vals = Extended.Q70Vocab.zipWithIndex
+      .map { case (v, i) => s"($i,'$v')" }.mkString(",")
+    s"""WITH RECURSIVE vocab(id, v) AS (VALUES $vals),
+      | words AS (
+      |  SELECT doc_id, wi, arr[wi] AS w
+      |  FROM (SELECT doc_id,
+      |          regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+') AS arr
+      |        FROM documents),
+      |       unnest(range(1, len(arr) + 1)) AS t(wi)
+      |  WHERE arr[wi] <> ''),
+      | ml AS (
+      |  SELECT w.doc_id, w.wi, p.pos, max(len(v.v)) AS m,
+      |         arg_max(v.id, len(v.v)) AS tid
+      |  FROM words w, unnest(range(1, len(w.w) + 1)) AS p(pos), vocab v
+      |  WHERE substr(w.w, p.pos, len(v.v)) = v.v
+      |  GROUP BY w.doc_id, w.wi, p.pos),
+      | walk(doc_id, wi, w, pos) AS (
+      |  SELECT doc_id, wi, w, 1 FROM words WHERE len(w) >= 1
+      |  UNION ALL
+      |  SELECT wk.doc_id, wk.wi, wk.w, wk.pos + COALESCE(ml.m, 1)
+      |  FROM walk wk LEFT JOIN ml
+      |    ON ml.doc_id = wk.doc_id AND ml.wi = wk.wi AND ml.pos = wk.pos
+      |  WHERE wk.pos + COALESCE(ml.m, 1) <= len(wk.w)),
+      | toks AS (
+      |  SELECT wk.doc_id, wk.wi, wk.pos,
+      |         CAST(COALESCE(ml.tid, -1) AS BIGINT) AS tok
+      |  FROM walk wk LEFT JOIN ml
+      |    ON ml.doc_id = wk.doc_id AND ml.wi = wk.wi AND ml.pos = wk.pos)""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, round(l_extendedprice * (1 - l_discount), 2) AS net
@@ -926,40 +964,32 @@ object Oracle {
     // fallback); a per-doc row_number over (word, pos) is exactly
     // posexplode's stream order.
     "q72_vocab_token_ids" -> {
-      val vals = Extended.Q70Vocab.zipWithIndex
-        .map { case (v, i) => s"($i,'$v')" }.mkString(",")
-      s"""WITH RECURSIVE vocab(id, v) AS (VALUES $vals),
-        | words AS (
-        |  SELECT doc_id, wi, arr[wi] AS w
-        |  FROM (SELECT doc_id,
-        |          regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+') AS arr
-        |        FROM documents),
-        |       unnest(range(1, len(arr) + 1)) AS t(wi)
-        |  WHERE arr[wi] <> ''),
-        | ml AS (
-        |  SELECT w.doc_id, w.wi, p.pos, max(len(v.v)) AS m,
-        |         arg_max(v.id, len(v.v)) AS tid
-        |  FROM words w, unnest(range(1, len(w.w) + 1)) AS p(pos), vocab v
-        |  WHERE substr(w.w, p.pos, len(v.v)) = v.v
-        |  GROUP BY w.doc_id, w.wi, p.pos),
-        | walk(doc_id, wi, w, pos) AS (
-        |  SELECT doc_id, wi, w, 1 FROM words WHERE len(w) >= 1
-        |  UNION ALL
-        |  SELECT wk.doc_id, wk.wi, wk.w, wk.pos + COALESCE(ml.m, 1)
-        |  FROM walk wk LEFT JOIN ml
-        |    ON ml.doc_id = wk.doc_id AND ml.wi = wk.wi AND ml.pos = wk.pos
-        |  WHERE wk.pos + COALESCE(ml.m, 1) <= len(wk.w)),
-        | toks AS (
-        |  SELECT wk.doc_id, wk.wi, wk.pos,
-        |         CAST(COALESCE(ml.tid, -1) AS BIGINT) AS tok
-        |  FROM walk wk LEFT JOIN ml
-        |    ON ml.doc_id = wk.doc_id AND ml.wi = wk.wi AND ml.pos = wk.pos)
+      s"""$vocabWalkCtes
         |SELECT doc_id,
         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wi, pos) - 1
         |    AS BIGINT) AS idx,
         |  tok AS token_id
         |FROM toks
         |ORDER BY doc_id, idx""".stripMargin
+    },
+
+    // q75: the packed payload replay — q72's walk CTEs plus ONE window:
+    // the global stream position over (doc_id, wi, pos) — exactly
+    // packing's ascending-doc_id stream order — then seq_id/pos as
+    // div/mod 512. Any slice-map, array-slicing, or reassembly-order
+    // defect on the Spark side lands ids at wrong (seq_id, pos) and
+    // fails the value hash.
+    "q75_packed_token_ids" -> {
+      s"""$vocabWalkCtes,
+        | stream AS (
+        |  SELECT tok,
+        |    row_number() OVER (ORDER BY doc_id, wi, pos) - 1 AS gpos
+        |  FROM toks)
+        |SELECT CAST(gpos // 512 AS BIGINT) AS seq_id,
+        |  CAST(gpos % 512 AS BIGINT) AS pos,
+        |  tok AS token_id
+        |FROM stream
+        |ORDER BY seq_id, pos""".stripMargin
     },
 
     // q73: the same repetition quantities computed the RELATIONAL way

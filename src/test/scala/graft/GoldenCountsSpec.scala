@@ -107,7 +107,10 @@ class GoldenCountsSpec extends SparkSpec {
     // q73/q74 (round 11): one row per document — repetition signals
     // and the boilerplate-scrubbed rewrite, both oracle-matched.
     "q73_repetition_stats" -> 500,
-    "q74_boilerplate_scrub" -> 500
+    "q74_boilerplate_scrub" -> 500,
+    // q75 (round 11): one row per packed-token position — the payload
+    // materializer emits exactly q72's stream, so the counts match.
+    "q75_packed_token_ids" -> 107193
   )
 
   test("queries/oracleSql keys line up") {
@@ -211,7 +214,10 @@ class GoldenCountsSpec extends SparkSpec {
     // q73/q74 are per-document (5000 at sf0.1); both parity-checked
     // against DuckDB at sf0.001/sf0.01/sf0.1 when declared (round 11).
     "q73_repetition_stats" -> 5000L,
-    "q74_boilerplate_scrub" -> 5000L
+    "q74_boilerplate_scrub" -> 5000L,
+    // q75 mirrors q72's token count by construction; the pin proves the
+    // packed stream neither drops nor duplicates a position at scale.
+    "q75_packed_token_ids" -> 1066725L
   )
 
   sf01Pins.toSeq.sortBy(_._1).foreach { case (name, rows) =>
