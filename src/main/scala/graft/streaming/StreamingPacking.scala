@@ -74,4 +74,57 @@ object StreamingPacking {
           out.iterator
       }
   }
+
+  case class IdsIn(shard: Long, doc_id: Long, token_ids: Seq[Long])
+  case class IdsState(seq: Long, buf: Seq[Long])
+  case class IdsOut(shard: Long, seq_id: Long, token_ids: Seq[Long])
+
+  /** The PAYLOAD twin of [[packStream]] — streaming
+    * [[graft.operators.Packing.packTokenIds]]: per shard, arriving
+    * documents' id arrays append to a buffer that is emitted as a
+    * complete `(shard, seq_id, token_ids)` training row every `seqLen`
+    * ids; the in-progress partial sequence (≤ seqLen − 1 ids — the
+    * bounded-state guarantee: ~4 KB at seqLen 512) carries across
+    * microbatches in the state store. Only COMPLETE sequences are
+    * emitted (Append mode has no retraction for a growing partial);
+    * the final partial of a finite run stays in state by design — at
+    * ingest time there is no "last" sequence until the stream closes,
+    * exactly like a production shard writer holding its open file.
+    * Same ordering contract and duplicate-id guard as [[packStream]];
+    * fed in id order on one shard, the emitted rows equal the batch
+    * materializer's all-but-last sequences row-for-row (StreamingSpec). */
+  def packIdsStream(docs: DataFrame, seqLen: Long): Dataset[IdsOut] = {
+    require(seqLen > 0, "seqLen must be positive")
+    require(seqLen <= Int.MaxValue, "a materialized sequence must be array-sized")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.as[IdsIn]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[IdsState, IdsOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (shard, it, state: GroupState[IdsState]) =>
+          val st = state.getOption.getOrElse(IdsState(0L, Vector.empty))
+          var seq = st.seq
+          var buf = st.buf.toVector
+          var prevId = Option.empty[Long]
+          val out = Vector.newBuilder[IdsOut]
+          it.toVector.sortBy(_.doc_id).foreach { d =>
+            require(!prevId.contains(d.doc_id),
+              s"packIdsStream: duplicate doc_id ${d.doc_id} in shard $shard — " +
+                "packing is defined over unique ids")
+            prevId = Some(d.doc_id)
+            var ids: Seq[Long] = if (d.token_ids == null) Vector.empty else d.token_ids
+            while (buf.length + ids.length >= seqLen) {
+              val take = (seqLen - buf.length).toInt
+              out += IdsOut(shard, seq, buf ++ ids.take(take))
+              seq += 1
+              buf = Vector.empty
+              ids = ids.drop(take)
+            }
+            buf = buf ++ ids
+          }
+          state.update(IdsState(seq, buf))
+          out.result().iterator
+      }
+  }
 }

@@ -372,6 +372,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming payload packing across microbatches == batch packTokenIds") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingPacking
+    // Real vocab_tokenize id streams from the sf0.001 corpus, one
+    // shard, doc_id order, THREE microbatches: the state store carries
+    // the partial sequence's ids (not just a position) between batches,
+    // and every COMPLETE emitted sequence must equal the batch
+    // materializer's — the final partial stays in state by design.
+    val docsIds = graft.ops.Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        graft.operators.Tokenizer.tokenIds(spark,
+          graft.ops.Extended.Q70Vocab, col("text")).as("token_ids"))
+    val ordered = docsIds.collect()
+      .map(r => (0L, r.getLong(0), r.getSeq[Long](1))).sortBy(_._2)
+    val stream = MemoryStream[(Long, Long, Seq[Long])]
+    runToMemory("packids_t",
+      StreamingPacking.packIdsStream(
+        stream.toDF().toDF("shard", "doc_id", "token_ids"), seqLen = 256L).toDF(),
+      mode = "append") {
+      ordered.grouped(math.max(1, ordered.length / 3)).foreach { b =>
+        stream.addData(b.toSeq)
+        spark.streams.active.foreach(_.processAllAvailable())
+      }
+    }
+    val streamed = spark.table("packids_t")
+      .select("seq_id", "token_ids")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1)
+    val batch = graft.operators.Packing.packTokenIds(
+        ordered.map(t => (t._2, t._3)).toSeq.toDF("doc_id", "token_ids"), 256L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1)
+    assert(streamed.nonEmpty)
+    // The stream holds the last (partial) sequence open; batch emits it.
+    val batchComplete = batch.filter(_._2.length == 256)
+    assert(streamed.toSeq === batchComplete.toSeq,
+      "streamed complete sequences diverged from the batch materializer")
+    assert(batch.length === batchComplete.length + 1 &&
+      batch.last._2.length < 256,
+      "exactly the final partial sequence should be withheld by the stream")
+  }
+
   test("streaming quota fill across microbatches == batch quotaSampleBudgets") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
