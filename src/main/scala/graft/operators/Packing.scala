@@ -174,7 +174,24 @@ object Packing {
     val sized = ids.select(col(idCol),
       size(col(idsCol)).cast("long").as("n_tokens"))
     val slices = packSequences(sized, seqLen, idCol, "n_tokens", nParts, reliable)
-    slices.join(ids, Seq(idCol))
+    materializeSlices(slices, ids, idsCol, idCol)
+  }
+
+  /** The slice-map → payload step by itself: join ANY packed slice map
+    * — [[packSequences]]' output, or [[graft.operators.TrainingData
+    * .TrainingSet]]'s `packed` — with the documents' id arrays and
+    * emit `(seq_id, token_ids)`. This is how a pipeline materializes
+    * its training rows without re-packing: the slice map already fixed
+    * every cut; this step only moves the payload. PRECONDITION (shared
+    * with the slice map itself): `ids` must count the same tokens the
+    * slice map was budgeted from — i.e. `size(idsCol)` equals the
+    * `nCol` the packer saw per doc (true by construction when both
+    * come from the same tokenizer column) — a shorter array would
+    * slice out of range and a longer one would silently truncate. */
+  def materializeSlices(slices: DataFrame, ids: DataFrame,
+                        idsCol: String = "token_ids",
+                        idCol: String = "doc_id"): DataFrame =
+    slices.join(ids.select(col(idCol), col(idsCol)), Seq(idCol))
       .select(col("seq_id"), col("seq_offset"),
         slice(col(idsCol), (col("doc_offset") + 1).cast("int"),
           col("slice_len").cast("int")).as("piece"))
@@ -182,5 +199,4 @@ object Packing {
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("seq_offset"), col("piece")))),
         x => x("piece"))).as(idsCol))
-  }
 }

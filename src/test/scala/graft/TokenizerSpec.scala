@@ -333,6 +333,20 @@ class TokenizerSpec extends SparkSpec {
     }
     val sliceSum = ts.packed.agg(sum(col("slice_len"))).head().getLong(0)
     assert(sliceSum === sel.map(_._3).sum, "pipeline token conservation broke")
+
+    // PAYLOAD: materialize the pipeline's OWN slice map (no re-pack)
+    // with the matching id streams — size(ids) == counter per doc by
+    // construction, the materializeSlices precondition. Every
+    // sequence but the last must be exactly seqLen, and the total ids
+    // must equal the budgeted token mass.
+    val idsDf = docs.select(col("doc_id"),
+      Tokenizer.tokenIds(spark, vocab, col("text")).as("token_ids"))
+    val rows = Packing.materializeSlices(ts.packed, idsDf)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1)
+    assert(rows.map(_._2.length.toLong).sum === sliceSum,
+      "materialized payload lost or duplicated ids")
+    rows.dropRight(1).foreach { case (sid, ids) =>
+      assert(ids.length === 64, s"sequence $sid not full") }
     graft.operators.Materialized.free(ts.selected)
     graft.operators.Materialized.free(ts.packed)
   }
