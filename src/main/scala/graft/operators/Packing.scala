@@ -166,10 +166,24 @@ object Packing {
     * ships only the tokens each sequence actually uses. Keep the
     * slice-map form for anything that doesn't need the raw ids (stats,
     * budgets, audits); materialize once, at the end, into the training
-    * sink. */
+    * sink.
+    *
+    * Cost note (review finding, round 11): `idsCol`'s expression
+    * evaluates TWICE over the corpus — once inside packSequences'
+    * checkpointed sizing pass (only `size()` survives it) and once in
+    * the payload join. For a cheap ids column that is the right trade
+    * (pure CPU, no extra shuffle, no payload-sized checkpoint); for an
+    * expensive tokenizer on a huge corpus, materialize the ids
+    * yourself (checkpoint/write) and compose [[packSequences]] +
+    * [[materializeSlices]] directly — the seam exists for exactly
+    * that. */
   def packTokenIds(docs: DataFrame, seqLen: Long,
                    idsCol: String = "token_ids", idCol: String = "doc_id",
                    nParts: Int = 0, reliable: Boolean = false): DataFrame = {
+    // Same bound the streaming twin asserts: a materialized sequence is
+    // ONE Spark array, and arrays are int-indexed.
+    require(seqLen > 0 && seqLen <= Int.MaxValue,
+      "a materialized sequence must be array-sized (0 < seqLen <= Int.MaxValue)")
     val ids = docs.select(col(idCol), col(idsCol))
     val sized = ids.select(col(idCol),
       size(col(idsCol)).cast("long").as("n_tokens"))
@@ -179,24 +193,46 @@ object Packing {
 
   /** The slice-map → payload step by itself: join ANY packed slice map
     * — [[packSequences]]' output, or [[graft.operators.TrainingData
-    * .TrainingSet]]'s `packed` — with the documents' id arrays and
-    * emit `(seq_id, token_ids)`. This is how a pipeline materializes
-    * its training rows without re-packing: the slice map already fixed
+    * .TrainingSet]]'s `packed` (both expose the id as `doc_id`
+    * regardless of the packer's input `idCol`; `idCol` here names the
+    * column in `ids`) — with the documents' id arrays and emit
+    * `(seq_id, token_ids)`. This is how a pipeline materializes its
+    * training rows without re-packing: the slice map already fixed
     * every cut; this step only moves the payload. PRECONDITION (shared
     * with the slice map itself): `ids` must count the same tokens the
     * slice map was budgeted from — i.e. `size(idsCol)` equals the
     * `nCol` the packer saw per doc (true by construction when both
     * come from the same tokenizer column) — a shorter array would
-    * slice out of range and a longer one would silently truncate. */
+    * slice out of range and a longer one would silently truncate.
+    *
+    * A duplicate id in `ids` (e.g. an upstream join that fanned out)
+    * would silently double every affected slice; the final assembly
+    * GUARDS it: `seq_offset` is unique within a sequence by the slice
+    * map's tiling invariant, so a collision there is exactly a
+    * duplicated join row, and the assert fires before a corrupt
+    * training row can leave the operator. The int casts are safe by
+    * construction: `doc_offset < size(ids)` ≤ Int.MaxValue (Spark
+    * arrays are int-indexed) and `slice_len ≤ seqLen`, bounded by the
+    * packer's require. */
   def materializeSlices(slices: DataFrame, ids: DataFrame,
                         idsCol: String = "token_ids",
-                        idCol: String = "doc_id"): DataFrame =
-    slices.join(ids.select(col(idCol), col(idsCol)), Seq(idCol))
+                        idCol: String = "doc_id"): DataFrame = {
+    val pieces = slices
+      .join(ids.select(col(idCol).as("doc_id"), col(idsCol)), Seq("doc_id"))
       .select(col("seq_id"), col("seq_offset"),
         slice(col(idsCol), (col("doc_offset") + 1).cast("int"),
           col("slice_len").cast("int")).as("piece"))
       .groupBy("seq_id")
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("seq_offset"), col("piece")))),
-        x => x("piece"))).as(idsCol))
+      .agg(array_sort(collect_list(
+        struct(col("seq_offset"), col("piece")))).as("ps"))
+    val offs = transform(col("ps"), x => x("seq_offset"))
+    val dupGuard = coalesce(
+      assert_true(size(offs) === size(array_distinct(offs)),
+        lit("materializeSlices: duplicate rows per doc in `ids` (a fanned-out " +
+          "join?) — each id must appear exactly once")).cast("long"),
+      lit(0L))
+    pieces.select(col("seq_id"),
+      when(dupGuard === 0L,
+        flatten(transform(col("ps"), x => x("piece")))).as(idsCol))
+  }
 }

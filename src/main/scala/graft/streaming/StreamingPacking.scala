@@ -92,7 +92,17 @@ object StreamingPacking {
     * exactly like a production shard writer holding its open file.
     * Same ordering contract and duplicate-id guard as [[packStream]];
     * fed in id order on one shard, the emitted rows equal the batch
-    * materializer's all-but-last sequences row-for-row (StreamingSpec). */
+    * materializer's all-but-last sequences row-for-row (StreamingSpec).
+    *
+    * Memory shape (review finding, round 11): the seqLen-bounded
+    * guarantee is about cross-batch STATE; within a microbatch one
+    * task holds its shard's whole batch payload (the id-sorted input
+    * plus the emitted rows — in-batch doc_id ordering forces the
+    * sort's materialization, so this is inherent to the ordering
+    * contract, not an implementation slip). Size microbatches
+    * accordingly on catch-up (maxOffsetsPerTrigger &c.) — the same
+    * discipline any sorted-within-batch stateful op needs; packStream
+    * never had the concern only because its rows are three longs. */
   def packIdsStream(docs: DataFrame, seqLen: Long): Dataset[IdsOut] = {
     require(seqLen > 0, "seqLen must be positive")
     require(seqLen <= Int.MaxValue, "a materialized sequence must be array-sized")

@@ -143,6 +143,35 @@ class PackingSpec extends SparkSpec {
       2L -> Seq(20L, 21L, 22L, 23L)))
   }
 
+  test("materializeSlices: duplicate ids rows fail loudly; non-default idCol works") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, Seq(0L, 1L, 2L)),
+      (1L, Seq(10L, 11L, 12L, 13L, 14L)))
+    // Non-default idCol: the slice map always exposes doc_id; idCol
+    // names the ids-side column (was an AnalysisException before the
+    // round-11 review fix).
+    val renamed = docs.toDF("my_id", "token_ids")
+    val ok = Packing.packTokenIds(renamed, seqLen = 4, idCol = "my_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(ok === Map(0L -> Seq(0L, 1L, 2L, 10L), 1L -> Seq(11L, 12L, 13L, 14L)))
+    // Fan-out hazard: an ids frame carrying one doc twice must throw
+    // the guard's message, never emit a double-packed training row.
+    val slices = Packing.packSequences(
+      docs.toDF("doc_id", "token_ids")
+        .select(col("doc_id"), size(col("token_ids")).cast("long").as("n_tokens")),
+      seqLen = 4)
+    val fanned = (docs ++ Seq((1L, Seq(10L, 11L, 12L, 13L, 14L))))
+      .toDF("doc_id", "token_ids")
+    val ex = intercept[Throwable] {
+      Packing.materializeSlices(slices, fanned).collect()
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("duplicate rows per doc"),
+      s"expected the loud fan-out guard, got: $msgs")
+  }
+
   test("packTokenIds: the materialized payload IS the doc-order stream (real corpus)") {
     // End-to-end over the documents table with real vocab_tokenize ids:
     // flattening the sequences in seq_id order must reproduce the
