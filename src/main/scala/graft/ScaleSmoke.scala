@@ -276,6 +276,12 @@ object ScaleSmoke {
     // structs, linear in `copies`; the df-ranking side is
     // vocabulary-sized and must stay invisible here.
     run("q74_boilerplate") { SparkEntry.queries("q74_boilerplate_scrub")(spark, out) }
+    // Packed payload (round 11): tokenize → slice map → materialized
+    // training rows. The payload crosses the doc-keyed join and the
+    // seq_id rebuild — expect shuffle write ≈ 2× the id-stream bytes,
+    // linear in `copies`; the tokenizer runs twice by packTokenIds'
+    // documented trade.
+    run("q75_packed_ids") { SparkEntry.queries("q75_packed_token_ids")(spark, out) }
     // End-to-end training pipeline (round 10): quality → exact dedup →
     // mass-routed near-dup → decontam (fixed 500-doc benchmark slice)
     // → budget mixture → packing, composed in one call. The budget

@@ -213,26 +213,43 @@ object Packing {
     * training row can leave the operator. The int casts are safe by
     * construction: `doc_offset < size(ids)` ≤ Int.MaxValue (Spark
     * arrays are int-indexed) and `slice_len ≤ seqLen`, bounded by the
-    * packer's require. */
+    * packer's require.
+    *
+    * `boundaries = true` adds `doc_spans`: one `(start, len, doc_id)`
+    * struct per document slice in sequence order — the block-diagonal
+    * attention-mask recipe (tokens attend within their own document)
+    * and the packed-position → source-doc map, at no extra shuffle
+    * (the structs ride the same aggregation). */
   def materializeSlices(slices: DataFrame, ids: DataFrame,
                         idsCol: String = "token_ids",
-                        idCol: String = "doc_id"): DataFrame = {
+                        idCol: String = "doc_id",
+                        boundaries: Boolean = false): DataFrame = {
     val pieces = slices
       .join(ids.select(col(idCol).as("doc_id"), col(idsCol)), Seq("doc_id"))
-      .select(col("seq_id"), col("seq_offset"),
+      .select(col("seq_id"), col("seq_offset"), col("doc_id"),
         slice(col(idsCol), (col("doc_offset") + 1).cast("int"),
           col("slice_len").cast("int")).as("piece"))
       .groupBy("seq_id")
       .agg(array_sort(collect_list(
-        struct(col("seq_offset"), col("piece")))).as("ps"))
+        struct(col("seq_offset"), col("doc_id"), col("piece")))).as("ps"))
     val offs = transform(col("ps"), x => x("seq_offset"))
     val dupGuard = coalesce(
       assert_true(size(offs) === size(array_distinct(offs)),
         lit("materializeSlices: duplicate rows per doc in `ids` (a fanned-out " +
           "join?) — each id must appear exactly once")).cast("long"),
       lit(0L))
-    pieces.select(col("seq_id"),
-      when(dupGuard === 0L,
-        flatten(transform(col("ps"), x => x("piece")))).as(idsCol))
+    val payload = when(dupGuard === 0L,
+      flatten(transform(col("ps"), x => x("piece")))).as(idsCol)
+    if (!boundaries) pieces.select(col("seq_id"), payload)
+    else pieces.select(col("seq_id"), payload,
+      // One struct per document slice, in sequence order — exactly the
+      // information a loader needs to build a block-diagonal attention
+      // mask (tokens attend within their own document) and to map a
+      // packed position back to its source doc. start/len in tokens
+      // within the sequence; start == the slice map's seq_offset.
+      transform(col("ps"), x => struct(
+        x("seq_offset").as("start"),
+        size(x("piece")).cast("long").as("len"),
+        x("doc_id").as("doc_id"))).as("doc_spans"))
   }
 }

@@ -172,6 +172,40 @@ class PackingSpec extends SparkSpec {
       s"expected the loud fan-out guard, got: $msgs")
   }
 
+  test("materializeSlices boundaries: doc_spans tile each sequence in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, Seq(0L, 1L, 2L)),
+      (1L, Seq(10L, 11L, 12L, 13L, 14L)),
+      (2L, Seq(20L, 21L, 22L, 23L))).toDF("doc_id", "token_ids")
+    val slices = Packing.packSequences(
+      docs.select(col("doc_id"), size(col("token_ids")).cast("long").as("n_tokens")),
+      seqLen = 4)
+    val rows = Packing.materializeSlices(slices, docs, boundaries = true)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1),
+        r.getSeq[org.apache.spark.sql.Row](2).map(s =>
+          (s.getLong(0), s.getLong(1), s.getLong(2)))))
+      .sortBy(_._1)
+    // seq 0 = doc0 (3 ids) + doc1's first id; seq 1 = doc1's rest;
+    // seq 2 = doc2. Spans tile [0, len) contiguously in order.
+    assert(rows.map(t => (t._1, t._3)).toSeq === Seq(
+      (0L, Seq((0L, 3L, 0L), (3L, 1L, 1L))),
+      (1L, Seq((0L, 4L, 1L))),
+      (2L, Seq((0L, 4L, 2L)))))
+    rows.foreach { case (sid, ids, spans) =>
+      assert(spans.map(_._2).sum === ids.length, s"seq $sid spans don't cover it")
+      spans.foldLeft(0L) { case (expect, (start, len, _)) =>
+        assert(start === expect, s"seq $sid spans not contiguous"); start + len
+      }
+      // Each span's tokens are the doc's own ids (per the fixtures'
+      // value encoding: doc d's ids are 10*d + position).
+      spans.foreach { case (start, len, d) =>
+        ids.slice(start.toInt, (start + len).toInt).foreach(v =>
+          assert(v / 10 === d, s"seq $sid: token $v inside doc-$d span"))
+      }
+    }
+  }
+
   test("packTokenIds: the materialized payload IS the doc-order stream (real corpus)") {
     // End-to-end over the documents table with real vocab_tokenize ids:
     // flattening the sequences in seq_id order must reproduce the
