@@ -266,16 +266,34 @@ object ScaleSmoke {
     // cost is one narrow shuffle of (id, token-count) pairs — wall
     // should stay near-flat across `copies` and the slice count linear.
     run("pack_sequences") { SparkEntry.queries("q67_pack_sequences")(spark, out) }
+    // run() times df.count(), and a count PRUNES whatever it doesn't
+    // need: narrow per-row projections collapse to a footer-count scan
+    // and unreferenced aggregate expressions (q74's collect_list
+    // rebuild) are dropped — the first q73/q74 smoke cut measured the
+    // count machinery, not the operator (caught because q73's wall was
+    // flat 10×→100×, physically impossible for real work). Force every
+    // output column through a hash the count depends on.
+    def hashed(df: DataFrame): DataFrame = {
+      // Mask to 31 bits before summing: raw 64-bit hashes overflow the
+      // Long sum under ANSI within a few thousand rows.
+      val h = xxhash64(df.columns.map(col): _*).bitwiseAND(lit(0x7FFFFFFFL))
+      df.select(h.as("h")).agg(sum(col("h")).as("s"))
+        .filter(col("s") =!= 0L || col("s").isNull)
+    }
     // Repetition signals (round 11): shuffle-free by construction (the
-    // plan pin proves no exchange but the orderBy) — shuffleWriteMB
-    // here is ~rows × 40 B of final-sort rows, wall linear in corpus.
-    run("q73_repetition") { SparkEntry.queries("q73_repetition_stats")(spark, out) }
+    // plan pin proves no exchange but the orderBy); wall = the per-doc
+    // tokenize + sort-fold passes, linear in corpus bytes.
+    run("q73_repetition") {
+      hashed(SparkEntry.queries("q73_repetition_stats")(spark, out))
+    }
     // Boilerplate scrub (round 11): the one exchange that carries TEXT
     // (the doc_id rebuild — inherent to a corpus-statistic rewrite).
     // Expect shuffleWriteMB ≈ the corpus's token bytes + per-token pos
     // structs, linear in `copies`; the df-ranking side is
     // vocabulary-sized and must stay invisible here.
-    run("q74_boilerplate") { SparkEntry.queries("q74_boilerplate_scrub")(spark, out) }
+    run("q74_boilerplate") {
+      hashed(SparkEntry.queries("q74_boilerplate_scrub")(spark, out))
+    }
     // Packed payload (round 11): tokenize → slice map → materialized
     // training rows. The payload crosses the doc-keyed join and the
     // seq_id rebuild — expect shuffle write ≈ 2× the id-stream bytes,
