@@ -275,10 +275,16 @@ object ScaleSmoke {
     // output column through a hash the count depends on.
     def hashed(df: DataFrame): DataFrame = {
       // Mask to 31 bits before summing: raw 64-bit hashes overflow the
-      // Long sum under ANSI within a few thousand rows.
+      // Long sum under ANSI within a few thousand rows. Aggregate BOTH
+      // the hash sum (pins every column against pruning) and count(*)
+      // — the count is what run() reports as rows, so an empty-result
+      // regression still shows rows=0 instead of hiding behind the
+      // one-row aggregate.
       val h = xxhash64(df.columns.map(col): _*).bitwiseAND(lit(0x7FFFFFFFL))
-      df.select(h.as("h")).agg(sum(col("h")).as("s"))
+      df.select(h.as("h"))
+        .agg(sum(col("h")).as("s"), count(lit(1)).as("n"))
         .filter(col("s") =!= 0L || col("s").isNull)
+        .select(explode(array_repeat(lit(1), col("n").cast("int"))))
     }
     // Repetition signals (round 11): shuffle-free by construction (the
     // plan pin proves no exchange but the orderBy); wall = the per-doc
@@ -295,10 +301,12 @@ object ScaleSmoke {
       hashed(SparkEntry.queries("q74_boilerplate_scrub")(spark, out))
     }
     // Packed payload (round 11): tokenize → slice map → materialized
-    // training rows. The payload crosses the doc-keyed join and the
-    // seq_id rebuild — expect shuffle write ≈ 2× the id-stream bytes,
-    // linear in `copies`; the tokenizer runs twice by packTokenIds'
-    // documented trade.
+    // training rows. The payload crosses AT MOST the doc-keyed join
+    // and the seq_id rebuild; which crossings run is regime-dependent
+    // (measured, COVERAGE q75 decade): below AQE's broadcast threshold
+    // the slice map broadcasts and the ids cross once (~2.9 B/token at
+    // 10×/30×); past it the join goes sort-merge and they cross twice.
+    // The tokenizer runs twice by packTokenIds' documented trade.
     run("q75_packed_ids") { SparkEntry.queries("q75_packed_token_ids")(spark, out) }
     // End-to-end training pipeline (round 10): quality → exact dedup →
     // mass-routed near-dup → decontam (fixed 500-doc benchmark slice)

@@ -157,13 +157,16 @@ object Packing {
     *
     * Scale shape: the slice map itself still moves no payload (see
     * [[packSequences]]); materialization is where the ids inherently
-    * cross the wire, and they cross exactly twice — once through the
-    * doc-keyed join that pairs each slice row with its document's
-    * array, once through the seq_id exchange that brings a sequence's
-    * pieces together (partial ObjectHashAggregate first, so each map
-    * task pre-merges its pieces). `slice()` on the join side trims the
-    * array BEFORE the reassembly shuffle, so a straddling document
-    * ships only the tokens each sequence actually uses. Keep the
+    * cross the wire — at most twice, and which crossings run is
+    * regime-dependent (measured, COVERAGE.md q75 decade): while the
+    * slice map fits the broadcast threshold the doc-keyed join
+    * broadcasts the SLICES and the payload crosses only the seq_id
+    * reassembly exchange (~1× the id-stream bytes); past it the join
+    * becomes a sort-merge and the payload crosses twice. The seq_id
+    * exchange pre-merges per map task (partial ObjectHashAggregate),
+    * and `slice()` on the join side trims the array BEFORE the
+    * reassembly shuffle, so a straddling document ships only the
+    * tokens each sequence actually uses. Keep the
     * slice-map form for anything that doesn't need the raw ids (stats,
     * budgets, audits); materialize once, at the end, into the training
     * sink.
@@ -224,14 +227,21 @@ object Packing {
                         idsCol: String = "token_ids",
                         idCol: String = "doc_id",
                         boundaries: Boolean = false): DataFrame = {
+    // doc_id rides the reassembly struct ONLY when doc_spans asked for
+    // it — the default payload path ships just (seq_offset, piece)
+    // through the seq_id exchange. seq_offset is unique per sequence by
+    // the tiling invariant, so array_sort orders identically either way.
+    val pieceStruct =
+      if (boundaries) struct(col("seq_offset"), col("doc_id"), col("piece"))
+      else struct(col("seq_offset"), col("piece"))
     val pieces = slices
       .join(ids.select(col(idCol).as("doc_id"), col(idsCol)), Seq("doc_id"))
-      .select(col("seq_id"), col("seq_offset"), col("doc_id"),
+      .select(col("seq_id"),
         slice(col(idsCol), (col("doc_offset") + 1).cast("int"),
-          col("slice_len").cast("int")).as("piece"))
+          col("slice_len").cast("int")).as("piece"),
+        col("seq_offset"), col("doc_id"))
       .groupBy("seq_id")
-      .agg(array_sort(collect_list(
-        struct(col("seq_offset"), col("doc_id"), col("piece")))).as("ps"))
+      .agg(array_sort(collect_list(pieceStruct)).as("ps"))
     val offs = transform(col("ps"), x => x("seq_offset"))
     val dupGuard = coalesce(
       assert_true(size(offs) === size(array_distinct(offs)),
@@ -247,9 +257,13 @@ object Packing {
       // mask (tokens attend within their own document) and to map a
       // packed position back to its source doc. start/len in tokens
       // within the sequence; start == the slice map's seq_offset.
-      transform(col("ps"), x => struct(
-        x("seq_offset").as("start"),
-        size(x("piece")).cast("long").as("len"),
-        x("doc_id").as("doc_id"))).as("doc_spans"))
+      // Folded through the same dupGuard as the payload: a consumer
+      // that prunes token_ids and reads only doc_spans must still trip
+      // the fan-out assert, not receive overlapping spans.
+      when(dupGuard === 0L,
+        transform(col("ps"), x => struct(
+          x("seq_offset").as("start"),
+          size(x("piece")).cast("long").as("len"),
+          x("doc_id").as("doc_id")))).as("doc_spans"))
   }
 }

@@ -170,6 +170,18 @@ class PackingSpec extends SparkSpec {
       .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
     assert(msgs.contains("duplicate rows per doc"),
       s"expected the loud fan-out guard, got: $msgs")
+    // Pruning hazard (round-11 review): a consumer that drops the
+    // payload column and reads ONLY doc_spans must still trip the
+    // guard — before the fix, column pruning discarded the one column
+    // carrying the assert and the spans came back silently overlapped.
+    val ex2 = intercept[Throwable] {
+      Packing.materializeSlices(slices, fanned, boundaries = true)
+        .select("seq_id", "doc_spans").collect()
+    }
+    val msgs2 = Iterator.iterate(ex2)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs2.contains("duplicate rows per doc"),
+      s"expected the guard on the pruned doc_spans path, got: $msgs2")
   }
 
   test("materializeSlices boundaries: doc_spans tile each sequence in order") {
