@@ -308,6 +308,17 @@ object ScaleSmoke {
     // 10×/30×); past it the join goes sort-merge and they cross twice.
     // The tokenizer runs twice by packTokenIds' documented trade.
     run("q75_packed_ids") { SparkEntry.queries("q75_packed_token_ids")(spark, out) }
+    // Substring-level window dedup (round 11): the window stream is
+    // (doc_id, start, h) tuples — expect the dedup exchanges linear in
+    // corpus tokens and NO text bytes in them; q77 adds the rebuild
+    // join (broadcast while the shadowed-starts side is small). The
+    // planted families make the shadowed mass linear in `copies`.
+    run("q76_window_stats") {
+      hashed(SparkEntry.queries("q76_window_stats")(spark, out))
+    }
+    run("q77_window_scrub") {
+      hashed(SparkEntry.queries("q77_window_scrub")(spark, out))
+    }
     // End-to-end training pipeline (round 10): quality → exact dedup →
     // mass-routed near-dup → decontam (fixed 500-doc benchmark slice)
     // → budget mixture → packing, composed in one call. The budget

@@ -98,7 +98,9 @@ object SparkEntry {
     "q72_vocab_token_ids"     -> Extended.q72VocabTokenIds _,
     "q73_repetition_stats"    -> Extended.q73RepetitionStats _,
     "q74_boilerplate_scrub"   -> Extended.q74BoilerplateScrub _,
-    "q75_packed_token_ids"    -> Extended.q75PackedTokenIds _
+    "q75_packed_token_ids"    -> Extended.q75PackedTokenIds _,
+    "q76_window_stats"        -> Extended.q76WindowStats _,
+    "q77_window_scrub"        -> Extended.q77WindowScrub _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

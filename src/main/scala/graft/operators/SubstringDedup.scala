@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Substring-level (window-hash) deduplication — the dedup granularity
+  * the document-level family (exact / MinHash / SimHash / semantic)
+  * cannot express: two documents that are globally dissimilar may still
+  * share a long verbatim run (a quoted paragraph, boilerplate headers,
+  * licence text), and training on the repeat measurably hurts the model
+  * ("Deduplicating Training Data Makes Language Models Better", Lee et
+  * al. 2022 — their suffix-array ExactSubstr). The scalable relational
+  * form of that idea: slide a k-token window over every document, hash
+  * each window, and group the hashes — a window whose content occurs
+  * anywhere else in the corpus is a duplicated substring, and every
+  * occurrence AFTER the first (stream order: ascending (doc_id, start))
+  * is removable. A suffix array finds variable-length repeats on one
+  * machine; the fixed-k window grid is the shuffle-friendly equivalent
+  * (any duplicated run of >= k tokens contains a duplicated k-window,
+  * so recall for >= k-token repeats is total; runs shorter than k are
+  * deliberately below the radar — that is the knob's meaning).
+  *
+  * Scale shape, the point of the design: document TEXT never enters the
+  * dedup exchanges. The window stream is (doc_id, start, h) — with the
+  * default 64-bit hash, 20 bytes per window — grouped/joined on `h`
+  * alone; the corpus-wide ownership pass is one partial-aggregated
+  * groupBy (map-side combine collapses same-partition repeats first).
+  * Window count = token count − (k−1) per document, so every stage is
+  * linear in corpus tokens. The one place text CAN move is [[scrub]]'s
+  * final rebuild join, and only when the shadowed-starts side outgrows
+  * the broadcast threshold (same inherent-rewrite trade as the
+  * boilerplate scrub, ops/Extended q74 — a rewrite has to deliver the
+  * text somewhere); stats never move text at all.
+  *
+  * Key strategy, the q47/q59 twin convention: `md5Keys = false`
+  * (default) hashes windows with xxhash64 — 8-byte keys on the wire,
+  * the production form, no SQL twin. `md5Keys = true` hashes with md5 —
+  * bit-identical hex in Spark and DuckDB, so the declared queries
+  * (q76/q77, ops/Extended) are full value oracles; the two variants are
+  * proven output-equal on a real corpus in SubstringDedupSpec. A hash
+  * collision would merge two distinct windows (under-count uniques);
+  * with 64-bit keys the expected collision count stays < 1 up to ~10^9
+  * windows per corpus — and the md5 declared form narrows that to 128
+  * bits. Both stats and scrub are pure functions of (corpus, k):
+  * partition-layout- and engine-invariant, the Sampling.scala
+  * reproducibility bar.
+  */
+object SubstringDedup {
+
+  private def toks(textCol: String): Column =
+    filter(split(trim(coalesce(col(textCol), lit(""))), "\\s+"), w => w =!= "")
+
+  private def hashOf(c: Column, md5Keys: Boolean): Column =
+    if (md5Keys) md5(c) else xxhash64(c)
+
+  /** The window-hash stream: one row per k-token window start,
+    * `(doc_id, start, h)` — start is the 0-based token position of the
+    * window's first token in the whitespace-token stream of the doc.
+    * Documents shorter than k tokens emit nothing. The hash array is
+    * built scan-side in one array expression (slice + array_join per
+    * start — O(k · tokens) character work, no shuffle); the space
+    * re-join is collision-free because whitespace cannot occur inside
+    * a token. */
+  def windowHashes(docs: DataFrame, k: Int,
+                   textCol: String = "text", idCol: String = "doc_id",
+                   md5Keys: Boolean = false): DataFrame = {
+    require(k > 0, "window length k must be positive")
+    val ws = toks(textCol)
+    // sequence(0, size-k) would run DESCENDING for size < k (Spark
+    // fills start > stop with step -1) — guard short docs to an
+    // explicit empty array instead.
+    val starts = when(size(col("ws")) >= k,
+      sequence(lit(0), size(col("ws")) - lit(k))).otherwise(array().cast("array<int>"))
+    docs
+      .select(col(idCol).as("doc_id"), ws.as("ws"))
+      .select(col("doc_id"),
+        explode(transform(starts, i =>
+          struct(i.as("start"),
+            hashOf(array_join(slice(col("ws"), i + 1, lit(k)), " "), md5Keys)
+              .as("h")))).as("w"))
+      .select(col("doc_id"), col("w.start").as("start"), col("w.h").as("h"))
+  }
+
+  /** Per-document window-duplication profile — the filter-stage signal
+    * (how much of this document is verbatim-repeated elsewhere?):
+    *   - n_windows      — k-token window starts in the doc (0 if < k tokens)
+    *   - n_dup_windows  — windows whose content occurs more than once
+    *                      anywhere in the corpus (including this doc)
+    *   - n_shadowed     — windows with an EARLIER occurrence in
+    *                      (doc_id, start) stream order — exactly the
+    *                      instances [[scrub]] removes, so
+    *                      n_shadowed = 0 ⟺ scrub keeps the doc intact
+    *   - dup_window_frac — n_dup_windows / n_windows, 4-dp rounded
+    * Every document appears in the output (zero-window docs carry
+    * zeros) — the q70/q73 LEFT-JOIN convention. */
+  def windowStats(docs: DataFrame, k: Int,
+                  textCol: String = "text", idCol: String = "doc_id",
+                  md5Keys: Boolean = false): DataFrame = {
+    val wins = windowHashes(docs, k, textCol, idCol, md5Keys)
+    val inst = markInstances(wins)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_windows"),
+        sum(when(col("shad"), 1L).otherwise(0L)).as("n_shadowed"))
+    docs.select(col(idCol).as("doc_id")).join(inst, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_shadowed"), lit(0L)).as("n_shadowed"))
+      .withColumn("dup_window_frac",
+        graft.ops.Determinism.dround(
+          col("n_dup_windows").cast("double") /
+            greatest(col("n_windows"), lit(1L)).cast("double"), 4))
+  }
+
+  /** Instance marks: each window row joined with its hash group's
+    * occurrence count and owner. `dup` = content occurs > 1 time in the
+    * corpus; `shad` = a strictly earlier (doc_id, start) instance of
+    * the same content exists (the struct min is the global keep-first
+    * owner — q33's convention lifted to substrings). The group side is
+    * distinct-window-sized — NOT broadcastable at scale — so this is a
+    * plain equi-join on the hash key, 8 bytes wide in the production
+    * form. */
+  private def markInstances(wins: DataFrame): DataFrame = {
+    val grp = wins.groupBy("h")
+      .agg(count(lit(1)).as("n_inst"),
+        min(struct(col("doc_id"), col("start"))).as("own"))
+    wins.join(grp, Seq("h"))
+      .select(col("doc_id"), col("start"),
+        (col("n_inst") > 1L).as("dup"),
+        (struct(col("doc_id"), col("start")) =!= col("own")).as("shad"))
+  }
+
+  /** Remove duplicated substrings, keep-first: every shadowed window's
+    * k tokens are cut from the document (overlapping shadowed windows
+    * union into one covered region), the kept tokens re-join with
+    * single spaces, in order. Output one row per input document:
+    * `(doc_id, n_removed, kept_text)` — a doc with no shadowed windows
+    * passes through with n_removed = 0; a fully-covered doc keeps its
+    * row with kept_text = '' (q74's never-drop-a-doc convention).
+    *
+    * The rebuild is array arithmetic, not a positions join: shadowed
+    * starts aggregate to one sorted int array per affected doc, the
+    * covered position set is flatten(sequence(s, s+k−1)) ∪-deduped, and
+    * the kept positions are `array_except(0..n−1, covered)` — hash-
+    * based, O(tokens), order-preserving — indexed back into the token
+    * array. So the only thing that crosses the wire before the final
+    * join is (doc_id, start) pairs; the join back to the corpus
+    * broadcasts while the affected-doc side is small and degrades to
+    * one text-bearing shuffle only when it is not (the inherent
+    * rewrite cost, exactly q74's). */
+  def scrub(docs: DataFrame, k: Int,
+            textCol: String = "text", idCol: String = "doc_id",
+            md5Keys: Boolean = false): DataFrame = {
+    val wins = windowHashes(docs, k, textCol, idCol, md5Keys)
+    val starts = markInstances(wins).filter(col("shad"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("start"))).as("starts"))
+    val covered = array_distinct(flatten(transform(col("starts"), s =>
+      sequence(s, s + lit(k - 1)))))
+    val allPos = when(size(col("ws")) > 0,
+      sequence(lit(0), size(col("ws")) - 1)).otherwise(array().cast("array<int>"))
+    docs.select(col(idCol).as("doc_id"), toks(textCol).as("ws"))
+      .join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ws"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .select(col("doc_id"), col("ws"),
+        array_except(allPos, covered).as("kept_pos"))
+      .select(col("doc_id"),
+        (size(col("ws")) - size(col("kept_pos"))).cast("long").as("n_removed"),
+        array_join(transform(col("kept_pos"), i =>
+          element_at(col("ws"), i + 1)), " ").as("kept_text"))
+  }
+}

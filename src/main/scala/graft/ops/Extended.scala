@@ -693,4 +693,46 @@ object Extended {
       pairPred =
         bit_count(col("pbkt").bitwiseXOR(col("nbkt")).cast("long")) <= 3)
   }
+
+  /** Window length for q76/q77 — 8 tokens: long enough that chance
+    * collisions in a 31-word vocabulary are structurally absent (the
+    * testdata's duplicated 8-windows all come from its planted near-dup
+    * families: 1015 of 22579 distinct windows at sf0.01), short enough
+    * that the planted shared runs exceed it. Any duplicated run of
+    * >= 8 tokens contains a duplicated 8-window, so recall at that run
+    * length is total. */
+  private val Q76WindowK = 8
+
+  /** q76: substring-level duplication profile — the per-document
+    * window-hash dedup signal ([[graft.operators.SubstringDedup
+    * .windowStats]], Lee et al. 2022's ExactSubstr in its relational
+    * form): how many of the doc's 8-token windows occur elsewhere in
+    * the corpus, and how many are shadowed by an earlier occurrence
+    * (= exactly what q77 removes). The declared form uses md5 window
+    * keys — bit-identical hex in Spark and DuckDB, the q47/q59 twin
+    * convention — while the oracle groups the raw window STRINGS: the
+    * equality classes are the same modulo md5 collisions, so counts
+    * cannot differ. The xxhash64 production variant (8-byte keys on
+    * the dedup exchange) is proven output-equal in SubstringDedupSpec.
+    * Scale shape: text never crosses an exchange — the window stream
+    * is (doc_id, start, h) tuples, linear in corpus tokens. */
+  def q76WindowStats(s: SparkSession, d: String): DataFrame =
+    graft.operators.SubstringDedup
+      .windowStats(documents(s, d), Q76WindowK, md5Keys = true)
+      .orderBy("doc_id")
+
+  /** q77: substring-level scrub — rewrite every document with its
+    * shadowed 8-token windows removed ([[graft.operators.SubstringDedup
+    * .scrub]]): keep-first in (doc_id, start) stream order, overlapping
+    * shadowed windows union into one covered region, kept tokens
+    * re-join with single spaces. One row per document always —
+    * untouched docs pass through with n_removed = 0, fully-covered
+    * docs keep their row with kept_text = '' (q74's never-drop-a-doc
+    * convention). This and q74 are the two text-REWRITING declared
+    * queries; q74 cuts corpus-frequent single words, q77 cuts verbatim
+    * repeated runs — complementary boilerplate axes. */
+  def q77WindowScrub(s: SparkSession, d: String): DataFrame =
+    graft.operators.SubstringDedup
+      .scrub(documents(s, d), Q76WindowK, md5Keys = true)
+      .orderBy("doc_id")
 }

@@ -45,6 +45,36 @@ object Oracle {
       |    ON ml.doc_id = wk.doc_id AND ml.wi = wk.wi AND ml.pos = wk.pos)""".stripMargin
   }
 
+  /** The q76/q77 window-hash chain as a shared CTE prefix: filtered
+    * whitespace words → per-doc token list rebuilt from them (so window
+    * positions index the SAME filtered stream Spark's array does) →
+    * 8-token windows with 1-based starts → per-instance marks (corpus
+    * occurrence count, keep-first rank over (doc_id, s)). Ends at
+    * `winmarks`; consumers append their aggregates. Plain (non-
+    * interpolated) string: escape processing is NOT applied, so the
+    * whitespace class is written single-backslashed (q73's envelope
+    * note). */
+  private val windowCtes: String =
+    """WITH base AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text),
+      |    '[ \t\n\x0B\f\r]+') AS arr
+      |  FROM documents),
+      | words AS (
+      |  SELECT doc_id, wi, arr[wi] AS w
+      |  FROM base, unnest(range(1, len(arr) + 1)) AS t(wi)
+      |  WHERE arr[wi] <> ''),
+      | fdoc AS (
+      |  SELECT doc_id, list(w ORDER BY wi) AS fa FROM words GROUP BY doc_id),
+      | wins AS (
+      |  SELECT doc_id, u.s AS s, array_to_string(fa[u.s:u.s+7], ' ') AS w8
+      |  FROM fdoc, unnest(range(1, len(fa) - 6)) AS u(s)
+      |  WHERE len(fa) >= 8),
+      | winmarks AS (
+      |  SELECT doc_id, s,
+      |    count(*) OVER (PARTITION BY w8) AS n_inst,
+      |    row_number() OVER (PARTITION BY w8 ORDER BY doc_id, s) AS rn
+      |  FROM wins)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, round(l_extendedprice * (1 - l_discount), 2) AS net
@@ -1064,6 +1094,64 @@ object Oracle {
         |  COALESCE(string_agg(CASE WHEN NOT is_bp THEN w END, ' '
         |                      ORDER BY wi), '') AS kept_text
         |FROM marked GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // q76: window-level duplication counts, grouping the raw 8-token
+    // window STRINGS where the Spark side groups their md5 — identical
+    // equality classes, so every count agrees. The token stream is
+    // REBUILT from the filtered words (fdoc) so window positions match
+    // Spark's filtered array exactly (1-based here vs 0-based there —
+    // consistent within each engine, never compared across). count()
+    // OVER and row_number() OVER mirror the operator's hash-group
+    // n_inst / struct-min owner.
+    "q76_window_stats" -> (windowCtes +
+      """,
+        | per AS (
+        |  SELECT doc_id, count(*) AS nw,
+        |    sum(CASE WHEN n_inst > 1 THEN 1 ELSE 0 END) AS ndup,
+        |    sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS nshad
+        |  FROM winmarks GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(p.nw, 0) AS BIGINT) AS n_windows,
+        |  CAST(COALESCE(p.ndup, 0) AS BIGINT) AS n_dup_windows,
+        |  CAST(COALESCE(p.nshad, 0) AS BIGINT) AS n_shadowed,
+        |  floor(COALESCE(p.ndup, 0) / greatest(COALESCE(p.nw, 0), 1)
+        |        * 10000.0 + 0.5) / 10000.0 AS dup_window_frac
+        |FROM documents d
+        |LEFT JOIN per p ON p.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
+
+    // q77: the scrub replay — shadowed starts (rn > 1) cover positions
+    // [s, s+7]; the covered set is the DISTINCT position join (the
+    // relational form of the operator's flatten+array_distinct), the
+    // kept text a NULL-filtered string_agg in position order, and the
+    // domain LEFT JOINs back to every document (untouched docs:
+    // n_removed 0; fully-covered docs: kept_text '').
+    "q77_window_scrub" -> (windowCtes +
+      """,
+        | shad AS (SELECT doc_id, s FROM winmarks WHERE rn > 1),
+        | words2 AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY wi) AS p, w
+        |  FROM words),
+        | cov AS (
+        |  SELECT DISTINCT w2.doc_id, w2.p
+        |  FROM words2 w2 JOIN shad sh
+        |    ON sh.doc_id = w2.doc_id AND w2.p BETWEEN sh.s AND sh.s + 7),
+        | tot AS (SELECT doc_id, count(*) AS n FROM words2 GROUP BY doc_id),
+        | kept AS (
+        |  SELECT w2.doc_id, count(*) AS nk,
+        |    string_agg(w2.w, ' ' ORDER BY w2.p) AS txt
+        |  FROM words2 w2 LEFT JOIN cov
+        |    ON cov.doc_id = w2.doc_id AND cov.p = w2.p
+        |  WHERE cov.p IS NULL
+        |  GROUP BY w2.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(t.n, 0) - COALESCE(kp.nk, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(kp.txt, '') AS kept_text
+        |FROM documents d
+        |LEFT JOIN tot t ON t.doc_id = d.doc_id
+        |LEFT JOIN kept kp ON kp.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin)
   )
 }

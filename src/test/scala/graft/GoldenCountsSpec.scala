@@ -110,7 +110,14 @@ class GoldenCountsSpec extends SparkSpec {
     "q74_boilerplate_scrub" -> 500,
     // q75 (round 11): one row per packed-token position — the payload
     // materializer emits exactly q72's stream, so the counts match.
-    "q75_packed_token_ids" -> 107193
+    "q75_packed_token_ids" -> 107193,
+    // q76/q77 (round 11): one row per document — the substring-level
+    // window-dedup profile and its keep-first scrub, both oracle-
+    // matched (the windows themselves are corpus-derived; the planted
+    // near-dup families give 1015 cross-doc duplicate 8-windows at
+    // sf0.01, so the signal is non-degenerate).
+    "q76_window_stats" -> 500,
+    "q77_window_scrub" -> 500
   )
 
   test("queries/oracleSql keys line up") {
@@ -217,7 +224,11 @@ class GoldenCountsSpec extends SparkSpec {
     "q74_boilerplate_scrub" -> 5000L,
     // q75 mirrors q72's token count by construction; the pin proves the
     // packed stream neither drops nor duplicates a position at scale.
-    "q75_packed_token_ids" -> 1066725L
+    "q75_packed_token_ids" -> 1066725L,
+    // q76/q77 are per-document (5000 at sf0.1); parity-checked against
+    // DuckDB at sf0.001/sf0.01/sf0.1 when declared (round 11).
+    "q76_window_stats" -> 5000L,
+    "q77_window_scrub" -> 5000L
   )
 
   sf01Pins.toSeq.sortBy(_._1).foreach { case (name, rows) =>

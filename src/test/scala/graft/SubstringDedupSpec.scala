@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SubstringDedup
+
+/** Substring-level (window-hash) dedup — crafted-corpus value checks
+  * for every documented edge (overlap merge, within-doc repeats, short
+  * docs, fully-covered docs), plus the production-vs-declared key
+  * equivalence (xxhash64 ≡ md5 outputs on a real corpus). The declared
+  * q76/q77 value semantics are the DuckDB oracle's job; these pin the
+  * OPERATOR's contract directly.
+  */
+class SubstringDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Crafted corpus, k = 3:
+  //  doc 0: a b c d e        — owns windows (abc, bcd, cde)
+  //  doc 1: x y a b c d z    — contains doc-0's run "a b c d" (two
+  //                            shadowed windows: abc@2, bcd@3 → covered
+  //                            positions 2..5, ONE merged region)
+  //  doc 2: a b              — shorter than k: zero windows
+  //  doc 3: c d e            — exactly k tokens, its one window shadowed
+  //                            by doc 0 → fully covered
+  //  doc 4: p q p q p q      — self-repeating: "p q p" occurs at 0 and 2
+  //                            (same doc!), "q p q" at 1 and 3
+  private def corpus = Seq(
+    (0L, "a b c d e"),
+    (1L, "x y a b c d z"),
+    (2L, "a b"),
+    (3L, "c d e"),
+    (4L, "p q p q p q")).toDF("doc_id", "text")
+
+  test("windowStats: dup/shadowed counts per doc, zero-window docs kept") {
+    val got = SubstringDedup.windowStats(corpus, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // doc 0: 3 windows; abc+bcd recur in doc 1, cde in doc 3 → all 3
+    // dup; none shadowed (doc 0 is the first occurrence of each).
+    assert(got(0L) === ((3L, 3L, 0L, 1.0)))
+    // doc 1: 5 windows (xya, yab, abc, bcd, cdz); abc and bcd dup+shadowed.
+    assert(got(1L) === ((5L, 2L, 2L, 0.4)))
+    // doc 2: below k — zero windows, zero fractions.
+    assert(got(2L) === ((0L, 0L, 0L, 0.0)))
+    // doc 3: one window (cde), dup with doc 0 and shadowed by it.
+    assert(got(3L) === ((1L, 1L, 1L, 1.0)))
+    // doc 4: 4 windows (pqp@0, qpq@1, pqp@2, qpq@3) — all dup (each
+    // content occurs twice IN THIS DOC); the later instance of each is
+    // shadowed → 2 shadowed.
+    assert(got(4L) === ((4L, 4L, 2L, 1.0)))
+  }
+
+  test("scrub: keep-first removal, overlap merge, never drops a doc") {
+    val got = SubstringDedup.scrub(corpus, k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // doc 0 owns everything it has — untouched.
+    assert(got(0L) === ((0L, "a b c d e")))
+    // doc 1: shadowed starts 2 and 3 merge into covered positions 2..5
+    // ("a b c d") — the overlap is unioned, not double-counted.
+    assert(got(1L) === ((4L, "x y z")))
+    // doc 2: no windows — untouched.
+    assert(got(2L) === ((0L, "a b")))
+    // doc 3: its only window is shadowed → fully covered, row kept
+    // with empty text (the never-drop-a-doc convention).
+    assert(got(3L) === ((3L, "")))
+    // doc 4: shadowed starts 2 and 3 cover positions 2..5 → "p q" kept.
+    assert(got(4L) === ((4L, "p q")))
+  }
+
+  test("stats/scrub consistency: n_shadowed = 0 iff scrub keeps the doc intact") {
+    val stats = SubstringDedup.windowStats(corpus, k = 3)
+      .select("doc_id", "n_shadowed").as[(Long, Long)].collect().toMap
+    val scrubbed = SubstringDedup.scrub(corpus, k = 3)
+      .select("doc_id", "n_removed").as[(Long, Long)].collect().toMap
+    stats.foreach { case (id, nShad) =>
+      assert((nShad == 0L) === (scrubbed(id) == 0L),
+        s"doc $id: n_shadowed=$nShad but n_removed=${scrubbed(id)}")
+    }
+  }
+
+  test("production xxhash64 keys ≡ declared md5 keys on a real corpus") {
+    val docs = graft.ops.Tables.documents(spark, sf0001)
+    def dump(md5Keys: Boolean) = Seq(
+      SubstringDedup.windowStats(docs, k = 8, md5Keys = md5Keys)
+        .orderBy("doc_id").collect().toSeq,
+      SubstringDedup.scrub(docs, k = 8, md5Keys = md5Keys)
+        .orderBy("doc_id").collect().toSeq)
+    assert(dump(md5Keys = false) === dump(md5Keys = true))
+  }
+
+  test("degenerate inputs: null/empty/whitespace text and k=1") {
+    val weird = Seq((0L, null.asInstanceOf[String]), (1L, ""), (2L, "   "),
+      (3L, "solo"), (4L, "solo")).toDF("doc_id", "text")
+    val stats = SubstringDedup.windowStats(weird, k = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    // null/empty/whitespace docs: zero windows, still present.
+    assert(stats(0L) === ((0L, 0L)) && stats(1L) === ((0L, 0L))
+      && stats(2L) === ((0L, 0L)))
+    // k=1: single-token docs dedup like exact tokens — doc 4 shadowed.
+    assert(stats(3L) === ((1L, 0L)) && stats(4L) === ((1L, 1L)))
+    val scrubbed = SubstringDedup.scrub(weird, k = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(scrubbed(0L) === ((0L, "")) && scrubbed(3L) === ((0L, "solo"))
+      && scrubbed(4L) === ((1L, "")))
+  }
+}
