@@ -235,4 +235,38 @@ object Sampling {
       .select(col("id").as(idCol), col("grp").as(groupCol),
         col("n").as(nCol), col("cum_before"), col("pick_pos"))
   }
+
+  /** Temperature-scaled mixture budgets — the standard multilingual
+    * sampling law (mBERT / XLM-R style): group g gets budget
+    * ∝ count_g^alpha, normalized to `totalBudget` tokens. alpha = 1 is
+    * proportional sampling (the corpus's own mix); alpha → 0 flattens
+    * toward uniform, up-weighting low-resource groups — the knob a
+    * real pretraining mixture turns. Pure driver-side arithmetic over
+    * per-group token counts (one tiny aggregate to obtain; the group
+    * space is small by definition), feeding [[quotaSampleBudgets]].
+    *
+    * Rounding is largest-remainder (Hamilton) apportionment with ties
+    * broken by group name, so the returned budgets sum EXACTLY to
+    * totalBudget and the result is deterministic — no float-order
+    * drift can move a token between groups. A group whose apportioned
+    * budget rounds to zero is OMITTED (quotaSampleBudgets' whitelist
+    * semantics: an absent group contributes nothing), which can only
+    * happen when totalBudget < number of groups × its weight share. */
+  def temperatureBudgets(tokenCounts: Map[String, Long], totalBudget: Long,
+                         alpha: Double): Map[String, Long] = {
+    require(tokenCounts.nonEmpty, "tokenCounts must not be empty")
+    require(tokenCounts.values.forall(_ > 0), "every group count must be positive")
+    require(totalBudget > 0, s"totalBudget $totalBudget must be positive")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha outside (0, 1]")
+    val w = tokenCounts.map { case (g, c) => g -> math.pow(c.toDouble, alpha) }
+    val z = w.values.sum
+    val exact = w.map { case (g, x) => g -> totalBudget * (x / z) }
+    val floors = exact.map { case (g, e) => g -> e.toLong }
+    val remainder = (totalBudget - floors.values.sum).toInt
+    val topUp = exact.toSeq
+      .sortBy { case (g, e) => (-(e - e.toLong), g) }
+      .take(remainder).map(_._1).toSet
+    floors.map { case (g, b) => g -> (if (topUp(g)) b + 1 else b) }
+      .filter(_._2 > 0)
+  }
 }

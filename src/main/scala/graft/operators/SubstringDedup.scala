@@ -120,7 +120,13 @@ object SubstringDedup {
     * owner — q33's convention lifted to substrings). The group side is
     * distinct-window-sized — NOT broadcastable at scale — so this is a
     * plain equi-join on the hash key, 8 bytes wide in the production
-    * form. */
+    * form. Known trade (measured, COVERAGE q76 decade): `min(struct)`
+    * has no hash-aggregate buffer, so this aggregate plans as a
+    * SortAggregate; the scan-side window hashing dominates it at every
+    * measured scale, and the hash-agg alternative (aggregate per
+    * (h, doc_id) first, then min_by per h) costs an EXTRA full
+    * exchange of the window stream — CPU bought with shuffle, not
+    * taken. */
   private def markInstances(wins: DataFrame): DataFrame = {
     val grp = wins.groupBy("h")
       .agg(count(lit(1)).as("n_inst"),

@@ -43,7 +43,10 @@ object TrainingData {
     * is dropped when it contains at least `minBenchContainment` of any
     * single benchmark item's 8-grams — the default drops on ANY shared
     * 8-gram. `budgets` maps each lang to its token budget — groups
-    * absent from the map are excluded (a mixture is a whitelist).
+    * absent from the map are excluded (a mixture is a whitelist);
+    * derive them from measured per-lang counts with
+    * [[Sampling.temperatureBudgets]] when the mixture is a temperature
+    * law rather than hand-picked numbers.
     *
     * `tokenCounter` is the real-tokenizer seam: a Column over the
     * `text` column — typically [[Tokenizer.tokenCount]] over a

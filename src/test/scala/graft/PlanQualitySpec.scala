@@ -322,6 +322,33 @@ class PlanQualitySpec extends SparkSpec {
       s"q74's top-5 selection became a global sort:\n${p.take(600)}")
   }
 
+  test("q76/q77's dedup exchanges carry window hashes, never text") {
+    // SubstringDedup's scale contract: document text stays scan-side —
+    // the ownership groupBy and its joins move (doc_id, start, h)
+    // tuples only. If a refactor ever materialized `text` (or the
+    // token array `ws`) into a shuffle or broadcast, that exchange's
+    // Input list would name it — the 100 TB wire cost would jump from
+    // 20 B/window to the corpus bytes.
+    Seq("q76_window_stats", "q77_window_scrub").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$n degraded to a nested loop:\n${p.take(600)}")
+      val sections = p.split("\\(\\d+\\) ")
+      // Word-bounded: `kept_text#` (q77's REWRITTEN output, which the
+      // presentation sort legitimately carries) must not match.
+      val textAttr = "(?<![A-Za-z0-9_])(text|ws)#".r
+      sections.filter(s => s.startsWith("Exchange") || s.startsWith("BroadcastExchange"))
+        .foreach { e =>
+          assert(textAttr.findFirstIn(e).isEmpty,
+            s"$n ships text through an exchange:\n${e.take(400)}")
+        }
+    }
+    // q77's rebuild join IS allowed to move the token array (the
+    // inherent rewrite delivery) — but only AFTER the dedup stages:
+    // the exchange feeding the ownership aggregate must still be
+    // hash-only, which the blanket assertion above already proves.
+  }
+
   test("whole-stage codegen is active in the scan-heavy queries") {
     // the AQE-final simple plan marks fused codegen stages with "*(n)"
     Seq("q01_scan_filter_project", "q03_agg_pricing", "q38_star_denorm").foreach { n =>

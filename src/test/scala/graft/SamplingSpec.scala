@@ -174,4 +174,48 @@ class SamplingSpec extends SparkSpec {
     val ids = en.map(_.getLong(0)).toSeq
     assert(ids !== ids.sorted, "fill order collapsed to doc_id order")
   }
+
+  test("temperatureBudgets: exact-sum apportionment, alpha semantics") {
+    import graft.operators.Sampling.temperatureBudgets
+    val counts = Map("en" -> 8000L, "de" -> 1000L, "es" -> 800L, "zh" -> 200L)
+    // alpha = 1: proportional to the corpus mix, summing exactly.
+    val p1 = temperatureBudgets(counts, 1000L, 1.0)
+    assert(p1.values.sum === 1000L)
+    assert(p1("en") === 800L && p1("de") === 100L && p1("es") === 80L
+      && p1("zh") === 20L)
+    // alpha < 1 flattens: every low-resource group gains share, the
+    // head loses it, and the sum stays exact.
+    val p3 = temperatureBudgets(counts, 1000L, 0.3)
+    assert(p3.values.sum === 1000L)
+    assert(p3("en") < p1("en") && p3("zh") > p1("zh"))
+    // Monotone flattening across alphas (down-weighting is strictly
+    // stronger at lower temperature exponents for the head group).
+    val alphas = Seq(1.0, 0.7, 0.5, 0.3)
+    val heads = alphas.map(a => temperatureBudgets(counts, 1000L, a)("en"))
+    assert(heads === heads.sorted.reverse, s"head share not monotone: $heads")
+    // Deterministic (no float-order drift) and zero-budget groups drop.
+    assert(temperatureBudgets(counts, 1000L, 0.3)
+      === temperatureBudgets(counts, 1000L, 0.3))
+    val tiny = temperatureBudgets(Map("a" -> 1000000L, "b" -> 1L), 10L, 1.0)
+    assert(tiny === Map("a" -> 10L), s"zero-budget group leaked: $tiny")
+  }
+
+  test("temperatureBudgets composes with quotaSampleBudgets end-to-end") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // 3 langs x 40 docs of 10 tokens: counts 400/400/400 -> alpha has
+    // no skew to flatten (uniform), so each lang's budget is total/3
+    // and the fill takes ceil(budget/10) docs per lang.
+    val docs = (0 until 120).map { i =>
+      (i.toLong, Seq("en", "de", "es")(i % 3), 10L)
+    }.toDF("doc_id", "lang", "n_tokens")
+      .withColumn("rk", org.apache.spark.sql.functions.col("doc_id"))
+    val budgets = Sampling.temperatureBudgets(
+      Map("en" -> 400L, "de" -> 400L, "es" -> 400L), 99L, 0.5)
+    assert(budgets.values.sum === 99L)
+    val picked = Sampling.quotaSampleBudgets(docs, budgets)
+      .collect().groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // 33-token budget straddles the 4th 10-token doc in each lang.
+    assert(picked === Map("en" -> 4, "de" -> 4, "es" -> 4))
+  }
 }
