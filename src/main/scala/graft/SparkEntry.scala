@@ -100,7 +100,9 @@ object SparkEntry {
     "q74_boilerplate_scrub"   -> Extended.q74BoilerplateScrub _,
     "q75_packed_token_ids"    -> Extended.q75PackedTokenIds _,
     "q76_window_stats"        -> Extended.q76WindowStats _,
-    "q77_window_scrub"        -> Extended.q77WindowScrub _
+    "q77_window_scrub"        -> Extended.q77WindowScrub _,
+    "q78_pii_scrub"           -> Extended.q78PiiScrub _,
+    "q79_temperature_mixture" -> Extended.q79TemperatureMixture _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

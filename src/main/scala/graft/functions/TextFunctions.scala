@@ -144,6 +144,37 @@ object TextFunctions {
       "<PHONE>")
   }
 
+  /** The RE2-portable PII family — the declared-twin subset of
+    * [[redactPii]]'s patterns (q78, ops/Extended): every construct here
+    * means the same thing to Java regex (Spark) and RE2 (DuckDB) —
+    * character classes, `(?:…)` groups, bounded repetition, and `\b`
+    * ASCII word boundaries. The production phone pattern's
+    * `(?<!\d)…(?!\d)` digit-run isolation is Java-only lookaround (the
+    * reason q49 is a rows-only query); the portable phone twin uses
+    * `\b` boundaries instead — same verdict on the separated forms
+    * (555-123-4567, 555.123.4567, 555 123 4567), narrower on runs glued
+    * to other word characters. One definition, two engines: the oracle
+    * splices these strings into its SQL literals verbatim (the Q70Vocab
+    * convention), so the engines cannot drift apart. */
+  private[graft] val PiiEmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PiiUrlPattern = "(https?://|www\\.)[^\\s]+"
+  private[graft] val PiiIpv4Pattern = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  private[graft] val PiiPhonePortablePattern = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** [[redactPii]] restricted to the portable family, same placeholder
+    * tokens and the same email → URL → IPv4 → phone order (each stage
+    * sees the previous stage's output, so a URL never leaves a bare
+    * redactable tail and an IPv4's dots can never be re-read as a
+    * phone's separators). All four stages are codegen'd
+    * `regexp_replace` — scan-side, no exchange, the 100 TB shape of
+    * every per-row rewrite here. */
+  def redactPiiPortable(text: Column): Column = {
+    val email = regexp_replace(text, PiiEmailPattern, "<EMAIL>")
+    val url = regexp_replace(email, PiiUrlPattern, "<URL>")
+    val ip = regexp_replace(url, PiiIpv4Pattern, "<IP>")
+    regexp_replace(ip, PiiPhonePortablePattern, "<PHONE>")
+  }
+
   /** SimHash-64 over whitespace tokens: per-token xxhash64, bitwise
     * majority vote — near-identical texts differ in few bits (Hamming
     * distance ≤ 3 is the classic near-dup criterion). */

@@ -252,6 +252,35 @@ object Sampling {
     * budget rounds to zero is OMITTED (quotaSampleBudgets' whitelist
     * semantics: an absent group contributes nothing), which can only
     * happen when totalBudget < number of groups × its weight share. */
+  /** The integer-exact α = 1/2 twin of [[temperatureBudgets]] — the
+    * declared-query form (q79, ops/Extended). Weights are
+    * `floor(sqrt(count))` — IEEE-754 requires sqrt correctly rounded,
+    * so Scala's `math.sqrt` and DuckDB's `sqrt` produce the SAME double
+    * and the same floor — and every later step is pure integer
+    * arithmetic: floor_g = B·w_g div Z, remainder rank by
+    * (B·w_g mod Z, group name). Nothing downstream of the one sqrt can
+    * diverge between engines (no float sum whose ORDER matters, the
+    * hazard [[temperatureBudgets]]' real-valued normalization carries),
+    * which is what makes q79's DuckDB oracle exact by construction —
+    * the q71 integer-coefficient convention applied to mixtures. Same
+    * exact-sum and zero-budget-drop semantics as the general law. */
+  def sqrtBudgets(tokenCounts: Map[String, Long], totalBudget: Long): Map[String, Long] = {
+    require(tokenCounts.nonEmpty, "tokenCounts must not be empty")
+    require(tokenCounts.values.forall(_ > 0), "every group count must be positive")
+    require(totalBudget > 0, s"totalBudget $totalBudget must be positive")
+    val w = tokenCounts.map { case (g, c) => g -> math.sqrt(c.toDouble).toLong }
+    val z = w.values.sum
+    require(z > 0, "all isqrt weights collapsed to zero")
+    require(totalBudget <= Long.MaxValue / z,
+      s"totalBudget $totalBudget x weight sum $z would overflow the exact arithmetic")
+    val floors = w.map { case (g, x) => g -> totalBudget * x / z }
+    val rems = w.map { case (g, x) => g -> totalBudget * x % z }
+    val topUp = rems.toSeq.sortBy { case (g, m) => (-m, g) }
+      .take((totalBudget - floors.values.sum).toInt).map(_._1).toSet
+    floors.map { case (g, b) => g -> (if (topUp(g)) b + 1 else b) }
+      .filter(_._2 > 0)
+  }
+
   def temperatureBudgets(tokenCounts: Map[String, Long], totalBudget: Long,
                          alpha: Double): Map[String, Long] = {
     require(tokenCounts.nonEmpty, "tokenCounts must not be empty")

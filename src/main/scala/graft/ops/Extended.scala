@@ -735,4 +735,80 @@ object Extended {
     graft.operators.SubstringDedup
       .scrub(documents(s, d), Q76WindowK, md5Keys = true)
       .orderBy("doc_id")
+
+  /** q78: PII detection + redaction, value-checked — the declared twin
+    * of the q49 curation pipeline's [[graft.functions.TextFunctions
+    * .redactPii]] stage, which is rows-only because its phone pattern
+    * needs Java lookaround. This query uses the RE2-portable family
+    * ([[graft.functions.TextFunctions.redactPiiPortable]]) so DuckDB
+    * replays every match. The testdata corpus is a synthetic word salad
+    * with no organic PII, so the query derives a deterministic
+    * PII-bearing corpus from it first — residue-class injections
+    * appended per doc_id (an email every 3rd doc, a phone every 4th, an
+    * IPv4 every 5th, a URL every 7th), the same construction rendered
+    * literally in the oracle SQL — and then counts and redacts
+    * SEQUENTIALLY in [[graft.functions.TextFunctions.redactPiiPortable]]'s
+    * order (each type counted on the previous stage's output, the
+    * composition both engines replay step for step). Everything is
+    * scan-side codegen'd regexp work — the only exchange in the plan is
+    * the presentation sort, the right shape for a per-row scrub at
+    * 100 TB. */
+  def q78PiiScrub(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val id = col("doc_id")
+    val aug = concat(col("text"),
+      when(id % 3 === 0, concat(lit(" mail user"), id.cast("string"),
+        lit("@example.com"))).otherwise(lit("")),
+      when(id % 4 === 0, concat(lit(" call 415-555-"),
+        lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit(" host 10."), (id % 256).cast("string"),
+        lit(".0."), (id % 100).cast("string"))).otherwise(lit("")),
+      when(id % 7 === 0, concat(lit(" see https://example.com/p/"),
+        id.cast("string"))).otherwise(lit("")))
+    documents(s, d)
+      .withColumn("aug", aug)
+      .withColumn("n_emails",
+        regexp_count(col("aug"), lit(PiiEmailPattern)).cast("long"))
+      .withColumn("t1", regexp_replace(col("aug"), PiiEmailPattern, "<EMAIL>"))
+      .withColumn("n_urls",
+        regexp_count(col("t1"), lit(PiiUrlPattern)).cast("long"))
+      .withColumn("t2", regexp_replace(col("t1"), PiiUrlPattern, "<URL>"))
+      .withColumn("n_ips",
+        regexp_count(col("t2"), lit(PiiIpv4Pattern)).cast("long"))
+      .withColumn("t3", regexp_replace(col("t2"), PiiIpv4Pattern, "<IP>"))
+      .withColumn("n_phones",
+        regexp_count(col("t3"), lit(PiiPhonePortablePattern)).cast("long"))
+      .withColumn("clean_text",
+        regexp_replace(col("t3"), PiiPhonePortablePattern, "<PHONE>"))
+      .select(col("doc_id"), col("n_emails"), col("n_urls"), col("n_ips"),
+        col("n_phones"), col("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** q79: CORPUS-DERIVED temperature mixture — the complete loop q68/q69
+    * left open: q69's budgets are hand-picked literals; a real mixture
+    * derives them from the corpus itself by the temperature law
+    * (budget_g ∝ count_g^α). The declared form uses
+    * [[graft.operators.Sampling.sqrtBudgets]] — α = 1/2 with
+    * floor(sqrt(count)) integer weights and integer largest-remainder
+    * apportionment, so the oracle's replay (same sqrt, same integer div
+    * and mod, same (remainder, lang) rank) is exact BY CONSTRUCTION; the
+    * real-valued-α production law is [[graft.operators.Sampling
+    * .temperatureBudgets]], property-tested in SamplingSpec. The
+    * per-lang token-count aggregate is collected to the driver to feed
+    * the apportionment — one row per language, the bounded-scalar
+    * driver action class (group space = languages, never corpus-sized;
+    * the minHashCandidateMass convention), then the fill is q69's
+    * distributed two-phase prefix sum under the derived budgets. */
+  def q79TemperatureMixture(s: SparkSession, d: String): DataFrame = {
+    val toks = filter(split(col("text"), "\\s+"), w => w =!= "")
+    val sized = documents(s, d).select(col("doc_id"), col("lang"),
+      size(toks).cast("long").as("n_tokens"),
+      md5(concat_ws(":", lit("mix"), col("doc_id").cast("string"))).as("rk"))
+    val counts = sized.groupBy("lang").agg(sum("n_tokens").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budgets = graft.operators.Sampling.sqrtBudgets(counts, totalBudget = 2000L)
+    graft.operators.Sampling.quotaSampleBudgets(sized, budgets)
+      .orderBy("doc_id")
+  }
 }

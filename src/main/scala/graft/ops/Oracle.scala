@@ -1152,6 +1152,88 @@ object Oracle {
         |FROM documents d
         |LEFT JOIN tot t ON t.doc_id = d.doc_id
         |LEFT JOIN kept kp ON kp.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin),
+
+    // q78: the PII scrub replay — the injection CASEs mirror the Spark
+    // side's residue-class construction literally, and the four
+    // count-then-redact stages splice the SAME pattern constants
+    // (TextFunctions.Pii*Pattern — one definition, two engines; all
+    // RE2-portable by that family's contract). regexp_replace needs the
+    // 'g' flag here (DuckDB replaces first-only by default; Spark is
+    // global always). Each stage counts on the PREVIOUS stage's output,
+    // the exact sequential composition the query declares.
+    "q78_pii_scrub" -> {
+      import graft.functions.TextFunctions.{PiiEmailPattern, PiiUrlPattern,
+        PiiIpv4Pattern, PiiPhonePortablePattern}
+      s"""WITH aug AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' mail user'
+        |         || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN ' call 415-555-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' host 10.'
+        |         || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+        |         || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' see https://example.com/p/'
+        |         || CAST(doc_id AS VARCHAR) ELSE '' END AS a
+        |  FROM documents),
+        | s1 AS (SELECT doc_id,
+        |   CAST(len(regexp_extract_all(a, '$PiiEmailPattern')) AS BIGINT) AS n_emails,
+        |   regexp_replace(a, '$PiiEmailPattern', '<EMAIL>', 'g') AS t FROM aug),
+        | s2 AS (SELECT doc_id, n_emails,
+        |   CAST(len(regexp_extract_all(t, '$PiiUrlPattern')) AS BIGINT) AS n_urls,
+        |   regexp_replace(t, '$PiiUrlPattern', '<URL>', 'g') AS t FROM s1),
+        | s3 AS (SELECT doc_id, n_emails, n_urls,
+        |   CAST(len(regexp_extract_all(t, '$PiiIpv4Pattern')) AS BIGINT) AS n_ips,
+        |   regexp_replace(t, '$PiiIpv4Pattern', '<IP>', 'g') AS t FROM s2)
+        |SELECT doc_id, n_emails, n_urls, n_ips,
+        |  CAST(len(regexp_extract_all(t, '$PiiPhonePortablePattern')) AS BIGINT) AS n_phones,
+        |  regexp_replace(t, '$PiiPhonePortablePattern', '<PHONE>', 'g') AS clean_text
+        |FROM s3
+        |ORDER BY doc_id""".stripMargin
+    },
+
+    // q79: the corpus-derived temperature mixture replay. The
+    // apportionment is integer-exact by construction (Sampling
+    // .sqrtBudgets' contract): floor(sqrt(DOUBLE)) — sqrt is IEEE
+    // correctly-rounded in both engines, so the weights agree
+    // bit-for-bit — then BIGINT `//` and `%` with the largest-remainder
+    // topup ranked by (rem DESC, lang). The fill below the derived
+    // budgets is q69's window replay verbatim; b > 0 encodes
+    // sqrtBudgets' zero-budget drop.
+    "q79_temperature_mixture" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |    md5('mix:' || CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM documents),
+        | counts AS (
+        |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS c
+        |  FROM toks GROUP BY lang),
+        | w AS (
+        |  SELECT lang, CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS wt
+        |  FROM counts),
+        | app AS (
+        |  SELECT lang, (2000 * wt) // z AS fb, (2000 * wt) % z AS rem
+        |  FROM w, (SELECT CAST(sum(wt) AS BIGINT) AS z FROM w)),
+        | bud AS (
+        |  SELECT lang, fb + CASE WHEN row_number()
+        |      OVER (ORDER BY rem DESC, lang)
+        |      <= 2000 - (SELECT sum(fb) FROM app) THEN 1 ELSE 0 END AS b
+        |  FROM app),
+        | ordered AS (
+        |  SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY rk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY rk, doc_id)
+        |      AS BIGINT) AS pick_pos
+        |  FROM toks)
+        |SELECT o.doc_id, o.lang, o.n_tokens, o.cum_before, o.pick_pos
+        |FROM ordered o JOIN bud ON bud.lang = o.lang
+        |WHERE bud.b > 0 AND o.cum_before < bud.b
+        |ORDER BY o.doc_id""".stripMargin
   )
 }

@@ -117,7 +117,14 @@ class GoldenCountsSpec extends SparkSpec {
     // near-dup families give 1015 cross-doc duplicate 8-windows at
     // sf0.01, so the signal is non-degenerate).
     "q76_window_stats" -> 500,
-    "q77_window_scrub" -> 500
+    "q77_window_scrub" -> 500,
+    // q78 (round 11): one row per document — the portable PII scrub
+    // counts + redaction, oracle-matched stage for stage.
+    "q78_pii_scrub" -> 500,
+    // q79 (round 11): corpus-derived sqrt-temperature mixture — 42
+    // picks fill the 2000-token budget across the sf0.01 languages
+    // (budget-driven like q68/q69, not corpus-proportional).
+    "q79_temperature_mixture" -> 42
   )
 
   test("queries/oracleSql keys line up") {
@@ -228,7 +235,14 @@ class GoldenCountsSpec extends SparkSpec {
     // q76/q77 are per-document (5000 at sf0.1); parity-checked against
     // DuckDB at sf0.001/sf0.01/sf0.1 when declared (round 11).
     "q76_window_stats" -> 5000L,
-    "q77_window_scrub" -> 5000L
+    "q77_window_scrub" -> 5000L,
+    // q78 is per-document (5000 at sf0.1); parity-checked against
+    // DuckDB at sf0.001/sf0.01/sf0.1 when declared (round 11).
+    "q78_pii_scrub" -> 5000L,
+    // q79's budget is fixed (2000 tokens) while sf0.1's docs are the
+    // same length distribution over more languages' mass — the fill
+    // lands at 39 picks; parity-checked at all three SFs when declared.
+    "q79_temperature_mixture" -> 39L
   )
 
   sf01Pins.toSeq.sortBy(_._1).foreach { case (name, rows) =>
