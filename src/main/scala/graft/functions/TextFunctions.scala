@@ -161,19 +161,30 @@ object TextFunctions {
   private[graft] val PiiIpv4Pattern = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
   private[graft] val PiiPhonePortablePattern = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
 
-  /** [[redactPii]] restricted to the portable family, same placeholder
-    * tokens and the same email → URL → IPv4 → phone order (each stage
+  /** The portable scrub as DATA: (pattern, placeholder, count column)
+    * per stage, in scrub order — email → URL → IPv4 → phone (each stage
     * sees the previous stage's output, so a URL never leaves a bare
     * redactable tail and an IPv4's dots can never be re-read as a
-    * phone's separators). All four stages are codegen'd
-    * `regexp_replace` — scan-side, no exchange, the 100 TB shape of
-    * every per-row rewrite here. */
-  def redactPiiPortable(text: Column): Column = {
-    val email = regexp_replace(text, PiiEmailPattern, "<EMAIL>")
-    val url = regexp_replace(email, PiiUrlPattern, "<URL>")
-    val ip = regexp_replace(url, PiiIpv4Pattern, "<IP>")
-    regexp_replace(ip, PiiPhonePortablePattern, "<PHONE>")
-  }
+    * phone's separators). This list is the single definition both
+    * [[redactPiiPortable]] and the declared q78 (ops/Extended) fold
+    * over: reordering or editing a stage here changes both together,
+    * and the q78 oracle — which splices the same pattern constants but
+    * fixes the stage order in its SQL — fails parity if the orders
+    * ever drift apart. */
+  private[graft] val PiiPortableStages: Seq[(String, String, String)] = Seq(
+    (PiiEmailPattern, "<EMAIL>", "n_emails"),
+    (PiiUrlPattern, "<URL>", "n_urls"),
+    (PiiIpv4Pattern, "<IP>", "n_ips"),
+    (PiiPhonePortablePattern, "<PHONE>", "n_phones"))
+
+  /** [[redactPii]] restricted to the portable family
+    * ([[PiiPortableStages]], folded in order). All four stages are
+    * codegen'd `regexp_replace` — scan-side, no exchange, the 100 TB
+    * shape of every per-row rewrite here. */
+  def redactPiiPortable(text: Column): Column =
+    PiiPortableStages.foldLeft(text) { case (t, (pat, tok, _)) =>
+      regexp_replace(t, pat, tok)
+    }
 
   /** SimHash-64 over whitespace tokens: per-token xxhash64, bitwise
     * majority vote — near-identical texts differ in few bits (Hamming

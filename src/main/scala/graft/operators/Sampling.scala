@@ -236,22 +236,6 @@ object Sampling {
         col("n").as(nCol), col("cum_before"), col("pick_pos"))
   }
 
-  /** Temperature-scaled mixture budgets — the standard multilingual
-    * sampling law (mBERT / XLM-R style): group g gets budget
-    * ∝ count_g^alpha, normalized to `totalBudget` tokens. alpha = 1 is
-    * proportional sampling (the corpus's own mix); alpha → 0 flattens
-    * toward uniform, up-weighting low-resource groups — the knob a
-    * real pretraining mixture turns. Pure driver-side arithmetic over
-    * per-group token counts (one tiny aggregate to obtain; the group
-    * space is small by definition), feeding [[quotaSampleBudgets]].
-    *
-    * Rounding is largest-remainder (Hamilton) apportionment with ties
-    * broken by group name, so the returned budgets sum EXACTLY to
-    * totalBudget and the result is deterministic — no float-order
-    * drift can move a token between groups. A group whose apportioned
-    * budget rounds to zero is OMITTED (quotaSampleBudgets' whitelist
-    * semantics: an absent group contributes nothing), which can only
-    * happen when totalBudget < number of groups × its weight share. */
   /** The integer-exact α = 1/2 twin of [[temperatureBudgets]] — the
     * declared-query form (q79, ops/Extended). Weights are
     * `floor(sqrt(count))` — IEEE-754 requires sqrt correctly rounded,
@@ -263,16 +247,26 @@ object Sampling {
     * hazard [[temperatureBudgets]]' real-valued normalization carries),
     * which is what makes q79's DuckDB oracle exact by construction —
     * the q71 integer-coefficient convention applied to mixtures. Same
-    * exact-sum and zero-budget-drop semantics as the general law. */
+    * exact-sum and zero-budget-drop semantics as the general law.
+    *
+    * A zero-count group is legal (a language whose documents are all
+    * empty): its weight is 0, so it draws floor 0 and — because the
+    * integer remainder B·w mod Z is 0 and the topup count is strictly
+    * less than the number of positive-remainder groups — can never be
+    * topped up; it simply drops out, exactly as the q79 oracle's
+    * `WHERE b > 0` drops it. The overflow guard bounds the LARGEST
+    * per-group product B·w_max (each div/mod touches only one product),
+    * so realistic budgets over many small groups are not rejected. */
   def sqrtBudgets(tokenCounts: Map[String, Long], totalBudget: Long): Map[String, Long] = {
     require(tokenCounts.nonEmpty, "tokenCounts must not be empty")
-    require(tokenCounts.values.forall(_ > 0), "every group count must be positive")
+    require(tokenCounts.values.forall(_ >= 0), "every group count must be non-negative")
     require(totalBudget > 0, s"totalBudget $totalBudget must be positive")
     val w = tokenCounts.map { case (g, c) => g -> math.sqrt(c.toDouble).toLong }
     val z = w.values.sum
     require(z > 0, "all isqrt weights collapsed to zero")
-    require(totalBudget <= Long.MaxValue / z,
-      s"totalBudget $totalBudget x weight sum $z would overflow the exact arithmetic")
+    val wmax = w.values.max
+    require(totalBudget <= Long.MaxValue / wmax,
+      s"totalBudget $totalBudget x max weight $wmax would overflow the exact arithmetic")
     val floors = w.map { case (g, x) => g -> totalBudget * x / z }
     val rems = w.map { case (g, x) => g -> totalBudget * x % z }
     val topUp = rems.toSeq.sortBy { case (g, m) => (-m, g) }
@@ -281,6 +275,27 @@ object Sampling {
       .filter(_._2 > 0)
   }
 
+  /** Temperature-scaled mixture budgets — the standard multilingual
+    * sampling law (mBERT / XLM-R style): group g gets budget
+    * ∝ count_g^alpha, normalized to `totalBudget` tokens. alpha = 1 is
+    * proportional sampling (the corpus's own mix); alpha → 0 flattens
+    * toward uniform, up-weighting low-resource groups — the knob a
+    * real pretraining mixture turns. Pure driver-side arithmetic over
+    * per-group token counts (one tiny aggregate to obtain; the group
+    * space is small by definition), feeding [[quotaSampleBudgets]].
+    *
+    * Rounding is largest-remainder (Hamilton) apportionment with ties
+    * broken by group name, so the returned budgets sum EXACTLY to
+    * totalBudget and the result is deterministic. The shares are
+    * doubles (unlike [[sqrtBudgets]]' integer path), so near 2^53 the
+    * floors can collectively miss totalBudget by more than the classic
+    * 0..n-1 remainder — in either direction. The correction below
+    * therefore walks the remainder-ranked order (forward when short,
+    * reverse when over, never taking a group below zero) until the sum
+    * is exact, so the contract holds for every representable budget,
+    * not just the float-friendly ones. A group whose budget lands on
+    * zero is OMITTED (quotaSampleBudgets' whitelist semantics: an
+    * absent group contributes nothing). */
   def temperatureBudgets(tokenCounts: Map[String, Long], totalBudget: Long,
                          alpha: Double): Map[String, Long] = {
     require(tokenCounts.nonEmpty, "tokenCounts must not be empty")
@@ -290,12 +305,16 @@ object Sampling {
     val w = tokenCounts.map { case (g, c) => g -> math.pow(c.toDouble, alpha) }
     val z = w.values.sum
     val exact = w.map { case (g, x) => g -> totalBudget * (x / z) }
-    val floors = exact.map { case (g, e) => g -> e.toLong }
-    val remainder = (totalBudget - floors.values.sum).toInt
-    val topUp = exact.toSeq
-      .sortBy { case (g, e) => (-(e - e.toLong), g) }
-      .take(remainder).map(_._1).toSet
-    floors.map { case (g, b) => g -> (if (topUp(g)) b + 1 else b) }
-      .filter(_._2 > 0)
+    val order = exact.toSeq
+      .sortBy { case (g, e) => (-(e - math.floor(e)), g) }.map(_._1)
+    val acc = scala.collection.mutable.LinkedHashMap(
+      order.map(g => g ->
+        math.min(totalBudget, math.max(0L, exact(g).toLong))): _*)
+    var diff = totalBudget - acc.values.sum
+    while (diff > 0)
+      for (g <- order if diff > 0) { acc(g) += 1; diff -= 1 }
+    while (diff < 0)
+      for (g <- order.reverse if diff < 0 && acc(g) > 0) { acc(g) -= 1; diff += 1 }
+    acc.toMap.filter(_._2 > 0)
   }
 }

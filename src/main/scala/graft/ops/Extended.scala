@@ -701,7 +701,7 @@ object Extended {
     * that the planted shared runs exceed it. Any duplicated run of
     * >= 8 tokens contains a duplicated 8-window, so recall at that run
     * length is total. */
-  private val Q76WindowK = 8
+  private[ops] val Q76WindowK = 8
 
   /** q76: substring-level duplication profile — the per-document
     * window-hash dedup signal ([[graft.operators.SubstringDedup
@@ -765,23 +765,18 @@ object Extended {
         lit(".0."), (id % 100).cast("string"))).otherwise(lit("")),
       when(id % 7 === 0, concat(lit(" see https://example.com/p/"),
         id.cast("string"))).otherwise(lit("")))
+    // Fold the SAME stage list redactPiiPortable folds — each stage
+    // counts on the running text, then rewrites it, so the counts are
+    // sequential by construction and the stage order has exactly one
+    // definition (TextFunctions.PiiPortableStages).
+    val (cleanText, countCols) = PiiPortableStages
+      .foldLeft((aug, Vector.empty[Column])) {
+        case ((t, cs), (pat, tok, nName)) =>
+          (regexp_replace(t, pat, tok),
+           cs :+ regexp_count(t, lit(pat)).cast("long").as(nName))
+      }
     documents(s, d)
-      .withColumn("aug", aug)
-      .withColumn("n_emails",
-        regexp_count(col("aug"), lit(PiiEmailPattern)).cast("long"))
-      .withColumn("t1", regexp_replace(col("aug"), PiiEmailPattern, "<EMAIL>"))
-      .withColumn("n_urls",
-        regexp_count(col("t1"), lit(PiiUrlPattern)).cast("long"))
-      .withColumn("t2", regexp_replace(col("t1"), PiiUrlPattern, "<URL>"))
-      .withColumn("n_ips",
-        regexp_count(col("t2"), lit(PiiIpv4Pattern)).cast("long"))
-      .withColumn("t3", regexp_replace(col("t2"), PiiIpv4Pattern, "<IP>"))
-      .withColumn("n_phones",
-        regexp_count(col("t3"), lit(PiiPhonePortablePattern)).cast("long"))
-      .withColumn("clean_text",
-        regexp_replace(col("t3"), PiiPhonePortablePattern, "<PHONE>"))
-      .select(col("doc_id"), col("n_emails"), col("n_urls"), col("n_ips"),
-        col("n_phones"), col("clean_text"))
+      .select(col("doc_id") +: countCols :+ cleanText.as("clean_text"): _*)
       .orderBy("doc_id")
   }
 
@@ -805,8 +800,14 @@ object Extended {
     val sized = documents(s, d).select(col("doc_id"), col("lang"),
       size(toks).cast("long").as("n_tokens"),
       md5(concat_ws(":", lit("mix"), col("doc_id").cast("string"))).as("rk"))
+    // Null-safe on the lang sum: a language whose documents are all
+    // NULL-text sums to NULL — treat it as 0 tokens, which sqrtBudgets
+    // apportions a zero weight and drops, exactly as the oracle's
+    // WHERE b > 0 drops it.
     val counts = sized.groupBy("lang").agg(sum("n_tokens").as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toMap
     val budgets = graft.operators.Sampling.sqrtBudgets(counts, totalBudget = 2000L)
     graft.operators.Sampling.quotaSampleBudgets(sized, budgets)
       .orderBy("doc_id")

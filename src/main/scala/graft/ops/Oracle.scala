@@ -50,11 +50,15 @@ object Oracle {
     * positions index the SAME filtered stream Spark's array does) →
     * 8-token windows with 1-based starts → per-instance marks (corpus
     * occurrence count, keep-first rank over (doc_id, s)). Ends at
-    * `winmarks`; consumers append their aggregates. Plain (non-
-    * interpolated) string: escape processing is NOT applied, so the
-    * whitespace class is written single-backslashed (q73's envelope
-    * note). */
-  private val windowCtes: String =
+    * `winmarks`; consumers append their aggregates. The escape-bearing
+    * CTEs live in plain (non-interpolated) strings — escape processing
+    * is NOT applied, so the whitespace class is written
+    * single-backslashed (q73's envelope note) — while the `wins` CTE is
+    * s-interpolated (it carries no escapes) so the window length is
+    * spliced from Extended.Q76WindowK, the one definition both engines
+    * share (the Q70Vocab convention). */
+  private lazy val windowCtes: String = {
+    val k = Extended.Q76WindowK
     """WITH base AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text),
       |    '[ \t\n\x0B\f\r]+') AS arr
@@ -65,15 +69,18 @@ object Oracle {
       |  WHERE arr[wi] <> ''),
       | fdoc AS (
       |  SELECT doc_id, list(w ORDER BY wi) AS fa FROM words GROUP BY doc_id),
-      | wins AS (
-      |  SELECT doc_id, u.s AS s, array_to_string(fa[u.s:u.s+7], ' ') AS w8
-      |  FROM fdoc, unnest(range(1, len(fa) - 6)) AS u(s)
-      |  WHERE len(fa) >= 8),
-      | winmarks AS (
+      |""".stripMargin +
+    s""" wins AS (
+      |  SELECT doc_id, u.s AS s, array_to_string(fa[u.s:u.s+${k - 1}], ' ') AS w8
+      |  FROM fdoc, unnest(range(1, len(fa) - ${k - 2})) AS u(s)
+      |  WHERE len(fa) >= $k),
+      |""".stripMargin +
+    """ winmarks AS (
       |  SELECT doc_id, s,
       |    count(*) OVER (PARTITION BY w8) AS n_inst,
       |    row_number() OVER (PARTITION BY w8 ORDER BY doc_id, s) AS rn
       |  FROM wins)""".stripMargin
+  }
 
   val sql: Map[String, String] = Map(
     "q01_scan_filter_project" ->
@@ -1128,7 +1135,7 @@ object Oracle {
     // domain LEFT JOINs back to every document (untouched docs:
     // n_removed 0; fully-covered docs: kept_text '').
     "q77_window_scrub" -> (windowCtes +
-      """,
+      s""",
         | shad AS (SELECT doc_id, s FROM winmarks WHERE rn > 1),
         | words2 AS (
         |  SELECT doc_id,
@@ -1137,7 +1144,8 @@ object Oracle {
         | cov AS (
         |  SELECT DISTINCT w2.doc_id, w2.p
         |  FROM words2 w2 JOIN shad sh
-        |    ON sh.doc_id = w2.doc_id AND w2.p BETWEEN sh.s AND sh.s + 7),
+        |    ON sh.doc_id = w2.doc_id
+        |    AND w2.p BETWEEN sh.s AND sh.s + ${Extended.Q76WindowK - 1}),
         | tot AS (SELECT doc_id, count(*) AS n FROM words2 GROUP BY doc_id),
         | kept AS (
         |  SELECT w2.doc_id, count(*) AS nk,

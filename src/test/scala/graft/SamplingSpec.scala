@@ -228,6 +228,34 @@ class SamplingSpec extends SparkSpec {
     assert(tie === Map("aa" -> 3L, "bb" -> 2L), s"tie-break drifted: $tie")
   }
 
+  test("budget apportionment edge regimes: zero counts, huge budgets") {
+    import graft.operators.Sampling.{sqrtBudgets, temperatureBudgets}
+    // A zero-count group (a language of all-empty docs) is legal input:
+    // weight 0, never topped up, dropped from the result — the q79
+    // oracle's WHERE b > 0 behavior, not an exception.
+    val withZero = sqrtBudgets(Map("en" -> 8100L, "empty" -> 0L), 100L)
+    assert(withZero === Map("en" -> 100L), s"zero-count group leaked: $withZero")
+    assert(sqrtBudgets(Map("en" -> 8100L, "de" -> 900L), 100L)
+      === sqrtBudgets(Map("en" -> 8100L, "de" -> 900L, "z" -> 0L), 100L),
+      "a zero-count group changed other groups' budgets")
+    // sqrtBudgets' overflow guard bounds the largest per-group PRODUCT,
+    // not budget x weight-sum: a trillion-token budget over many small
+    // groups must be accepted (the old weight-sum guard rejected it).
+    val many = (1 to 100).map(i => f"g$i%03d" -> 1000000000000L).toMap
+    val big = sqrtBudgets(many, 1000000000000L)
+    assert(big.values.sum === 1000000000000L)
+    // temperatureBudgets' exact-sum contract must survive float error
+    // at budgets past 2^50, where the double shares' floors can miss
+    // totalBudget by more than the classic 0..n-1 remainder in EITHER
+    // direction — the correction walk keeps the sum exact.
+    val counts = Map("en" -> 7919L, "de" -> 104729L, "es" -> 1299709L,
+      "fr" -> 15485863L, "zh" -> 32452843L)
+    for (b <- Seq(1L << 50, (1L << 53) - 1, (1L << 53) + 1, Long.MaxValue / 2)) {
+      val t = temperatureBudgets(counts, b, 0.7)
+      assert(t.values.sum === b, s"sum drifted at budget $b: ${t.values.sum}")
+    }
+  }
+
   test("temperatureBudgets composes with quotaSampleBudgets end-to-end") {
     import spark.implicits._
     import graft.operators.Sampling
