@@ -102,7 +102,8 @@ object SparkEntry {
     "q76_window_stats"        -> Extended.q76WindowStats _,
     "q77_window_scrub"        -> Extended.q77WindowScrub _,
     "q78_pii_scrub"           -> Extended.q78PiiScrub _,
-    "q79_temperature_mixture" -> Extended.q79TemperatureMixture _
+    "q79_temperature_mixture" -> Extended.q79TemperatureMixture _,
+    "q80_shard_shuffle"       -> Extended.q80ShardShuffle _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

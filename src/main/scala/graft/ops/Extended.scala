@@ -812,4 +812,28 @@ object Extended {
     graft.operators.Sampling.quotaSampleBudgets(sized, budgets)
       .orderBy("doc_id")
   }
+
+  /** Shard count for q80 — 8: small enough that every shard is densely
+    * populated at the testdata's 500-document tiers, large enough that
+    * the round-robin balance (sizes differ by ≤ 1) is a real assertion.
+    * Spliced into the oracle SQL (the Q76WindowK convention). */
+  private[ops] val Q80Shards = 8
+
+  /** q80: deterministic shuffle + balanced sharding — the training-data
+    * pipeline's LAST step ([[graft.operators.Sharding.shuffleShards]]):
+    * rows ranked by a seeded md5 of their id, dealt round-robin into
+    * [[Q80Shards]] shards, so adjacent corpus rows (same lang, same
+    * source) land in different shards and every shard's size is exact
+    * to ±1 by construction. The declared form shards the documents
+    * table by doc_id (the composition over packed seq_ids is proven in
+    * ShardingSpec — same operator, different id stream). Cross-engine
+    * parity is the q59/q76 md5 convention: both engines rank the SAME
+    * hex strings, so the rank — and with it shard and pos — cannot
+    * drift. Scale shape: the only data-sized exchange is one range
+    * layout of (id, hash) pairs; the rank itself is the two-phase
+    * prefix form, never a single-partition window. */
+  def q80ShardShuffle(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sharding
+      .shuffleShards(documents(s, d), Q80Shards, idCol = "doc_id")
+      .orderBy("doc_id")
 }

@@ -1242,6 +1242,28 @@ object Oracle {
         |SELECT o.doc_id, o.lang, o.n_tokens, o.cum_before, o.pick_pos
         |FROM ordered o JOIN bud ON bud.lang = o.lang
         |WHERE bud.b > 0 AND o.cum_before < bud.b
-        |ORDER BY o.doc_id""".stripMargin
+        |ORDER BY o.doc_id""".stripMargin,
+
+    // q80: the shuffle-shard replay — one window over the seeded md5
+    // rank (both engines order the same hex strings, so the rank is
+    // exact), then round-robin modulus for the shard and integer
+    // division for the in-shard position. The shard count is spliced
+    // from Extended.Q80Shards (one definition, two engines). The
+    // Spark side's two-phase rank is plan shape, not semantics: its
+    // result IS this row_number.
+    "q80_shard_shuffle" ->
+      s"""WITH r AS (
+        |  SELECT doc_id,
+        |    md5('shuf:0:' || CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM documents),
+        | ranked AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY rk, doc_id) - 1 AS rank0
+        |  FROM r)
+        |SELECT doc_id,
+        |  CAST(rank0 % ${Extended.Q80Shards} AS BIGINT) AS shard,
+        |  CAST(rank0 // ${Extended.Q80Shards} AS BIGINT) AS pos
+        |FROM ranked
+        |ORDER BY doc_id""".stripMargin
   )
 }

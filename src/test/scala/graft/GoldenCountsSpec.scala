@@ -124,7 +124,10 @@ class GoldenCountsSpec extends SparkSpec {
     // q79 (round 11): corpus-derived sqrt-temperature mixture — 42
     // picks fill the 2000-token budget across the sf0.01 languages
     // (budget-driven like q68/q69, not corpus-proportional).
-    "q79_temperature_mixture" -> 42
+    "q79_temperature_mixture" -> 42,
+    // q80 (round 11): one row per document — the shuffle-shard
+    // assignment is a permutation, oracle-matched rank for rank.
+    "q80_shard_shuffle" -> 500
   )
 
   test("queries/oracleSql keys line up") {
@@ -242,7 +245,11 @@ class GoldenCountsSpec extends SparkSpec {
     // q79's budget is fixed (2000 tokens) while sf0.1's docs are the
     // same length distribution over more languages' mass — the fill
     // lands at 39 picks; parity-checked at all three SFs when declared.
-    "q79_temperature_mixture" -> 39L
+    "q79_temperature_mixture" -> 39L,
+    // q80 is a permutation of the documents (5000 at sf0.1);
+    // parity-checked against DuckDB at sf0.001/sf0.01/sf0.1 when
+    // declared (round 11).
+    "q80_shard_shuffle" -> 5000L
   )
 
   sf01Pins.toSeq.sortBy(_._1).foreach { case (name, rows) =>
