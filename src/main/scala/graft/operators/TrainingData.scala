@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   *                        hash order ([[Sampling.quotaSampleBudgets]])
   *  6. sequence packing — the surviving stream cut into fixed-length
   *                        sequences ([[Packing.packSequences]])
+  *  7. shuffle + shard  — the packed sequences dealt into balanced,
+  *                        hash-shuffled shard files
+  *                        ([[shardTrainingSet]] → [[Sharding
+  *                        .shuffleShards]]; separate call — a caller
+  *                        re-sharding per epoch re-runs only this)
   *
   * Every stage is deterministic (hash-ordered, seeded, or exact), so
   * the whole pipeline is reproducible bit-for-bit from (corpus,
@@ -143,5 +148,23 @@ object TrainingData {
     Materialized.free(labels)
     Materialized.free(exactDeduped)
     TrainingSet(selected, packed)
+  }
+
+  /** Stage 7 — shuffle + shard the packed sequences for a training
+    * launcher: [[Sharding.shuffleShards]] over the packed map's
+    * distinct seq_ids (salt = epoch), joined back to the slice map so
+    * every slice row carries its (shard, pos) address. The join
+    * broadcasts the assignment when it fits and hash-joins on seq_id
+    * otherwise — either way the slice payload moves at most once, and
+    * a `partitionBy("shard")` writer downstream produces the shard
+    * files. One row per input slice row, in any shard exactly the
+    * sequences the rank assigns — deterministic from (packed, nShards,
+    * salt) like every other stage. */
+  def shardTrainingSet(packed: DataFrame, nShards: Int,
+                       salt: Long = 0L): DataFrame = {
+    val assignment = Sharding.shuffleShards(
+      packed.select(col("seq_id")).distinct(), nShards,
+      idCol = "seq_id", salt = salt)
+    packed.join(assignment, Seq("seq_id"))
   }
 }

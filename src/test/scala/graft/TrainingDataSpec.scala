@@ -70,4 +70,35 @@ class TrainingDataSpec extends SparkSpec {
     assert(again.map(r => (r.getLong(0), r.getLong(4))).sortBy(_._1).toSeq ===
       selected.map(r => (r.getLong(0), r.getLong(4))).sortBy(_._1).toSeq)
   }
+
+  test("stage 7: sharding addresses every slice, balanced and complete") {
+    val sharded = TrainingData.shardTrainingSet(ts.packed, nShards = 4)
+    val rows = sharded.select("seq_id", "shard", "pos", "doc_id", "slice_len")
+      .collect()
+    // Every packed slice row survives with exactly one (shard, pos)
+    // address, and the token mass is untouched.
+    assert(rows.length === ts.packed.count())
+    assert(rows.map(_.getLong(4)).sum ===
+      ts.packed.agg(sum(col("slice_len"))).head().getLong(0))
+    // A sequence has ONE address (all its slices agree), shards are
+    // balanced to +-1 over sequences, and within a shard the positions
+    // are dense.
+    val bySeq = rows.groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getLong(1), r.getLong(2))).distinct).toMap
+    assert(bySeq.values.forall(_.length == 1), "a sequence split across shards")
+    val perShard = bySeq.values.map(_.head).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq.sorted).toMap
+    assert(perShard.values.map(_.length).max -
+      perShard.values.map(_.length).min <= 1, "shards unbalanced")
+    perShard.foreach { case (sh, ps) =>
+      assert(ps === (0L until ps.length.toLong), s"shard $sh positions not dense")
+    }
+    // Different epoch salt -> different permutation of the same set.
+    val epoch1 = TrainingData.shardTrainingSet(ts.packed, 4, salt = 1L)
+      .select("seq_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(epoch1.map(_._1) === bySeq.keySet)
+    assert(epoch1 !== rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
+      "epoch salt did not change the shard order")
+  }
 }
