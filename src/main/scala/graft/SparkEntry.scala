@@ -103,7 +103,8 @@ object SparkEntry {
     "q77_window_scrub"        -> Extended.q77WindowScrub _,
     "q78_pii_scrub"           -> Extended.q78PiiScrub _,
     "q79_temperature_mixture" -> Extended.q79TemperatureMixture _,
-    "q80_shard_shuffle"       -> Extended.q80ShardShuffle _
+    "q80_shard_shuffle"       -> Extended.q80ShardShuffle _,
+    "q81_source_cap"          -> Extended.q81SourceCap _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

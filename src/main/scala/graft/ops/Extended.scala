@@ -836,4 +836,33 @@ object Extended {
     graft.operators.Sharding
       .shuffleShards(documents(s, d), Q80Shards, idCol = "doc_id")
       .orderBy("doc_id")
+
+  /** Per-source cap for q81 — 15: below the testdata's uniform 25 (250
+    * at sf0.1) docs per source, so the cap genuinely bites on every
+    * source at every SF. Spliced into the oracle SQL. */
+  private[ops] val Q81CapPerSource = 15
+
+  /** q81: per-source diversity cap — keep at most [[Q81CapPerSource]]
+    * documents per source, chosen by seeded md5 rank within the source
+    * (an unbiased deterministic sample, not "first N by id") — the
+    * C4/RefinedWeb-style domain cap that stops one crawl domain from
+    * dominating a training mixture. Declared md5 twin of the xxhash64
+    * production form ([[graft.operators.Sampling.stratifiedQuota]], the
+    * q50/q59 hash-twin convention). Scale shape: the rank-≤-k filter
+    * over a partitioned window is exactly what Spark 4's
+    * InferWindowGroupLimit rewrites into a map-side partial group
+    * limit — only ≤ k rows per (source, input partition) reach the one
+    * hash exchange, so a skew-heavy domain ships k rows, not its whole
+    * crawl (PlanQualitySpec pins the WindowGroupLimit node). */
+  def q81SourceCap(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws(":", lit("cap"), col("doc_id").cast("string"))).as("rk"))
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .filter(col("src_rank") <= Q81CapPerSource)
+      .select(col("doc_id"), col("source"), col("src_rank"))
+      .orderBy("doc_id")
+  }
 }

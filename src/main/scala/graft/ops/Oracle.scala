@@ -1264,6 +1264,24 @@ object Oracle {
         |  CAST(rank0 % ${Extended.Q80Shards} AS BIGINT) AS shard,
         |  CAST(rank0 // ${Extended.Q80Shards} AS BIGINT) AS pos
         |FROM ranked
+        |ORDER BY doc_id""".stripMargin,
+
+    // q81: the per-source cap replay — rank by the same seeded md5
+    // within each source, keep rank <= cap (spliced from
+    // Extended.Q81CapPerSource). The Spark side's WindowGroupLimit is
+    // plan shape; the kept set and ranks ARE this window.
+    "q81_source_cap" ->
+      s"""WITH r AS (
+        |  SELECT doc_id, source,
+        |    md5('cap:' || CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank
+        |FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY rk, doc_id)
+        |      AS src_rank
+        |  FROM r)
+        |WHERE src_rank <= ${Extended.Q81CapPerSource}
         |ORDER BY doc_id""".stripMargin
   )
 }

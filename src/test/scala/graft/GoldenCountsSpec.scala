@@ -127,7 +127,10 @@ class GoldenCountsSpec extends SparkSpec {
     "q79_temperature_mixture" -> 42,
     // q80 (round 11): one row per document — the shuffle-shard
     // assignment is a permutation, oracle-matched rank for rank.
-    "q80_shard_shuffle" -> 500
+    "q80_shard_shuffle" -> 500,
+    // q81 (round 11): 15-per-source cap x 20 sources — the cap bites
+    // on every source (25 docs each at sf0.01).
+    "q81_source_cap" -> 300
   )
 
   test("queries/oracleSql keys line up") {
@@ -249,7 +252,11 @@ class GoldenCountsSpec extends SparkSpec {
     // q80 is a permutation of the documents (5000 at sf0.1);
     // parity-checked against DuckDB at sf0.001/sf0.01/sf0.1 when
     // declared (round 11).
-    "q80_shard_shuffle" -> 5000L
+    "q80_shard_shuffle" -> 5000L,
+    // q81's cap is absolute (15 x 20 sources) — scale grows each
+    // source's crawl, not the kept set; parity-checked at all three
+    // SFs when declared (round 11).
+    "q81_source_cap" -> 300L
   )
 
   sf01Pins.toSeq.sortBy(_._1).foreach { case (name, rows) =>

@@ -349,6 +349,18 @@ class PlanQualitySpec extends SparkSpec {
     // hash-only, which the blanket assertion above already proves.
   }
 
+  test("q81's per-source cap runs as a map-side window group limit") {
+    // The scale contract of a rank-<=-k cap: InferWindowGroupLimit must
+    // rewrite the row_number filter into partial WindowGroupLimit nodes
+    // below the exchange, so a skew-heavy source ships <= k rows per
+    // input partition instead of its whole crawl. Losing the rewrite
+    // (e.g. by ranking with a non-rank function or filtering after a
+    // projection barrier) silently reverts to full-partition sorts.
+    val p = plan("q81_source_cap")
+    assert(p.contains("WindowGroupLimit"),
+      s"q81 lost the group-limit rewrite:\n${p.take(600)}")
+  }
+
   test("whole-stage codegen is active in the scan-heavy queries") {
     // the AQE-final simple plan marks fused codegen stages with "*(n)"
     Seq("q01_scan_filter_project", "q03_agg_pricing", "q38_star_denorm").foreach { n =>
