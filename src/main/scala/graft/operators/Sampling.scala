@@ -236,6 +236,62 @@ object Sampling {
         col("n").as(nCol), col("cum_before"), col("pick_pos"))
   }
 
+  /** [[quotaSampleBudgets]] WITH REPLACEMENT — epoch-repeat upsampling,
+    * the form a real multilingual mixture needs when a low-resource
+    * group's budget EXCEEDS its corpus: the temperature law hands a
+    * small language more tokens than it has, and the standard answer
+    * (mBERT/XLM-R, every data-constrained scaling study) is to repeat
+    * its data for multiple epochs rather than silently cap at one pass.
+    *
+    * Each group with token mass m and budget b contributes every
+    * document `b div m` full epochs, plus a partial epoch holding the
+    * hash-order prefix with `cum_before < b mod m` (the same
+    * straddling-doc overshoot convention as [[quotaSample]]). Output is
+    * one row per (document, epoch) with `epoch` 0-based — downstream
+    * packing treats each occurrence as an independent stream element.
+    * A group whose budget is at most its mass degenerates to
+    * [[quotaSampleBudgets]]' selection at epoch 0; groups absent from
+    * `budgets` contribute nothing (whitelist); a zero-mass group (all
+    * zero-count docs) is dropped rather than dividing by zero.
+    *
+    * Scale shape: the spans are [[quotaSample]]'s two-phase prefix sum
+    * (one materialized layout both phases read); the per-group masses
+    * are a tiny aggregate over it (≤ group-space rows, broadcast back);
+    * the epoch fan-out is a scan-side `explode(sequence(...))` whose
+    * factor is exactly the repetition the caller asked for — no join,
+    * no extra exchange, and the fan-out rows are five small columns,
+    * never text. */
+  def quotaSampleEpochs(docs: DataFrame, budgets: Map[String, Long],
+                        groupCol: String = "lang", idCol: String = "doc_id",
+                        nCol: String = "n_tokens", orderCol: String = "rk",
+                        nParts: Int = 0, reliable: Boolean = false): DataFrame = {
+    require(budgets.nonEmpty, "budgets must not be empty")
+    require(budgets.values.forall(_ > 0), "every budget must be positive")
+    val budgetFor = budgets.foldLeft(lit(0L)) { case (acc, (g, b)) =>
+      when(col("grp") === lit(g), lit(b)).otherwise(acc)
+    }
+    val spans = quotaSpans(docs, groupCol, idCol, nCol, orderCol, nParts, reliable)
+    val masses = spans.groupBy(col("grp")).agg(sum(col("n")).as("m"))
+      .filter(col("m") > 0)
+      .select(col("grp").as("mgrp"), col("m"))
+    spans
+      .join(broadcast(masses), col("grp") === col("mgrp"))
+      .withColumn("b", budgetFor)
+      .filter(col("b") > 0)
+      .withColumn("fe", expr("b div m"))
+      .withColumn("rem", pmod(col("b"), col("m")))
+      // epoch ranges 0..fe: epochs below fe keep every doc; epoch fe
+      // keeps the budget-remainder prefix. sequence(0, fe) is safe —
+      // fe >= 0 always (b > 0, m > 0) — and bounded by the repetition
+      // factor the budgets encode.
+      .select(col("id"), col("grp"), col("n"), col("cum_before"),
+        col("pick_pos"), col("fe"), col("rem"),
+        explode(sequence(lit(0L), col("fe"))).as("epoch"))
+      .filter(col("epoch") < col("fe") || col("cum_before") < col("rem"))
+      .select(col("id").as(idCol), col("grp").as(groupCol),
+        col("n").as(nCol), col("epoch"), col("cum_before"), col("pick_pos"))
+  }
+
   /** The integer-exact α = 1/2 twin of [[temperatureBudgets]] — the
     * declared-query form (q79, ops/Extended). Weights are
     * `floor(sqrt(count))` — IEEE-754 requires sqrt correctly rounded,

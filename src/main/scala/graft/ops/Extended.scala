@@ -865,4 +865,36 @@ object Extended {
       .select(col("doc_id"), col("source"), col("src_rank"))
       .orderBy("doc_id")
   }
+
+  /** q82's per-language budgets — chosen against sf0.01's measured
+    * masses (de 3549 / en 11757 / zh 4143 whitespace tokens) so the
+    * three repetition regimes all appear: en downsampled (partial
+    * epoch 0), de exactly two full epochs at that SF (7098 = 2×3549 —
+    * the rem = 0 boundary), zh upsampled past two (2 full + prefix).
+    * es/fr absent — the whitelist drop. Spliced into the oracle's
+    * VALUES list (one definition, two engines). */
+  private[ops] val Q82Budgets: Seq[(String, Long)] =
+    Seq("de" -> 7098L, "en" -> 4000L, "zh" -> 10000L)
+
+  /** q82: epoch-repeat mixture — sampling WITH REPLACEMENT
+    * ([[graft.operators.Sampling.quotaSampleEpochs]]): when a
+    * low-resource language's budget exceeds its corpus, the mixture
+    * repeats its data for `budget div mass` full epochs plus a
+    * hash-order partial epoch, instead of silently capping at one pass
+    * (q68/q69's without-replacement fill) — the standard multilingual
+    * upsampling move. One output row per (document, epoch). The oracle
+    * replays the span window (q68's), the per-lang mass aggregate, and
+    * the epoch fan-out as an unnest over range(0, fe + 1) — all BIGINT
+    * arithmetic, exact by construction. Scale shape: the only
+    * data-sized exchanges are the span layout's (the two-phase prefix
+    * sum); masses are a broadcast-back scalar per language and the
+    * fan-out is scan-side explode. */
+  def q82EpochMixture(s: SparkSession, d: String): DataFrame = {
+    val toks = filter(split(col("text"), "\\s+"), w => w =!= "")
+    val sized = documents(s, d).select(col("doc_id"), col("lang"),
+      size(toks).cast("long").as("n_tokens"),
+      md5(concat_ws(":", lit("mix"), col("doc_id").cast("string"))).as("rk"))
+    graft.operators.Sampling.quotaSampleEpochs(sized, Q82Budgets.toMap)
+      .orderBy("doc_id", "epoch")
+  }
 }

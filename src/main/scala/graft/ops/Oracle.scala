@@ -1282,6 +1282,49 @@ object Oracle {
         |      AS src_rank
         |  FROM r)
         |WHERE src_rank <= ${Extended.Q81CapPerSource}
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // q82: the epoch-repeat mixture replay — q68's span window, a
+    // per-lang mass aggregate, budgets from the spliced VALUES list
+    // (Extended.Q82Budgets — one definition, two engines), then the
+    // epoch fan-out as unnest(range(0, fe + 1)) with the same
+    // (epoch < fe OR prefix) cut. Pure BIGINT div/mod — exact by
+    // construction.
+    "q82_epoch_mixture" -> {
+      val vals = Extended.Q82Budgets
+        .map { case (g, b) => s"('$g', $b)" }.mkString(", ")
+      s"""WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+        |      AS n_tokens,
+        |    md5('mix:' || CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM documents),
+        | ordered AS (
+        |  SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY rk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY rk, doc_id)
+        |      AS BIGINT) AS pick_pos
+        |  FROM toks),
+        | tot AS (
+        |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS m
+        |  FROM toks GROUP BY lang),
+        | bud AS (SELECT * FROM (VALUES $vals) AS v(lang, b)),
+        | ep AS (
+        |  SELECT o.doc_id, o.lang, o.n_tokens, o.cum_before, o.pick_pos,
+        |    CAST(b.b AS BIGINT) // t.m AS fe,
+        |    CAST(b.b AS BIGINT) % t.m AS rem
+        |  FROM ordered o
+        |  JOIN tot t ON t.lang = o.lang AND t.m > 0
+        |  JOIN bud b ON b.lang = o.lang)
+        |SELECT doc_id, lang, n_tokens, CAST(u.epoch AS BIGINT) AS epoch,
+        |  cum_before, pick_pos
+        |FROM ep, unnest(range(0, fe + 1)) AS u(epoch)
+        |WHERE u.epoch < fe OR cum_before < rem
+        |ORDER BY doc_id, epoch""".stripMargin
+    }
   )
 }

@@ -130,7 +130,10 @@ class GoldenCountsSpec extends SparkSpec {
     "q80_shard_shuffle" -> 500,
     // q81 (round 11): 15-per-source cap x 20 sources — the cap bites
     // on every source (25 docs each at sf0.01).
-    "q81_source_cap" -> 300
+    "q81_source_cap" -> 300,
+    // q82 (round 11): epoch-repeat mixture — de contributes 2 exact
+    // epochs (140), zh 2 + a prefix, en a partial first epoch.
+    "q82_epoch_mixture" -> 396
   )
 
   test("queries/oracleSql keys line up") {
@@ -256,7 +259,12 @@ class GoldenCountsSpec extends SparkSpec {
     // q81's cap is absolute (15 x 20 sources) — scale grows each
     // source's crawl, not the kept set; parity-checked at all three
     // SFs when declared (round 11).
-    "q81_source_cap" -> 300L
+    "q81_source_cap" -> 300L,
+    // q82's budgets are fixed while sf0.1's masses are ~10x, so every
+    // lang lands in the partial-first-epoch regime — fewer rows than
+    // sf0.01 despite 10x the docs; parity-checked at all three SFs
+    // when declared (round 11).
+    "q82_epoch_mixture" -> 373L
   )
 
   sf01Pins.toSeq.sortBy(_._1).foreach { case (name, rows) =>

@@ -228,6 +228,45 @@ class SamplingSpec extends SparkSpec {
     assert(tie === Map("aa" -> 3L, "bb" -> 2L), s"tie-break drifted: $tie")
   }
 
+  test("quotaSampleEpochs: repetition regimes, conservation, whitelist") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // 2 langs x 10 docs x 10 tokens (mass 100 each) + one zero-mass
+    // lang (all empty docs) that must drop rather than divide by zero.
+    val docs = ((0 until 20).map { i =>
+      (i.toLong, if (i % 2 == 0) "en" else "zh", 10L)
+    } ++ (20 until 25).map(i => (i.toLong, "void", 0L)))
+      .toDF("doc_id", "lang", "n_tokens")
+      .withColumn("rk", md5(concat_ws(":", lit("e"), col("doc_id"))))
+    val out = Sampling.quotaSampleEpochs(docs,
+        Map("en" -> 60L, "zh" -> 250L, "void" -> 10L))
+      .collect()
+    val en = out.filter(_.getString(1) == "en")
+    val zh = out.filter(_.getString(1) == "zh")
+    // en: budget under mass -> without-replacement degenerate case,
+    // all epoch 0, and it matches quotaSampleBudgets row for row.
+    assert(en.forall(_.getLong(3) == 0L))
+    val wr = Sampling.quotaSampleBudgets(docs, Map("en" -> 60L)).collect()
+      .map(r => (r.getLong(0), r.getLong(4))).sorted.toSeq
+    assert(en.map(r => (r.getLong(0), r.getLong(5))).sorted.toSeq === wr)
+    // zh: 250 over mass 100 -> 2 full epochs of all 10 docs + a
+    // 50-token prefix; conservation within one straddling doc.
+    assert(zh.count(_.getLong(3) == 0L) === 10)
+    assert(zh.count(_.getLong(3) == 1L) === 10)
+    val partial = zh.filter(_.getLong(3) == 2L)
+    assert(partial.length === 5, s"prefix epoch wrong: ${partial.length}")
+    val zhTokens = zh.map(_.getLong(2)).sum
+    assert(zhTokens >= 250L && zhTokens < 250L + 10L, s"mass drifted: $zhTokens")
+    // The partial epoch picks the SAME hash-order prefix every epoch
+    // fill uses (pick_pos 1..5), zero-mass and unlisted groups vanish.
+    assert(partial.map(_.getLong(5)).sorted.toSeq === (1L to 5L))
+    assert(out.forall(_.getString(1) != "void"))
+    // Exact-multiple boundary: budget == 2 x mass -> exactly two full
+    // epochs, NO partial-epoch row.
+    val exact = Sampling.quotaSampleEpochs(docs, Map("en" -> 200L)).collect()
+    assert(exact.length === 20 && exact.forall(_.getLong(3) <= 1L))
+  }
+
   test("budget apportionment edge regimes: zero counts, huge budgets") {
     import graft.operators.Sampling.{sqrtBudgets, temperatureBudgets}
     // A zero-count group (a language of all-empty docs) is legal input:
