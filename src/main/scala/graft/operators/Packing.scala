@@ -46,17 +46,27 @@ object Packing {
 
   /** Pack `docs` (must expose `idCol` and a token-count column `nCol`)
     * into sequences of exactly `seqLen` tokens. Deterministic: stream
-    * order is ascending `idCol`. `reliable = true` materializes the
-    * sized layout via reliable `checkpoint` instead of
+    * order is ascending `idCol`, or ascending (`orderCol`, `idCol`)
+    * when `orderCol` is set — pass a salted hash column to pack a
+    * SHUFFLED stream (a packed sequence then mixes unrelated documents
+    * instead of id-adjacent ones, the order a training corpus actually
+    * wants; [[graft.operators.TrainingData.buildTrainingSet]] does
+    * exactly this). With `orderCol`, ids need only be unique PER ORDER
+    * KEY — the stream position is defined by the pair — so an
+    * epoch-repeat stream ([[graft.operators.Sampling
+    * .quotaSampleEpochs]]) packs by giving each (doc, epoch) copy its
+    * own key; a duplicate PAIR still fails loudly. `reliable = true`
+    * materializes the sized layout via reliable `checkpoint` instead of
     * `localCheckpoint` (same trade as dedupClusters — requires a
     * checkpoint dir, survives executor loss). The sized layout (three
-    * longs per doc) stays RESIDENT behind the returned plan — it is the
-    * working set both phases read, same contract as dedupClusters'
-    * final labels; long-lived sessions release it with
-    * [[Materialized.free]] once done with the result. */
+    * longs per doc, four with `orderCol`) stays RESIDENT behind the
+    * returned plan — it is the working set both phases read, same
+    * contract as dedupClusters' final labels; long-lived sessions
+    * release it with [[Materialized.free]] once done with the result. */
   def packSequences(docs: DataFrame, seqLen: Long,
                     idCol: String = "doc_id", nCol: String = "n_tokens",
-                    nParts: Int = 0, reliable: Boolean = false): DataFrame = {
+                    nParts: Int = 0, reliable: Boolean = false,
+                    orderCol: String = ""): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     val sess = docs.sparkSession
     val materialize: DataFrame => DataFrame =
@@ -64,6 +74,8 @@ object Packing {
     val parts = if (nParts > 0) nParts
       else math.max(sess.sessionState.conf.numShufflePartitions,
         sess.sparkContext.defaultParallelism)
+    val hasOrd = orderCol.nonEmpty && orderCol != idCol
+    val sortKeys = if (hasOrd) Seq(col("ord"), col("doc_id")) else Seq(col("doc_id"))
     // MATERIALIZED (dedupClusters' pattern), not merely declared: both
     // the phase-1 totals and the phase-2 spans read this layout, and
     // repartitionByRange samples its boundaries + spark_partition_id is
@@ -71,12 +83,14 @@ object Packing {
     // pid, silently corrupting the base-offset join. Exchange reuse
     // usually hides that, but correctness must not hang on an optimizer
     // artifact. The checkpoint stores three longs per document (id, n,
-    // pid) — the text never enters this operator.
-    val sized = materialize(docs.select(col(idCol).as("doc_id"),
-        col(nCol).cast("long").as("n"))
+    // pid; plus the order key when set) — the text never enters this
+    // operator.
+    val baseCols = Seq(col(idCol).as("doc_id"), col(nCol).cast("long").as("n"))
+    val selCols = if (hasOrd) baseCols :+ col(orderCol).as("ord") else baseCols
+    val sized = materialize(docs.select(selCols: _*)
       .filter(col("n") > 0)
-      .repartitionByRange(parts, col("doc_id"))
-      .sortWithinPartitions("doc_id")
+      .repartitionByRange(parts, sortKeys: _*)
+      .sortWithinPartitions(sortKeys: _*)
       .withColumn("pid", spark_partition_id()))
     // Phase 1: per-partition totals — one row per partition — and their
     // exclusive prefix (the partition's base offset in the stream). The
@@ -90,21 +104,26 @@ object Packing {
     // Phase 2: within-partition running sum (partitioned window — no
     // global sort) + the broadcast base = each document's [start, end)
     // span in the virtual token stream. The frame is ROWS-based: the
-    // default RANGE frame would hand tied ids the full tied cumulative,
-    // silently overlapping their spans — ids are asserted unique below,
-    // and with unique ids ROWS ≡ RANGE at strictly lower cost.
-    val ord = Window.partitionBy("pid").orderBy("doc_id")
+    // default RANGE frame would hand tied keys the full tied cumulative,
+    // silently overlapping their spans — keys are asserted unique below,
+    // and with unique keys ROWS ≡ RANGE at strictly lower cost.
+    val ord = Window.partitionBy("pid").orderBy(sortKeys: _*)
     val wRun = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // Duplicate-id guard, zero extra shuffle (same window spec as the
+    // Duplicate-key guard, zero extra shuffle (same window spec as the
     // running sum; range partitioning sends equal keys to one partition,
     // and the sort makes duplicates adjacent): assert_true throws at
-    // execution if lag(id) == id, and folding its null result into `end`
-    // keeps column pruning from discarding the check.
+    // execution when the lag equals the current stream key, and folding
+    // its null result into `end` keeps column pruning from discarding
+    // the check.
     val prevId = lag(col("doc_id"), 1).over(ord)
+    val dupPair =
+      if (hasOrd) prevId === col("doc_id") && lag(col("ord"), 1).over(ord) === col("ord")
+      else prevId === col("doc_id")
+    val dupMsg =
+      if (hasOrd) s"packSequences: duplicate ($orderCol, $idCol) — stream position undefined"
+      else s"packSequences: duplicate $idCol — packing requires unique ids"
     val dupGuard = coalesce(
-      assert_true(prevId.isNull || prevId =!= col("doc_id"),
-        lit(s"packSequences: duplicate $idCol — packing requires unique ids"))
-        .cast("long"),
+      assert_true(prevId.isNull || !dupPair, lit(dupMsg)).cast("long"),
       lit(0L))
     val spans = sized
       .join(broadcast(bases), col("pid") === col("bpid"))

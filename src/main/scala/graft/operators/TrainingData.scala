@@ -18,8 +18,12 @@ import org.apache.spark.sql.functions._
   *                        set (q57's shape); contaminated docs drop
   *  5. mixture sampling — per-group token budgets in deterministic
   *                        hash order ([[Sampling.quotaSampleBudgets]])
-  *  6. sequence packing — the surviving stream cut into fixed-length
-  *                        sequences ([[Packing.packSequences]])
+  *  6. sequence packing — the surviving stream, document-shuffled by a
+  *                        fresh salted hash, cut into fixed-length
+  *                        sequences ([[Packing.packSequences]] with
+  *                        `orderCol`; id-order packing would bake
+  *                        corpus adjacency INTO sequences, beyond what
+  *                        stage 7's sequence shuffle can undo)
   *  7. shuffle + shard  — the packed sequences dealt into balanced,
   *                        hash-shuffled shard files
   *                        ([[shardTrainingSet]] → [[Sharding
@@ -136,9 +140,18 @@ object TrainingData {
       md5(concat_ws(":", lit(salt), col("doc_id").cast("string"))).as("rk"))
     val selected = Sampling.quotaSampleBudgets(mixIn, budgets)
 
-    // 6. Pack the selected stream into fixed-length sequences.
+    // 6. Pack the selected stream into fixed-length sequences — in a
+    // FRESH salted-hash order, not doc_id order: id-order packing puts
+    // corpus-adjacent documents (same language, same source run) into
+    // the same sequence, a within-sequence correlation stage 7's
+    // sequence-level shuffle can never undo. The "pack" prefix
+    // decorrelates this order from the mixture's fill order (same
+    // salt, different stream), and determinism is untouched.
     val packed = Packing.packSequences(
-      selected.select(col("doc_id"), col("n_tokens")), seqLen)
+      selected.select(col("doc_id"), col("n_tokens"),
+        md5(concat_ws(":", lit(salt), lit("pack"),
+          col("doc_id").cast("string"))).as("prk")),
+      seqLen, orderCol = "prk")
 
     // Both returned frames are backed by their own (quotaSample /
     // packSequences) checkpoints by now; the upstream working set and

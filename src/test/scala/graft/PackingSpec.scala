@@ -92,6 +92,43 @@ class PackingSpec extends SparkSpec {
       s"expected the duplicate-id assertion, got: $e")
   }
 
+  test("packSequences orderCol: shuffled stream packs exactly, dup pairs fail") {
+    import spark.implicits._
+    val docs = (0L until 120L).map(i => (i, 1 + i % 7))
+      .toDF("doc_id", "n_tokens")
+      .withColumn("srk", md5(concat_ws(":", lit("s"), col("doc_id"))))
+    val packed = Packing.packSequences(docs, seqLen = 16, orderCol = "srk")
+    val rows = collectPacked(packed)
+    // Conservation and tiling hold regardless of stream order.
+    val total = (0L until 120L).map(i => 1 + i % 7).sum
+    assert(rows.map(_._5).sum === total)
+    val perSeq = rows.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    val lastSeq = perSeq.keys.max
+    assert(perSeq.filter(_._1 != lastSeq).values.forall(_ == 16L))
+    // The stream really follows the hash, not the id: seq 0's docs are
+    // the hash-order head, which must not be ids 0,1,2,...
+    val ordered = docs.select("doc_id", "srk").collect()
+      .sortBy(r => (r.getString(1), r.getLong(0))).map(_.getLong(0)).toSeq
+    val streamIds = rows.sortBy(t => (t._1, t._4)).map(_._2).distinct.toSeq
+    assert(streamIds === ordered, "packed stream is not in orderCol order")
+    assert(streamIds !== streamIds.sorted, "hash order collapsed to id order")
+    // Same (orderCol, idCol) pair twice = undefined position -> loud.
+    val dup = (Seq((1L, 3L), (2L, 3L), (2L, 3L)))
+      .toDF("doc_id", "n_tokens").withColumn("srk", lit("k"))
+    val ex = intercept[Exception] {
+      Packing.packSequences(dup, 8, orderCol = "srk").collect()
+    }
+    assert(ex.getMessage.contains("duplicate") ||
+      Option(ex.getCause).exists(_.getMessage.contains("duplicate")))
+    // ...but a REPEATED id with distinct keys is legal: the epoch-
+    // repeat composition (each copy owns its stream slot).
+    val epochs = Seq((5L, 4L, "a"), (5L, 4L, "b"), (6L, 4L, "c"))
+      .toDF("doc_id", "n_tokens", "srk")
+    val rep = Packing.packSequences(epochs, 8, orderCol = "srk")
+      .agg(sum(col("slice_len"))).head().getLong(0)
+    assert(rep === 12L, "epoch copies must each occupy their own span")
+  }
+
   test("packSequences: seq ids stay exact past 2^53 tokens (integer div)") {
     import spark.implicits._
     // One doc of k·2^40 − 1 tokens (> 2^53) cut every 2^40: the last

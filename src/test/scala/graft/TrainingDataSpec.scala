@@ -71,6 +71,23 @@ class TrainingDataSpec extends SparkSpec {
       selected.map(r => (r.getLong(0), r.getLong(4))).sortBy(_._1).toSeq)
   }
 
+  test("stage 6 packs a document-shuffled stream, not id order") {
+    // The packed stream must follow the fresh pack hash: sequences
+    // would otherwise inherit corpus adjacency (language/source runs)
+    // that stage 7's sequence-level shuffle cannot undo. With ~190
+    // selected docs, id-order packing would make nearly every adjacent
+    // slice pair consecutive ids; the hash order makes that vanishingly
+    // rare (deterministic here: same salt, same corpus, same chain).
+    val chains = ts.packed.collect()
+      .groupBy(_.getLong(0)).values
+      .map(_.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq)
+    val pairs = chains.flatMap(c => c.zip(c.tail)).toSeq
+    assert(pairs.nonEmpty)
+    val consecutive = pairs.count { case (a, b) => b == a + 1 }
+    assert(consecutive.toDouble / pairs.size < 0.2,
+      s"packed stream still id-ordered: $consecutive/${pairs.size} consecutive")
+  }
+
   test("stage 7: sharding addresses every slice, balanced and complete") {
     val sharded = TrainingData.shardTrainingSet(ts.packed, nShards = 4)
     val rows = sharded.select("seq_id", "shard", "pos", "doc_id", "slice_len")
