@@ -39,7 +39,9 @@ import org.apache.spark.sql.functions._
 object TrainingData {
 
   /** `selected`: the surviving documents — (doc_id, lang, n_tokens,
-    * cum_before, pick_pos) per [[Sampling.quotaSampleBudgets]].
+    * cum_before, pick_pos) per [[Sampling.quotaSampleBudgets]], plus an
+    * `epoch` column (one row per doc × epoch) when the build ran
+    * `withReplacement`.
     * `packed`: the (seq_id, doc_id, doc_offset, seq_offset, slice_len)
     * slice map over the selected stream per [[Packing.packSequences]].
     * Both are backed by materialized layouts — release with
@@ -84,7 +86,8 @@ object TrainingData {
                        minBenchContainment: Double = 1e-9,
                        minQuality: Double = 0.5, maxRepetition: Double = 0.2,
                        minTokens: Int = 10, salt: Long = 0L,
-                       tokenCounter: Option[org.apache.spark.sql.Column] = None): TrainingSet = {
+                       tokenCounter: Option[org.apache.spark.sql.Column] = None,
+                       withReplacement: Boolean = false): TrainingSet = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.TextFunctions
 
@@ -138,7 +141,14 @@ object TrainingData {
     }
     val mixIn = counted.select(col("doc_id"), col("lang"), col("n_tokens"),
       md5(concat_ws(":", lit(salt), col("doc_id").cast("string"))).as("rk"))
-    val selected = Sampling.quotaSampleBudgets(mixIn, budgets)
+    // withReplacement routes through the epoch-repeat fill
+    // (quotaSampleEpochs): a group whose budget exceeds its surviving
+    // mass repeats its documents across epochs instead of silently
+    // capping at one pass — `selected` then carries an extra `epoch`
+    // column and one row per (doc, epoch).
+    val selected =
+      if (withReplacement) Sampling.quotaSampleEpochs(mixIn, budgets)
+      else Sampling.quotaSampleBudgets(mixIn, budgets)
 
     // 6. Pack the selected stream into fixed-length sequences — in a
     // FRESH salted-hash order, not doc_id order: id-order packing puts
@@ -146,11 +156,20 @@ object TrainingData {
     // the same sequence, a within-sequence correlation stage 7's
     // sequence-level shuffle can never undo. The "pack" prefix
     // decorrelates this order from the mixture's fill order (same
-    // salt, different stream), and determinism is untouched.
-    val packed = Packing.packSequences(
-      selected.select(col("doc_id"), col("n_tokens"),
+    // salt, different stream), and determinism is untouched. With
+    // replacement the hash keys (doc, epoch), so each repeated copy
+    // owns its own stream slot (packSequences' per-order-key
+    // uniqueness) and the copies scatter across the stream instead of
+    // sitting adjacent.
+    val packKey =
+      if (withReplacement)
         md5(concat_ws(":", lit(salt), lit("pack"),
-          col("doc_id").cast("string"))).as("prk")),
+          col("doc_id").cast("string"), col("epoch").cast("string")))
+      else
+        md5(concat_ws(":", lit(salt), lit("pack"),
+          col("doc_id").cast("string")))
+    val packed = Packing.packSequences(
+      selected.select(col("doc_id"), col("n_tokens"), packKey.as("prk")),
       seqLen, orderCol = "prk")
 
     // Both returned frames are backed by their own (quotaSample /

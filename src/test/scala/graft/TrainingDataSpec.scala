@@ -88,6 +88,35 @@ class TrainingDataSpec extends SparkSpec {
       s"packed stream still id-ordered: $consecutive/${pairs.size} consecutive")
   }
 
+  test("withReplacement: an over-mass budget fills by repeating data") {
+    // zh's surviving corpus is a few thousand whitespace tokens; a
+    // 30k budget can only fill by repetition. Without replacement the
+    // fill silently caps at one pass; with it the budget is MET
+    // (within one straddling doc) and epochs appear.
+    val budgets = Map("zh" -> 30000L)
+    val wr = TrainingData.buildTrainingSet(
+      spark, docs, benchmark, budgets, seqLen = 256L, withReplacement = true)
+    val rows = wr.selected.collect()
+    assert(rows.nonEmpty && rows.forall(_.getString(1) == "zh"))
+    val mass = rows.map(_.getLong(2)).sum
+    val maxDoc = rows.map(_.getLong(2)).max
+    assert(mass >= 30000L && mass < 30000L + maxDoc,
+      s"with-replacement fill missed the budget: $mass")
+    val epochs = wr.selected.select("epoch").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(epochs.length > 1, s"no repetition despite over-mass budget: $epochs")
+    // Packing conserves the REPEATED stream (every copy packed), and
+    // the copies' stream slots are their own: total packed tokens equal
+    // the epoch-expanded mass, not the distinct-doc mass.
+    val packTokens = wr.packed.agg(sum(col("slice_len"))).head().getLong(0)
+    assert(packTokens === mass)
+    // Reproducible like the without-replacement path.
+    val again = TrainingData.buildTrainingSet(
+        spark, docs, benchmark, budgets, seqLen = 256L, withReplacement = true)
+      .selected.collect().map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+    assert(again === rows.map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq)
+  }
+
   test("stage 7: sharding addresses every slice, balanced and complete") {
     val sharded = TrainingData.shardTrainingSet(ts.packed, nShards = 4)
     val rows = sharded.select("seq_id", "shard", "pos", "doc_id", "slice_len")
