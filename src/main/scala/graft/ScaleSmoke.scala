@@ -266,6 +266,31 @@ object ScaleSmoke {
     // cost is one narrow shuffle of (id, token-count) pairs — wall
     // should stay near-flat across `copies` and the slice count linear.
     run("pack_sequences") { SparkEntry.queries("q67_pack_sequences")(spark, out) }
+    // Packing a SHUFFLED stream (round 11, the buildTrainingSet order):
+    // the same two-phase prefix sum ordered by a salted md5 — the range
+    // layout carries one extra 32-char key per doc and nothing else
+    // changes; wall must stay in pack_sequences' band and the slice
+    // count within ±corpus/seqLen of it (same tokens, different cut
+    // points).
+    val sizedShuf = spark.read.parquet(s"$out/documents.parquet")
+      .select(col("doc_id"),
+        expr("size(filter(split(text, '\\\\s+'), w -> w != ''))")
+          .cast("long").as("n_tokens"),
+        md5(concat_ws(":", lit("pk"), col("doc_id").cast("string"))).as("prk"))
+    // Each evaluation (run() = warm + timed) materializes a fresh
+    // layout; free the previous one inside the thunk and the last one
+    // after — the training_pipeline pattern, or the new stages would
+    // pin 2 × O(nDocs) blocks each while later stages are timed.
+    var lastSmoked: DataFrame = null
+    def tracked(df: DataFrame): DataFrame = {
+      if (lastSmoked != null) graft.operators.Materialized.free(lastSmoked)
+      lastSmoked = df
+      df
+    }
+    run("pack_shuffled") {
+      tracked(graft.operators.Packing.packSequences(sizedShuf, 2048, orderCol = "prk"))
+    }
+    if (lastSmoked != null) { graft.operators.Materialized.free(lastSmoked); lastSmoked = null }
     // run() times df.count(), and a count PRUNES whatever it doesn't
     // need: narrow per-row projections collapse to a footer-count scan
     // and unreferenced aggregate expressions (q74's collect_list
@@ -286,6 +311,30 @@ object ScaleSmoke {
         .filter(col("s") =!= 0L || col("s").isNull)
         .select(explode(array_repeat(lit(1), col("n").cast("int"))))
     }
+    // Shuffle-shard (round 11, pipeline stage 7): the global rank is
+    // the same two-phase form as packing, over (id, md5) pairs — wall
+    // near-flat, rows = ids, all exchanges narrow. hashed(): shard/pos
+    // come from the rank window, which a bare count would prune away.
+    run("shuffle_shards") {
+      hashed(tracked(graft.operators.Sharding.shuffleShards(
+        spark.read.parquet(s"$out/documents.parquet").select("doc_id"),
+        nShards = 64, idCol = "doc_id")))
+    }
+    if (lastSmoked != null) { graft.operators.Materialized.free(lastSmoked); lastSmoked = null }
+    // Epoch-repeat mixture (round 11): budget = 3.5× the corpus mass at
+    // EVERY scale, so the fan-out factor stays constant and the output
+    // rows must grow linearly (≈ 3.5 × nDocs; the mass probe is the
+    // bounded one-row driver aggregate). The spans are the quota
+    // two-phase form; the fan-out is scan-side explode.
+    val sizedEp = sizedShuf.select(col("doc_id"), lit("en").as("lang"),
+      col("n_tokens"),
+      md5(concat_ws(":", lit("mix"), col("doc_id").cast("string"))).as("rk"))
+    val epMass = sizedEp.agg(sum(col("n_tokens"))).head().getLong(0)
+    run("epoch_mixture_3p5x") {
+      hashed(tracked(graft.operators.Sampling.quotaSampleEpochs(sizedEp,
+        Map("en" -> (3L * epMass + epMass / 2)))))
+    }
+    if (lastSmoked != null) { graft.operators.Materialized.free(lastSmoked); lastSmoked = null }
     // Repetition signals (round 11): shuffle-free by construction (the
     // plan pin proves no exchange but the orderBy); wall = the per-doc
     // tokenize + sort-fold passes, linear in corpus bytes.

@@ -59,8 +59,8 @@ object Packing {
     * materializes the sized layout via reliable `checkpoint` instead of
     * `localCheckpoint` (same trade as dedupClusters — requires a
     * checkpoint dir, survives executor loss). The sized layout (three
-    * longs per doc, four with `orderCol`) stays RESIDENT behind the
-    * returned plan — it is the working set both phases read, same
+    * longs per doc, plus the order key — e.g. ~40 bytes for an md5 hex
+    * string — with `orderCol`) stays RESIDENT behind the returned plan — it is the working set both phases read, same
     * contract as dedupClusters' final labels; long-lived sessions
     * release it with [[Materialized.free]] once done with the result. */
   def packSequences(docs: DataFrame, seqLen: Long,

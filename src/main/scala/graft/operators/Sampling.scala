@@ -105,11 +105,13 @@ object Sampling {
       .withColumn("pid", spark_partition_id())
   }
 
-  /** Shared core of the quota samplers: every doc's exclusive running
-    * token sum (`cum_before`) and 1-based fill position (`pick_pos`)
-    * within its group's (orderCol, idCol) order, as (id, grp, n,
-    * cum_before, pick_pos) — the budget cut happens in the callers. */
-  private def quotaSpans(docs: DataFrame, groupCol: String, idCol: String,
+  /** Materializes [[quotaLayout]] — both prefix-sum phases (and any
+    * caller-side aggregate, e.g. [[quotaSampleEpochs]]' group masses)
+    * must read ONE layout: repartitionByRange samples boundaries and
+    * spark_partition_id is non-deterministic, so two independent
+    * evaluations could disagree on pid and corrupt the base-offset
+    * join. Four small columns per doc; text stays behind. */
+  private def quotaSized(docs: DataFrame, groupCol: String, idCol: String,
       nCol: String, orderCol: String, nParts: Int,
       reliable: Boolean): DataFrame = {
     val sess = docs.sparkSession
@@ -118,13 +120,27 @@ object Sampling {
     val parts = if (nParts > 0) nParts
       else math.max(sess.sessionState.conf.numShufflePartitions,
         sess.sparkContext.defaultParallelism)
-    // Materialized for the same reason as packSequences: totals and the
-    // final spans both read this layout, and repartitionByRange samples
-    // boundaries + spark_partition_id is non-deterministic — two
-    // independent evaluations could disagree on pid and corrupt the
-    // base-offset join. Four small columns per doc; text stays behind.
-    val sized = materialize(
-      quotaLayout(docs, groupCol, idCol, nCol, orderCol, parts))
+    materialize(quotaLayout(docs, groupCol, idCol, nCol, orderCol, parts))
+  }
+
+  /** Shared core of the quota samplers: every doc's exclusive running
+    * token sum (`cum_before`) and 1-based fill position (`pick_pos`)
+    * within its group's (orderCol, idCol) order, as (id, grp, n,
+    * cum_before, pick_pos) — the budget cut happens in the callers.
+    * [[graft.operators.Sharding.shuffleShards]] reuses this as its
+    * global rank (constant group, unit counts), so the two-phase
+    * machinery has ONE implementation. */
+  private[operators] def quotaSpans(docs: DataFrame, groupCol: String,
+      idCol: String, nCol: String, orderCol: String, nParts: Int,
+      reliable: Boolean): DataFrame =
+    quotaSpansFrom(
+      quotaSized(docs, groupCol, idCol, nCol, orderCol, nParts, reliable),
+      groupCol, idCol, orderCol)
+
+  /** The two prefix-sum phases over an already-materialized
+    * [[quotaLayout]]. */
+  private def quotaSpansFrom(sized: DataFrame, groupCol: String,
+      idCol: String, orderCol: String): DataFrame = {
     // Phase 1: per-(partition, group) totals — the group's exclusive
     // prefix over pid order is its base (token + count) offset at the
     // partition boundary.
@@ -270,8 +286,12 @@ object Sampling {
     val budgetFor = budgets.foldLeft(lit(0L)) { case (acc, (g, b)) =>
       when(col("grp") === lit(g), lit(b)).otherwise(acc)
     }
-    val spans = quotaSpans(docs, groupCol, idCol, nCol, orderCol, nParts, reliable)
-    val masses = spans.groupBy(col("grp")).agg(sum(col("n")).as("m"))
+    // Masses aggregate the materialized LAYOUT directly — summing the
+    // spans plan instead would drag the phase-1 bases aggregate and the
+    // broadcast base join along for numbers a plain groupBy already has.
+    val sized = quotaSized(docs, groupCol, idCol, nCol, orderCol, nParts, reliable)
+    val spans = quotaSpansFrom(sized, groupCol, idCol, orderCol)
+    val masses = sized.groupBy(col("grp")).agg(sum(col("n")).as("m"))
       .filter(col("m") > 0)
       .select(col("grp").as("mgrp"), col("m"))
     spans

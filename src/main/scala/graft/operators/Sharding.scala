@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic global shuffle + balanced shard assignment — the last
@@ -44,59 +43,41 @@ object Sharding {
     * order, same exact balance). `reliable = true` materializes the
     * ranked layout via reliable `checkpoint` instead of
     * `localCheckpoint` (the dedupClusters/packSequences trade). The
-    * ranked layout (id + hash + pid) stays RESIDENT behind the returned
-    * plan — release with [[Materialized.free]] once consumed. */
+    * ranked layout stays RESIDENT behind the returned plan — release
+    * with [[Materialized.free]] once consumed.
+    *
+    * md5 hex, not xxhash64: the declared q80 replays this rank in
+    * DuckDB value-for-value, and md5-of-the-same-string is the one
+    * hash family both engines render identically (the q59/q76
+    * convention). Hex strings compare bytewise in both engines'
+    * ORDER BY, so the rank order cannot drift.
+    *
+    * The global rank IS [[Sampling]]'s quota prefix sum with a constant
+    * group and unit counts — `pick_pos - 1` over one all-rows group in
+    * (hash, id) order — so the two-phase machinery (materialized range
+    * layout, broadcast bases, pid-partitioned window, loud
+    * duplicate-key guard) has one implementation, not a copy here. A
+    * duplicate id hashes equal, collides on the (group, hash, id)
+    * triple, and fails the guard — a duplicate id is a duplicated
+    * training row. */
   def shuffleShards(rows: DataFrame, nShards: Int,
                     idCol: String = "seq_id", salt: Long = 0L,
                     nParts: Int = 0, reliable: Boolean = false): DataFrame = {
     require(nShards > 0, s"nShards $nShards must be positive")
-    val sess = rows.sparkSession
-    val materialize: DataFrame => DataFrame =
-      if (reliable) df => df.checkpoint(true) else df => df.localCheckpoint(true)
-    val parts = if (nParts > 0) nParts
-      else math.max(sess.sessionState.conf.numShufflePartitions,
-        sess.sparkContext.defaultParallelism)
-    // md5 hex, not xxhash64: the declared q80 replays this rank in
-    // DuckDB value-for-value, and md5-of-the-same-string is the one
-    // hash family both engines render identically (the q59/q76
-    // convention). Hex strings compare bytewise in both engines'
-    // ORDER BY, so the rank order cannot drift. The materialization
-    // reasoning is packSequences': repartitionByRange samples
-    // boundaries and spark_partition_id is non-deterministic — the
-    // phase-1 counts and phase-2 ranks must read ONE layout, not two
-    // independent evaluations of it.
-    val keyed = materialize(rows.select(col(idCol).as("id"))
-      .withColumn("rk", md5(concat_ws(":",
-        lit("shuf"), lit(salt), col("id").cast("string"))))
-      .repartitionByRange(parts, col("rk"), col("id"))
-      .sortWithinPartitions("rk", "id")
-      .withColumn("pid", spark_partition_id()))
-    // Phase 1: per-partition row counts and their exclusive prefix —
-    // the partition's base rank. Window over ≤ `parts` rows.
-    val bases = keyed.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
-      .withColumn("base",
-        coalesce(sum(col("pn")).over(
-          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("pid").as("bpid"), col("base"))
-    // Phase 2: within-partition row_number + broadcast base = global
-    // 0-based hash rank. The duplicate-id guard folds into the rank the
-    // packSequences way, so pruning cannot discard it.
-    val ord = Window.partitionBy("pid").orderBy("rk", "id")
-    val prevId = lag(col("id"), 1).over(ord)
-    val dupGuard = coalesce(
-      assert_true(prevId.isNull || prevId =!= col("id"),
-        lit(s"shuffleShards: duplicate $idCol — a duplicate id is a duplicated training row"))
-        .cast("long"),
-      lit(0L))
+    val keyed = rows.select(col(idCol).as("sid"))
+      .withColumn("srk", md5(concat_ws(":",
+        lit("shuf"), lit(salt), col("sid").cast("string"))))
+      .withColumn("sgrp", lit(""))
+      .withColumn("sone", lit(1L))
     val n = lit(nShards.toLong)
-    keyed
-      .join(broadcast(bases), col("pid") === col("bpid"))
-      .withColumn("rank0",
-        col("base") + row_number().over(ord).cast("long") - 1 + dupGuard)
+    // rank0 = cum_before, NOT pick_pos - 1: with unit counts the two
+    // are equal, but the duplicate-key guard is folded into cum_before
+    // (the assert_true rides the running sum) — projecting pick_pos
+    // alone would let column pruning silently discard the guard.
+    Sampling.quotaSpans(keyed, "sgrp", "sid", "sone", "srk", nParts, reliable)
       .select(col("id").as(idCol),
-        pmod(col("rank0"), n).as("shard"),
-        expr(s"rank0 div ${nShards.toLong}").as("pos"))
+        pmod(col("cum_before"), n).as("shard"),
+        expr(s"cum_before div ${nShards.toLong}").as("pos"))
   }
 
   /** Shard-level summary — size and id-span per shard, the manifest a

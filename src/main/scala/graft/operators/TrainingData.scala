@@ -70,8 +70,11 @@ object TrainingData {
     * post-redaction should redact BEFORE calling (budgets then count
     * what is actually trained on). The QUALITY gate's `minTokens`
     * stays whitespace-based either way (a text-shape filter, not a
-    * budget). Default None keeps the whitespace count, bit-identical
-    * to rounds ≤ 10.
+    * budget). Default None keeps the whitespace count: the SELECTED
+    * set is then bit-identical to rounds ≤ 10, while the packed slice
+    * map is NOT — round 11 switched stage 6 to salted-hash pack order
+    * (below), so a regenerated set's sequences cut differently from an
+    * archived pre-round-11 one by design.
     *
     * The scored+deduped working set is materialized ONCE (five
     * downstream consumers — the near-dup mass probe, the pair build,
