@@ -81,6 +81,37 @@ class ShardingSpec extends SparkSpec {
     graft.operators.Materialized.free(shardedDf)
   }
 
+  test("shard files: partitionBy(shard) writes one directory per shard") {
+    // The operator's claim is that its output FEEDS a shard-file
+    // writer — prove the whole path: write the assignment partitioned
+    // by shard, read it back, and check the on-disk layout is the
+    // training launcher's contract (one directory per shard, every id
+    // exactly once, positions intact).
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    try {
+      Sharding.shuffleShards(docs(257), 4, idCol = "doc_id")
+        .write.partitionBy("shard").mode("overwrite").parquet(dir)
+      val shardDirs = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+      assert(shardDirs.toSeq === (0 until 4).map(i => s"shard=$i"))
+      val back = spark.read.parquet(dir)
+      assert(back.count() === 257)
+      assert(back.select("doc_id").distinct().count() === 257)
+      // Partition pruning works on the shard column — a launcher reads
+      // ONE shard without touching the others.
+      val one = back.filter(col("shard") === 2)
+      val scan = one.queryExecution.executedPlan.toString
+      assert(one.count() >= 64 && one.count() <= 65)
+      assert(scan.contains("PartitionFilters: [isnotnull(shard"),
+        s"shard filter not pushed to partition pruning:\n${scan.take(400)}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("the rank is two-phase: no global single-partition sort of the data") {
     // The range layout itself is materialized (localCheckpoint — the
     // packSequences contract), so the returned plan starts at a Scan
