@@ -141,6 +141,38 @@ class EdgeCorpusSpec extends SparkSpec {
     assert(scrub(4L)._1 === scrub(5L)._1 && scrub(5L)._2 === "the quick the dog")
   }
 
+  test("q80/q81/q82: degenerate docs through sharding, capping, epochs") {
+    // q80: sharding is id-driven — every doc (including empty/
+    // whitespace) gets exactly one (shard, pos); the permutation covers
+    // the corpus regardless of text shape.
+    val sharded = Extended.q80ShardShuffle(spark, dir).collect()
+    assert(sharded.length === 7)
+    assert(sharded.map(_.getLong(0)).toSet === (0L until 7L).toSet)
+    val pos = sharded.map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(pos.size === 7, s"duplicate (shard, pos) address: $pos")
+
+    // q81: all 7 docs share one source; cap 15 > 7 keeps everything
+    // with dense ranks — the cap must not invent or drop rows on a
+    // tiny group.
+    val capped = Extended.q81SourceCap(spark, dir).collect()
+    assert(capped.length === 7)
+    assert(capped.map(_.getLong(2)).sorted.toSeq === (1L to 7L))
+
+    // q82: the en budgets (4000) dwarf this corpus's ~23-token mass ->
+    // every lang present in the budget map upsamples; the 0-token docs
+    // ride inside full epochs (they occupy stream slots with no
+    // tokens) and the per-epoch doc set is IDENTICAL for full epochs.
+    val ep = Extended.q82EpochMixture(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    val byEpoch = ep.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val fullEpochs = byEpoch.keys.max
+    assert(fullEpochs >= 1, s"over-mass budget produced no repetition: $byEpoch")
+    (0L until fullEpochs).foreach { e =>
+      assert(byEpoch(e) === (0L until 7L).toSet,
+        s"full epoch $e must hold every doc (0-token docs included): ${byEpoch(e)}")
+    }
+  }
+
   test("q62 LM score: only docs with an adjacent non-empty token pair are scored") {
     val rows = Extended.q62LmBigramScore(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
