@@ -130,7 +130,15 @@ object ScaleSmoke {
       s"embeddings=$nDocs")
 
     // ---- timed runs (1 warm + 1 timed; smoke, not a microbench) ----
+    // SPARK_GRAFT_SMOKE_ONLY (regex) narrows the run to matching
+    // stages — a focused spill/sizing probe re-uses the generator
+    // without paying the full stage list (data gen still runs).
+    val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY").map(_.r)
     def run(name: String)(df: => DataFrame): Unit = {
+      if (only.exists(_.findFirstIn(name).isEmpty)) {
+        println(s"SMOKE $name SKIPPED (SPARK_GRAFT_SMOKE_ONLY)")
+        return
+      }
       df.count()
       shuffleWrite.set(0); spilled.set(0)
       val t0 = System.nanoTime()
@@ -198,10 +206,12 @@ object ScaleSmoke {
     // join only where the mass fits the sandbox. The q59 banded family
     // (4 hashes per band ⇒ collision ≈ J⁴) is the 100 TB path; q43's
     // own scaladoc routes large corpora through this same mass check.
+    def enabled(name: String): Boolean = only.forall(_.findFirstIn(name).isDefined)
     val docsDf = spark.read.parquet(s"$out/documents.parquet")
-    val mass = graft.operators.Approx.minHashCandidateMass(spark, docsDf)
-    println(f"SMOKE q43 ML-LSH candidate mass = $mass%,d pairs at ${copies}x " +
-      f"(quadratic in corpus by construction; the q59 banded family stays linear)")
+    lazy val mass = graft.operators.Approx.minHashCandidateMass(spark, docsDf)
+    if (enabled("q43") || enabled("neardup_auto"))
+      println(f"SMOKE q43 ML-LSH candidate mass = $mass%,d pairs at ${copies}x " +
+        f"(quadratic in corpus by construction; the q59 banded family stays linear)")
     // Round 10: the manual fence is now structural — nearDupAuto runs
     // the same linear mass probe internally and picks the family (the
     // decision line lands on stderr). At 10× it selects the ML
@@ -212,13 +222,15 @@ object ScaleSmoke {
       graft.operators.Approx.nearDupAuto(spark, docsDf, minJaccard = 0.8,
         knownMass = Some(mass))
     }
-    if (mass <= 100000000L)
-      run("q43_minhash_neardup") { SparkEntry.queries("q43_minhash_neardup")(spark, out) }
-    else
-      println(s"SMOKE q43_minhash_neardup full join SKIPPED at ${copies}x: " +
-        s"$mass candidate pairs exceed the sandbox spill budget (measured: " +
-        "the 30x mass fills the disk); the routed run above took the " +
-        "AND-banded arm automatically — mass above is the measured scale law")
+    if (enabled("q43_minhash_neardup")) {
+      if (mass <= 100000000L)
+        run("q43_minhash_neardup") { SparkEntry.queries("q43_minhash_neardup")(spark, out) }
+      else
+        println(s"SMOKE q43_minhash_neardup full join SKIPPED at ${copies}x: " +
+          s"$mass candidate pairs exceed the sandbox spill budget (measured: " +
+          "the 30x mass fills the disk); the routed run above took the " +
+          "AND-banded arm automatically — mass above is the measured scale law")
+    }
     run("q58_simhash_md5") { SparkEntry.queries("q58_simhash_md5")(spark, out) }
     // Semantic dedup at scale (round 9): `nlist` grows with the corpus
     // so the CELL SIZE — and with it the quadratic within-cell term —
@@ -329,7 +341,7 @@ object ScaleSmoke {
     val sizedEp = sizedShuf.select(col("doc_id"), lit("en").as("lang"),
       col("n_tokens"),
       md5(concat_ws(":", lit("mix"), col("doc_id").cast("string"))).as("rk"))
-    val epMass = sizedEp.agg(sum(col("n_tokens"))).head().getLong(0)
+    lazy val epMass = sizedEp.agg(sum(col("n_tokens"))).head().getLong(0)
     run("epoch_mixture_3p5x") {
       hashed(tracked(graft.operators.Sampling.quotaSampleEpochs(sizedEp,
         Map("en" -> (3L * epMass + epMass / 2)))))
@@ -367,6 +379,40 @@ object ScaleSmoke {
     }
     run("q77_window_scrub") {
       hashed(SparkEntry.queries("q77_window_scrub")(spark, out))
+    }
+    // q76's spill decomposes into TWO sorts with DIFFERENT dials
+    // (measured at 300×, the round's only remaining multi-GB spill):
+    // the reduce-side final SortAggregate reads the ~4 GB hash
+    // exchange — sized by the q38 rule (initial partitions ≳ exchange
+    // bytes / advisory; 6228 → 3945 MB spill with 512/16m alone) —
+    // while the MAP-side partial SortAggregate sorts the exploded
+    // windows BEFORE any exchange, so its task size is the SCAN
+    // partition (files.maxPartitionBytes), untouched by shuffle
+    // sizing. Both dials together are the complete rule; measured
+    // side by side with the unsized runs above.
+    val wPriorAdvisory =
+      spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val wPriorInit =
+      spark.conf.getOption("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+    val wPriorScan = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", 512)
+      run("q76_sized_advisory") {
+        hashed(SparkEntry.queries("q76_window_stats")(spark, out))
+      }
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+      run("q76_sized_both") {
+        hashed(SparkEntry.queries("q76_window_stats")(spark, out))
+      }
+    } finally {
+      def restore(key: String, prior: Option[String]): Unit = prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      restore("spark.sql.adaptive.advisoryPartitionSizeInBytes", wPriorAdvisory)
+      restore("spark.sql.adaptive.coalescePartitions.initialPartitionNum", wPriorInit)
+      restore("spark.sql.files.maxPartitionBytes", wPriorScan)
     }
     // End-to-end training pipeline (round 10): quality → exact dedup →
     // mass-routed near-dup → decontam (fixed 500-doc benchmark slice)
@@ -412,10 +458,12 @@ object ScaleSmoke {
     // localSolveEdges = 0 pins the DISTRIBUTED loop: the round-10 local
     // tail solve would otherwise absorb the remainder and the round
     // bound this smoke exists to measure would be vacuously true.
-    val pairs = graft.ops.Extended.minhashPairs(spark, out).select(col("a"), col("b"))
-    val clusters = graft.operators.Approx.dedupClusters(pairs, maxIter = 5,
-      localSolveEdges = 0L).count()
-    println(s"SMOKE q60 converged within 5 rounds ($clusters labeled docs)")
+    if (enabled("q60_tail")) {
+      val pairs = graft.ops.Extended.minhashPairs(spark, out).select(col("a"), col("b"))
+      val clusters = graft.operators.Approx.dedupClusters(pairs, maxIter = 5,
+        localSolveEdges = 0L).count()
+      println(s"SMOKE q60 converged within 5 rounds ($clusters labeled docs)")
+    }
     spark.stop()
   }
 }
