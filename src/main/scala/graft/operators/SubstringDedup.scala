@@ -113,28 +113,49 @@ object SubstringDedup {
             greatest(col("n_windows"), lit(1L)).cast("double"), 4))
   }
 
+  /** A window instance's position in keep-first stream order, packed
+    * into ONE long: doc_id · 2²¹ + start. Packing exists so the owner
+    * aggregate below is `min(long)` — an all-primitive buffer that
+    * plans as HashAggregateExec — instead of `min(struct)`, which has
+    * no hash-agg buffer and forced a SortAggregate pair whose per-task
+    * sort was the operator's ONE multi-GB spill at the 300× smoke
+    * (measured: partition sizing halved it; this removes the sort
+    * altogether). min over the packed key ≡ lexicographic
+    * (doc_id, start) iff 0 ≤ start < 2²¹ and the product cannot
+    * overflow — both asserted LOUDLY per row, scan-side (a 2M-token
+    * document or a 2⁴²-range doc id is out of contract, not silently
+    * misordered; the guard is the packing's left operand so null rows
+    * cannot skip it, and it rides the packed value so pruning cannot
+    * drop it). */
+  private val StartBound = 1L << 21
+  private def packedPos: Column = {
+    val guard = coalesce(
+      assert_true(
+        col("start").cast("long").between(0L, StartBound - 1) &&
+          col("doc_id").between(0L, Long.MaxValue / StartBound - 1),
+        lit(s"SubstringDedup: window start >= 2^21 tokens or doc_id >= 2^42 — " +
+          "outside the packed keep-first key's contract")).cast("long"),
+      lit(0L))
+    guard + col("doc_id") * lit(StartBound) + col("start").cast("long")
+  }
+
   /** Instance marks: each window row joined with its hash group's
     * occurrence count and owner. `dup` = content occurs > 1 time in the
     * corpus; `shad` = a strictly earlier (doc_id, start) instance of
-    * the same content exists (the struct min is the global keep-first
+    * the same content exists (the packed min is the global keep-first
     * owner — q33's convention lifted to substrings). The group side is
     * distinct-window-sized — NOT broadcastable at scale — so this is a
     * plain equi-join on the hash key, 8 bytes wide in the production
-    * form. Known trade (measured, COVERAGE q76 decade): `min(struct)`
-    * has no hash-aggregate buffer, so this aggregate plans as a
-    * SortAggregate; the scan-side window hashing dominates it at every
-    * measured scale, and the hash-agg alternative (aggregate per
-    * (h, doc_id) first, then min_by per h) costs an EXTRA full
-    * exchange of the window stream — CPU bought with shuffle, not
-    * taken. */
+    * form; both aggregate buffers are longs, so the ownership pass
+    * hash-aggregates with map-side combine and never sorts. */
   private def markInstances(wins: DataFrame): DataFrame = {
     val grp = wins.groupBy("h")
       .agg(count(lit(1)).as("n_inst"),
-        min(struct(col("doc_id"), col("start"))).as("own"))
+        min(packedPos).as("own"))
     wins.join(grp, Seq("h"))
       .select(col("doc_id"), col("start"),
         (col("n_inst") > 1L).as("dup"),
-        (struct(col("doc_id"), col("start")) =!= col("own")).as("shad"))
+        (packedPos =!= col("own")).as("shad"))
   }
 
   /** Remove duplicated substrings, keep-first: every shadowed window's
