@@ -105,7 +105,8 @@ object SparkEntry {
     "q79_temperature_mixture" -> Extended.q79TemperatureMixture _,
     "q80_shard_shuffle"       -> Extended.q80ShardShuffle _,
     "q81_source_cap"          -> Extended.q81SourceCap _,
-    "q82_epoch_mixture"       -> Extended.q82EpochMixture _
+    "q82_epoch_mixture"       -> Extended.q82EpochMixture _,
+    "q83_split_leakage"       -> Extended.q83SplitLeakage _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

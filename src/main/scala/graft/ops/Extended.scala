@@ -160,14 +160,18 @@ object Extended {
     * conv(hex, 16, 10) ≡ DuckDB's CAST('0x'||hex AS BIGINT). The
     * xxhash64 production variant (plus fractional sampling and
     * per-stratum quotas) is [[graft.operators.Sampling]]. */
+  /** q50's content-hash split bucket/label — ONE definition, shared by
+    * q50 and the q83 leakage audit (the oracle renders the same CASE
+    * verbatim in both places). */
+  private def splitBucket: Column =
+    conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 10000L
+  private def splitOf(bucket: Column): Column =
+    when(bucket < 8000, "train").when(bucket < 9000, "val").otherwise("test")
+
   def q50SplitAssign(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .withColumn("bucket",
-        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 10000L)
-      .select(col("doc_id"), col("bucket"),
-              when(col("bucket") < 8000, "train")
-                .when(col("bucket") < 9000, "val")
-                .otherwise("test").as("split"))
+      .withColumn("bucket", splitBucket)
+      .select(col("doc_id"), col("bucket"), splitOf(col("bucket")).as("split"))
       .orderBy("doc_id")
 
   /** q58: SimHash near-dup pairs with an md5-derived hash family — the
@@ -896,5 +900,29 @@ object Extended {
       md5(concat_ws(":", lit("mix"), col("doc_id").cast("string"))).as("rk"))
     graft.operators.Sampling.quotaSampleEpochs(sized, Q82Budgets.toMap)
       .orderBy("doc_id", "epoch")
+  }
+
+  /** q83: split-leakage audit — the QA step after assigning
+    * train/val/test: q50's content-hash split co-locates EXACT
+    * duplicates by construction (same text → same bucket), so the only
+    * way eval data can leak into training is through NEAR duplicates —
+    * and this query lists exactly those: q59's near-dup pairs whose two
+    * documents landed in DIFFERENT splits (with both splits named, so
+    * the report distinguishes train↔val from train↔test). Composition,
+    * not new machinery: the pair chain is [[minhashPairs]] (the q59/q60
+    * shared family — one implementation) and the split is q50's
+    * expression (one definition, [[splitOf]]); the oracle composes the
+    * SAME two replayed chains. Scale shape: the split columns are two
+    * broadcast-or-hash joins on the 8-byte pair ids against a scan-side
+    * computed label — nothing beyond what q59 already shuffles. */
+  def q83SplitLeakage(s: SparkSession, d: String): DataFrame = {
+    val splits = documents(s, d)
+      .select(col("doc_id"), splitOf(splitBucket).as("split"))
+    minhashPairs(s, d)
+      .join(splits.select(col("doc_id").as("a"), col("split").as("split_a")), Seq("a"))
+      .join(splits.select(col("doc_id").as("b"), col("split").as("split_b")), Seq("b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("a"), col("b"), col("jaccard"), col("split_a"), col("split_b"))
+      .orderBy("a", "b")
   }
 }

@@ -82,6 +82,36 @@ object Oracle {
       |  FROM wins)""".stripMargin
   }
 
+  /** The q59 MinHash pair chain (tokens → md5-derived 32-bit values →
+    * explicit (a·x+b) mod p family → 4×4 banding → candidate pairs →
+    * intersection counts), shared by every oracle that consumes the
+    * SAME edge set: q59 (the pairs), q60 (their transitive closure),
+    * q83 (their split-leakage cut). ONE definition — a family constant
+    * edit cannot land in one consumer only. Ends at `inter`/`cnt`;
+    * consumers append their own CTEs/final SELECT. Constants match
+    * Extended.MinHashA/B literal-for-literal. */
+  private val minhashChainCtes: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      | uw AS (SELECT doc_id, unnest(toks) AS w FROM t),
+      | tok AS (SELECT DISTINCT doc_id, w FROM uw WHERE w <> ''),
+      | tx AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS x FROM tok),
+      | c AS (SELECT unnest(generate_series(0, 15)) AS i,
+      |   unnest([387413, 204209, 501871, 118757, 286711, 430585, 93871, 364657,
+      |           259679, 147641, 478237, 58693, 315979, 196613, 420263, 86243]) AS a,
+      |   unnest([98429, 312881, 45751, 267923, 159871, 73009, 401587, 22481,
+      |           348259, 120097, 289751, 441347, 66563, 237541, 30781, 182429]) AS b),
+      | hv AS (SELECT doc_id, i, min((a * x + b) % 2147483647) AS m
+      |        FROM tx CROSS JOIN c GROUP BY doc_id, i),
+      | bd AS (SELECT doc_id, i // 4 AS g, string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS v
+      |        FROM hv GROUP BY doc_id, i // 4),
+      | cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |          FROM bd x JOIN bd y ON x.g = y.g AND x.v = y.v AND y.doc_id > x.doc_id),
+      | cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      | inter AS (SELECT c2.a, c2.b, count(*) AS ni
+      |           FROM cand c2 JOIN tok ta ON ta.doc_id = c2.a
+      |                        JOIN tok tb ON tb.doc_id = c2.b AND tb.w = ta.w
+      |           GROUP BY c2.a, c2.b)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, round(l_extendedprice * (1 - l_discount), 2) AS net
@@ -553,32 +583,13 @@ object Oracle {
     // is probabilistic, so reproducing it — not brute force — is what
     // makes the declared result value-checkable). Constants match
     // Extended.MinHashA/B literal-for-literal.
-    "q59_minhash_md5" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        | uw AS (SELECT doc_id, unnest(toks) AS w FROM t),
-        | tok AS (SELECT DISTINCT doc_id, w FROM uw WHERE w <> ''),
-        | tx AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS x FROM tok),
-        | c AS (SELECT unnest(generate_series(0, 15)) AS i,
-        |   unnest([387413, 204209, 501871, 118757, 286711, 430585, 93871, 364657,
-        |           259679, 147641, 478237, 58693, 315979, 196613, 420263, 86243]) AS a,
-        |   unnest([98429, 312881, 45751, 267923, 159871, 73009, 401587, 22481,
-        |           348259, 120097, 289751, 441347, 66563, 237541, 30781, 182429]) AS b),
-        | hv AS (SELECT doc_id, i, min((a * x + b) % 2147483647) AS m
-        |        FROM tx CROSS JOIN c GROUP BY doc_id, i),
-        | bd AS (SELECT doc_id, i // 4 AS g, string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS v
-        |        FROM hv GROUP BY doc_id, i // 4),
-        | cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |          FROM bd x JOIN bd y ON x.g = y.g AND x.v = y.v AND y.doc_id > x.doc_id),
-        | cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
-        | inter AS (SELECT c2.a, c2.b, count(*) AS ni
-        |           FROM cand c2 JOIN tok ta ON ta.doc_id = c2.a
-        |                        JOIN tok tb ON tb.doc_id = c2.b AND tb.w = ta.w
-        |           GROUP BY c2.a, c2.b)
+    "q59_minhash_md5" -> ("WITH " + minhashChainCtes +
+      """
         |SELECT i2.a, i2.b,
         |  floor(CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS jaccard
         |FROM inter i2 JOIN cnt ca ON ca.doc_id = i2.a JOIN cnt cb ON cb.doc_id = i2.b
         |WHERE CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) >= 0.8
-        |ORDER BY a, b""".stripMargin,
+        |ORDER BY a, b""".stripMargin),
 
     // q60: connected components over the q59 pair graph, computed
     // declaratively as a recursive-CTE transitive closure (min reachable
@@ -591,27 +602,8 @@ object Oracle {
     // spills tens of GB at sf0.1. That asymmetry is the point (the Spark
     // side's label propagation holds one (node,label) row per node); run
     // this oracle at the sf0.01 contract tier only.
-    "q60_dedup_clusters" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        | uw AS (SELECT doc_id, unnest(toks) AS w FROM t),
-        | tok AS (SELECT DISTINCT doc_id, w FROM uw WHERE w <> ''),
-        | tx AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS x FROM tok),
-        | c AS (SELECT unnest(generate_series(0, 15)) AS i,
-        |   unnest([387413, 204209, 501871, 118757, 286711, 430585, 93871, 364657,
-        |           259679, 147641, 478237, 58693, 315979, 196613, 420263, 86243]) AS a,
-        |   unnest([98429, 312881, 45751, 267923, 159871, 73009, 401587, 22481,
-        |           348259, 120097, 289751, 441347, 66563, 237541, 30781, 182429]) AS b),
-        | hv AS (SELECT doc_id, i, min((a * x + b) % 2147483647) AS m
-        |        FROM tx CROSS JOIN c GROUP BY doc_id, i),
-        | bd AS (SELECT doc_id, i // 4 AS g, string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS v
-        |        FROM hv GROUP BY doc_id, i // 4),
-        | cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |          FROM bd x JOIN bd y ON x.g = y.g AND x.v = y.v AND y.doc_id > x.doc_id),
-        | cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
-        | inter AS (SELECT c2.a, c2.b, count(*) AS ni
-        |           FROM cand c2 JOIN tok ta ON ta.doc_id = c2.a
-        |                        JOIN tok tb ON tb.doc_id = c2.b AND tb.w = ta.w
-        |           GROUP BY c2.a, c2.b),
+    "q60_dedup_clusters" -> ("WITH RECURSIVE " + minhashChainCtes +
+      """,
         | pairs AS (SELECT i2.a, i2.b
         |           FROM inter i2 JOIN cnt ca ON ca.doc_id = i2.a JOIN cnt cb ON cb.doc_id = i2.b
         |           WHERE CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) >= 0.8),
@@ -622,7 +614,7 @@ object Oracle {
         |   UNION
         |   SELECT r.s, e.y FROM reach r JOIN e ON e.x = r.t)
         |SELECT s AS doc_id, min(t) AS keeper, count(*) AS component_size
-        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin),
 
     // q61: blocked Levenshtein fuzzy join — both engines implement the
     // identical unit-cost edit distance; the block predicate and the
@@ -1325,6 +1317,29 @@ object Oracle {
         |FROM ep, unnest(range(0, fe + 1)) AS u(epoch)
         |WHERE u.epoch < fe OR cum_before < rem
         |ORDER BY doc_id, epoch""".stripMargin
-    }
+    },
+
+    // q83: split-leakage audit — the q59 pair chain (shared CTEs, same
+    // edge set by construction) joined to q50's content-hash split,
+    // keeping only pairs whose ends landed in DIFFERENT splits. The
+    // split CASE is q50's oracle expression verbatim.
+    "q83_split_leakage" -> ("WITH " + minhashChainCtes +
+      """,
+        | pairs AS (SELECT i2.a, i2.b,
+        |    floor(CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS jaccard
+        |  FROM inter i2 JOIN cnt ca ON ca.doc_id = i2.a JOIN cnt cb ON cb.doc_id = i2.b
+        |  WHERE CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) >= 0.8),
+        | sp AS (SELECT doc_id,
+        |  CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000 < 8000 THEN 'train'
+        |       WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000 < 9000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT p.a, p.b, p.jaccard,
+        |  sa.split AS split_a, sb.split AS split_b
+        |FROM pairs p
+        |JOIN sp sa ON sa.doc_id = p.a
+        |JOIN sp sb ON sb.doc_id = p.b
+        |WHERE sa.split <> sb.split
+        |ORDER BY a, b""".stripMargin)
   )
 }

@@ -133,7 +133,11 @@ class GoldenCountsSpec extends SparkSpec {
     "q81_source_cap" -> 300,
     // q82 (round 11): epoch-repeat mixture — de contributes 2 exact
     // epochs (140), zh 2 + a prefix, en a partial first epoch.
-    "q82_epoch_mixture" -> 396
+    "q82_epoch_mixture" -> 396,
+    // q83 (round 11): near-dup pairs straddling the q50 split — ~34%
+    // of q59's 25320 pairs land on differing splits (the 80/10/10
+    // cross terms).
+    "q83_split_leakage" -> 8565
   )
 
   test("queries/oracleSql keys line up") {
@@ -264,7 +268,11 @@ class GoldenCountsSpec extends SparkSpec {
     // lang lands in the partial-first-epoch regime — fewer rows than
     // sf0.01 despite 10x the docs; parity-checked at all three SFs
     // when declared (round 11).
-    "q82_epoch_mixture" -> 373L
+    "q82_epoch_mixture" -> 373L,
+    // q83 tracks the q59 pair mass (~2.5M pairs at sf0.1, one planted
+    // near-clique) times the cross-split fraction; parity-checked at
+    // all three SFs when declared (round 11).
+    "q83_split_leakage" -> 869557L
   )
 
   sf01Pins.toSeq.sortBy(_._1).foreach { case (name, rows) =>

@@ -494,7 +494,7 @@ class StreamingSpec extends SparkSpec {
     val viaSql = spark.sql(
       "SELECT c_mktsegment, count(*) AS n FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1")
     assert(viaSql.count() === 5)
-    assert(Graft.operators.size === 82)
+    assert(Graft.operators.size === 83)
     assert(Graft.query("q21_sort_topk")(spark, sf0001).count() === 25)
     // SQL over the events view (ns-timestamp table) works too
     assert(spark.sql("SELECT count(*) FROM events WHERE user_id < 5").head.getLong(0) > 0)
