@@ -311,17 +311,18 @@ object ScaleSmoke {
     // flat 10×→100×, physically impossible for real work). Force every
     // output column through a hash the count depends on.
     def hashed(df: DataFrame): DataFrame = {
-      // Mask to 31 bits before summing: raw 64-bit hashes overflow the
-      // Long sum under ANSI within a few thousand rows. Aggregate BOTH
-      // the hash sum (pins every column against pruning) and count(*)
-      // — the count is what run() reports as rows, so an empty-result
-      // regression still shows rows=0 instead of hiding behind the
-      // one-row aggregate.
+      // A per-row FILTER on the hash, not an aggregate-then-rebuild:
+      // the masked hash is >= 0 at runtime but Catalyst cannot prove it
+      // (xxhash64 isn't foldable and no rule reasons about bitmask
+      // ranges), so the predicate survives optimization and count()
+      // must evaluate the hash — and with it every output column — for
+      // each row. rows = the TRUE count with zero materialization.
+      // (The first cut aggregated a hash sum and rebuilt the count via
+      // explode(array_repeat(1, n)): one n-element array on one row,
+      // int cast silently wrapping past 2^31 — a larger decade would
+      // OOM or report a wrong count.)
       val h = xxhash64(df.columns.map(col): _*).bitwiseAND(lit(0x7FFFFFFFL))
-      df.select(h.as("h"))
-        .agg(sum(col("h")).as("s"), count(lit(1)).as("n"))
-        .filter(col("s") =!= 0L || col("s").isNull)
-        .select(explode(array_repeat(lit(1), col("n").cast("int"))))
+      df.select(h.as("h")).filter(col("h") >= 0L).select(lit(1).as("one"))
     }
     // Shuffle-shard (round 11, pipeline stage 7): the global rank is
     // the same two-phase form as packing, over (id, md5) pairs — wall

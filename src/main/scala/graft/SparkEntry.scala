@@ -106,7 +106,9 @@ object SparkEntry {
     "q80_shard_shuffle"       -> Extended.q80ShardShuffle _,
     "q81_source_cap"          -> Extended.q81SourceCap _,
     "q82_epoch_mixture"       -> Extended.q82EpochMixture _,
-    "q83_split_leakage"       -> Extended.q83SplitLeakage _
+    "q83_split_leakage"       -> Extended.q83SplitLeakage _,
+    "q84_semantic_dedup_cells" -> Extended.q84SemanticDedupCells _,
+    "q85_transitive_leakage"  -> Extended.q85TransitiveLeakage _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -153,11 +153,15 @@ object TextFunctions {
     * reason q49 is a rows-only query); the portable phone twin uses
     * `\b` boundaries instead — same verdict on the separated forms
     * (555-123-4567, 555.123.4567, 555 123 4567), narrower on runs glued
-    * to other word characters. One definition, two engines: the oracle
+    * to other word characters. The whitespace class is spelled out as
+    * `[^ \t\n\x0B\f\r]` rather than `[^\s]` because `\s` itself is the
+    * one "shared" construct the engines disagree on (RE2's lacks \x0B)
+    * — the same convention the oracle's tokenizer splits follow.
+    * One definition, two engines: the oracle
     * splices these strings into its SQL literals verbatim (the Q70Vocab
     * convention), so the engines cannot drift apart. */
   private[graft] val PiiEmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private[graft] val PiiUrlPattern = "(https?://|www\\.)[^\\s]+"
+  private[graft] val PiiUrlPattern = "(https?://|www\\.)[^ \\t\\n\\x0B\\f\\r]+"
   private[graft] val PiiIpv4Pattern = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
   private[graft] val PiiPhonePortablePattern = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
 

@@ -1118,19 +1118,33 @@ object Approx {
                     fitFraction: Double = 1.0,
                     treeAssign: Boolean = false): DataFrame = {
     val pairs = semanticDedupPairs(emb, minSim, nlist, seed, fitFraction, treeAssign)
+    keeperMap(emb.select(col("vec_id")), pairs)
+  }
+
+  /** The pair-graph → keeper-map tail shared by [[semanticDedup]] and
+    * its literal-centroid declared twin (q84, ops/Extended — the one
+    * variant whose values a DuckDB oracle can replay): cluster the
+    * (a, b) pairs with [[dedupClusters]], back-join over the full
+    * corpus (vectors with no qualifying pair never reach the clustering
+    * and keep themselves), and annotate cluster sizes. `vecs` is one
+    * row per corpus member with `idCol` first; any EXTRA columns (q84's
+    * cell assignment) pass through untouched between `idCol` and the
+    * appended (keeper, cluster_size, is_keeper). Scale shape: both
+    * joins are id-keyed equi-joins on the (id, keeper) map — embeddings
+    * never enter this tail. */
+  private[graft] def keeperMap(vecs: DataFrame, pairs: DataFrame,
+                               idCol: String = "vec_id"): DataFrame = {
     val labels = dedupClusters(pairs.select(col("a"), col("b")))
-      .toDF("vid", "keeper")
-    // Back-join over the full corpus: vectors with no qualifying pair
-    // never reach the clustering and keep themselves.
-    val assigned = emb.select(col("vec_id"))
-      .join(labels, col("vec_id") === col("vid"), "left")
-      .select(col("vec_id"),
-        coalesce(col("keeper"), col("vec_id")).as("keeper"))
+      .toDF("vid", "kpr")
+    val passthrough = vecs.columns.map(col)
+    val assigned = vecs
+      .join(labels, col(idCol) === col("vid"), "left")
+      .select(passthrough :+ coalesce(col("kpr"), col(idCol)).as("keeper"): _*)
     val sizes = assigned.groupBy(col("keeper").as("k"))
       .agg(count(lit(1)).as("cluster_size"))
     assigned.join(sizes, col("keeper") === col("k"))
-      .select(col("vec_id"), col("keeper"), col("cluster_size"),
-        (col("vec_id") === col("keeper")).as("is_keeper"))
+      .select(passthrough ++ Seq(col("keeper"), col("cluster_size"),
+        (col(idCol) === col("keeper")).as("is_keeper")): _*)
   }
 
   /** [[semanticDedup]]'s pair stage, exposed (package-private) so

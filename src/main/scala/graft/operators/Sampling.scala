@@ -276,13 +276,28 @@ object Sampling {
     * the epoch fan-out is a scan-side `explode(sequence(...))` whose
     * factor is exactly the repetition the caller asked for — no join,
     * no extra exchange, and the fan-out rows are five small columns,
-    * never text. */
+    * never text.
+    *
+    * `maxEpochs` bounds the repetition factor `b div m`: a misconfigured
+    * budget vastly exceeding a tiny group's mass would otherwise fan out
+    * enormously (or die mid-job inside `sequence`'s array-size limit)
+    * before anyone notices the config error. No real curriculum repeats
+    * data four orders of magnitude (the data-constrained scaling studies
+    * stop seeing value around 4–16 epochs), so the default cap of 10000
+    * is pure pathology insurance; callers with a legitimate extreme
+    * ratio raise it explicitly. The guard is an `assert_true` on `fe`
+    * evaluated BEFORE the explode (the quotaLayout left-operand
+    * convention), so the job fails at first evaluation with the
+    * offending group and factor in the message, not with an opaque
+    * array-allocation error after minutes of fan-out. */
   def quotaSampleEpochs(docs: DataFrame, budgets: Map[String, Long],
                         groupCol: String = "lang", idCol: String = "doc_id",
                         nCol: String = "n_tokens", orderCol: String = "rk",
-                        nParts: Int = 0, reliable: Boolean = false): DataFrame = {
+                        nParts: Int = 0, reliable: Boolean = false,
+                        maxEpochs: Long = 10000L): DataFrame = {
     require(budgets.nonEmpty, "budgets must not be empty")
     require(budgets.values.forall(_ > 0), "every budget must be positive")
+    require(maxEpochs > 0, "maxEpochs must be positive")
     val budgetFor = budgets.foldLeft(lit(0L)) { case (acc, (g, b)) =>
       when(col("grp") === lit(g), lit(b)).otherwise(acc)
     }
@@ -298,12 +313,25 @@ object Sampling {
       .join(broadcast(masses), col("grp") === col("mgrp"))
       .withColumn("b", budgetFor)
       .filter(col("b") > 0)
-      .withColumn("fe", expr("b div m"))
+      // feGuard on the LEFT of the add (the quotaLayout convention):
+      // a factor past maxEpochs is a budget/mass misconfiguration —
+      // fail at first evaluation, naming group and factor, instead of
+      // fanning out for minutes or dying inside sequence's array limit.
+      .withColumn("fe", {
+        val feRaw = expr("b div m")
+        val feGuard = coalesce(
+          assert_true(feRaw <= lit(maxEpochs),
+            concat(lit("quotaSampleEpochs: repetition factor (budget div mass) for group "),
+              col("grp"), lit(" is "), feRaw.cast("string"),
+              lit(s", above maxEpochs=$maxEpochs — budget/mass misconfiguration?"))).cast("long"),
+          lit(0L))
+        feGuard + feRaw
+      })
       .withColumn("rem", pmod(col("b"), col("m")))
       // epoch ranges 0..fe: epochs below fe keep every doc; epoch fe
       // keeps the budget-remainder prefix. sequence(0, fe) is safe —
       // fe >= 0 always (b > 0, m > 0) — and bounded by the repetition
-      // factor the budgets encode.
+      // factor the budgets encode (itself capped by maxEpochs above).
       .select(col("id"), col("grp"), col("n"), col("cum_before"),
         col("pick_pos"), col("fe"), col("rem"),
         explode(sequence(lit(0L), col("fe"))).as("epoch"))

@@ -925,4 +925,132 @@ object Extended {
       .select(col("a"), col("b"), col("jaccard"), col("split_a"), col("split_b"))
       .orderBy("a", "b")
   }
+
+  /** q84's literal coarse-quantizer centroids — the [[Q71Planes]]
+    * convention (fixed seed, small integer coordinates, ONE definition
+    * rendered into both engines) applied to CELLS instead of planes.
+    * Four centroids ≙ q66's nlist = 4; integer coordinates keep every
+    * per-dimension product `float_element × double(coef)` EXACT in
+    * double, so the left-associated score chains cannot drift between
+    * Java and DuckDB arithmetic. */
+  private[graft] val Q84Centroids: Seq[Seq[Int]] = {
+    val r = new scala.util.Random(20260815L)
+    Seq.fill(4)(Seq.fill(64)(r.nextInt(17) - 8))
+  }
+
+  /** q84: semantic deduplication with an EXPLICIT literal quantizer —
+    * the value-checked twin of the rows-only q66 (whose seeded k-means
+    * fit has no SQL form), closing the last rows-only FAMILY gap the
+    * way q71 twinned q46 and q58/q59 twinned q44/q43: every stage of
+    * the SemDeDup shape — cell assignment, within-cell cosine pairing,
+    * connected components, the keeper map — is replayed value-for-value
+    * by a DuckDB oracle.
+    *
+    * Assignment: `cell = argmax_k dot(embedding, centroid_k)` over
+    * [[Q84Centroids]], first index winning ties. The testdata
+    * embeddings are unit-norm (measured: min = max = 1.0), so
+    * max-inner-product IS nearest-cell — for any equal-relevance family
+    * ‖e−c‖² = ‖e‖² − 2·e·c + ‖c‖² differs from −2·e·c by per-k
+    * constants, and on the sphere the dot ordering and the distance
+    * ordering agree up to those constants; the spherical (dot-argmax)
+    * form is the standard IVF coarse quantizer for cosine corpora and
+    * is what q66's k-means approximates on this data. Each dot renders
+    * as the q71 left-associated chain of element × double(int)
+    * products in both engines — exact doubles, identical addition
+    * order — and the argmax as the SAME sequential CASE (first max
+    * wins), so assignments are bit-identical by construction.
+    *
+    * Pairing: within-cell exact float32 cosine ≥ 0.35 — q45's proven
+    * parity machinery verbatim (native float_dot, float norms,
+    * round-to-4, float-literal compare ≡ DuckDB's
+    * list_cosine_similarity). Components: the SHARED
+    * [[graft.operators.Approx.keeperMap]] tail (dedupClusters'
+    * min-label propagation + full-corpus back-join), the exact code
+    * q66 runs — so a green value match here certifies the production
+    * semantic-dedup tail, not a replica. The oracle replays components
+    * with q60's recursive-CTE closure.
+    *
+    * Scale shape: the cell is one scan-side codegen'd expression (no
+    * fit stage at all — the literal family is the model); the corpus
+    * shuffles ONCE by cell for the self-join; the clustering tail
+    * shuffles only (id, label) rows. Identical exchange structure to
+    * q66 minus the ML fit. */
+  def q84SemanticDedupCells(s: SparkSession, d: String): DataFrame = {
+    def cellDot(e: Column, cs: Seq[Int]): Column =
+      cs.zipWithIndex.map { case (c, j) =>
+        element_at(e, j + 1) * lit(c.toDouble)
+      }.reduce(_ + _)
+    val scores = Q84Centroids.map(cs => cellDot(col("embedding"), cs))
+    // First-max argmax as a sequential CASE: branch k fires iff s_k is
+    // >= every LATER score — earlier branches failing guarantees some
+    // later score beat each of them, so the first firing branch holds
+    // the maximum (the identical CASE renders in the oracle).
+    val cell = (0 until scores.length - 1).foldRight(
+        lit(scores.length - 1)) { (k, els) =>
+      val isMax = (k + 1 until scores.length)
+        .map(j => scores(k) >= scores(j)).reduce(_ && _)
+      when(isMax, lit(k)).otherwise(els)
+    }
+    val dot = (a: String, b: String) =>
+      graft.expressions.GraftFunctions.floatDot(s, a, b)
+    val cells = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), cell.as("cell"))
+    // q45's float32 parity chain: float norms, float sim, round-to-4,
+    // compared against a FLOAT literal (a bare 0.35 is a double and
+    // float(0.35) widens a hair below it — the q45 boundary note).
+    // Zero-norm vectors leave the pair stage (cosine undefined, ANSI
+    // divide-by-zero) but keep their corpus row via keeperMap.
+    val sides = cells
+      .withColumn("nrm", sqrt(dot("embedding", "embedding")).cast("float"))
+      .filter(col("nrm") > 0)
+    val lhs = sides.select(col("vec_id").as("a"), col("embedding").as("ea"),
+      col("cell").as("cella"), col("nrm").as("na"))
+    val rhs = sides.select(col("vec_id").as("b"), col("embedding").as("eb"),
+      col("cell").as("cellb"), col("nrm").as("nb"))
+    val sim = (dot("ea", "eb") / (col("na") * col("nb"))).cast("float")
+    val pairs = lhs
+      .join(rhs, col("cella") === col("cellb") && col("a") < col("b"))
+      .select(col("a"), col("b"), round(sim, 4).as("sim"))
+      .filter(col("sim") >= lit(0.35f))
+    graft.operators.Approx
+      .keeperMap(cells.select(col("vec_id"), col("cell")),
+        pairs.select(col("a"), col("b")))
+      .orderBy("vec_id")
+  }
+
+  /** q85: TRANSITIVE split-leakage audit — q83 composed with q60's
+    * component view. q83 lists DIRECT near-dup pairs that straddle a
+    * split boundary; but leakage is transitive (doc A in train, B in
+    * test, linked only through C: A–C and C–B are near-dup pairs, A–B
+    * is not), so the complete audit asks which near-dup COMPONENTS
+    * touch more than one of q50's splits. One row per leaking
+    * component: its keeper (min doc_id — the q60 convention), total
+    * member count, distinct splits touched, and the per-split member
+    * breakdown (train/val/test counts — the numbers a release review
+    * actually reads: "this component has 3 training docs shadowing 1
+    * test doc"). Pure composition of three oracled chains — the
+    * [[minhashPairs]] family, [[graft.operators.Approx.dedupClusters]]'
+    * label propagation, and [[splitOf]] — no new machinery; the oracle
+    * composes the SAME replayed chains (q60's recursive closure + q50's
+    * split CASE). Singleton documents cannot leak (one doc = one
+    * split), so clustering only the paired nodes is exhaustive.
+    *
+    * Scale shape: everything past the pair chain shuffles (id, label)
+    * and (id, split) tuples only; the final aggregate is one exchange
+    * on keeper. Nothing beyond what q60 + q50 already move. */
+  def q85TransitiveLeakage(s: SparkSession, d: String): DataFrame = {
+    val comp = graft.operators.Approx
+      .dedupClusters(minhashPairs(s, d).select(col("a"), col("b")))
+    val splits = documents(s, d)
+      .select(col("doc_id"), splitOf(splitBucket).as("split"))
+    comp.join(splits, Seq("doc_id"))
+      .groupBy(col("cluster_id").as("keeper"))
+      .agg(count(lit(1)).as("component_size"),
+        countDistinct(col("split")).as("n_splits"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      .filter(col("n_splits") >= 2)
+      .orderBy("keeper")
+  }
 }

@@ -438,19 +438,22 @@ object Oracle {
 
     // Extended (q41+) oracle-matched entries. Rounding is spelled out as
     // the explicit floor formula (see q26 note) and regex classes are
-    // ASCII-only so Java regex (Spark) and RE2 (DuckDB) agree.
+    // ASCII-only so Java regex (Spark) and RE2 (DuckDB) agree. The
+    // whitespace class is ALWAYS the explicit '[ \t\n\x0B\f\r]+' (never
+    // RE2's '\s', which lacks \x0B — Java's includes it), so a
+    // vertical-tab-bearing corpus tokenizes identically in both engines.
     // Token count is written lambda-free (no list_filter closure — the
-    // arrow lambda syntax is deprecated in newer DuckDB): interior \s+
-    // splits of a trimmed string never produce empty tokens, so
+    // arrow lambda syntax is deprecated in newer DuckDB): interior
+    // whitespace splits of a trimmed string never produce empty tokens, so
     // trim-then-split equals filter-out-empties for every input; the
     // CASE guards the all-whitespace/empty document.
     "q41_text_stats" ->
       """SELECT doc_id, n_chars,
         |  CASE WHEN trim(text) = '' THEN 0
-        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-        |  floor(length(regexp_replace(text, '\s+', '', 'g'))
+        |       ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) END AS n_tokens,
+        |  floor(length(regexp_replace(text, '[ \t\n\x0B\f\r]+', '', 'g'))
         |        / greatest(CASE WHEN trim(text) = '' THEN 0
-        |                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1)
+        |                        ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) END, 1)
         |        * 10000.0 + 0.5) / 10000.0 AS mean_tok_len,
         |  floor(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
         |        / greatest(length(text), 1)
@@ -466,7 +469,7 @@ object Oracle {
     // formula (all rounded quantities are >= 0 here).
     "q42_quality_langid" ->
       """WITH tok AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS w
         |  FROM documents WHERE trim(text) <> ''),
         | tstat AS (
         |  SELECT doc_id, count(*) AS n_toks,
@@ -525,7 +528,7 @@ object Oracle {
         |    / 4.0 * 10000.0 + 0.5) / 10000.0 AS quality,
         |  floor(CAST(n_stop AS DOUBLE) / greatest(n_toks, 1) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
         |  len(regexp_extract_all(text, '[a-zA-Z]+'))
-        |    + len(regexp_extract_all(text, '[^a-zA-Z\s]+')) AS n_subwords
+        |    + len(regexp_extract_all(text, '[^a-zA-Z \t\n\x0B\f\r]+')) AS n_subwords
         |FROM scored ORDER BY doc_id""".stripMargin,
 
     // md5() emits the same lowercase hex in Spark and DuckDB, so the
@@ -841,7 +844,7 @@ object Oracle {
       """WITH sized AS (
         |  SELECT doc_id,
         |    CASE WHEN trim(text) = '' THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |         ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) END AS n
         |  FROM documents),
         | spans AS (
         |  SELECT doc_id,
@@ -869,7 +872,7 @@ object Oracle {
       """WITH toks AS (
         |  SELECT doc_id, lang,
         |    CASE WHEN trim(text) = '' THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |         ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) END AS n_tokens,
         |    md5('mix:' || CAST(doc_id AS VARCHAR)) AS rk
         |  FROM documents),
         | ordered AS (
@@ -891,7 +894,7 @@ object Oracle {
       """WITH toks AS (
         |  SELECT doc_id, lang,
         |    CASE WHEN trim(text) = '' THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |         ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) END AS n_tokens,
         |    md5('mix:' || CAST(doc_id AS VARCHAR)) AS rk
         |  FROM documents),
         | ordered AS (
@@ -1205,7 +1208,7 @@ object Oracle {
       """WITH toks AS (
         |  SELECT doc_id, lang,
         |    CASE WHEN trim(text) = '' THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |         ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) END AS n_tokens,
         |    md5('mix:' || CAST(doc_id AS VARCHAR)) AS rk
         |  FROM documents),
         | counts AS (
@@ -1288,7 +1291,8 @@ object Oracle {
       s"""WITH toks AS (
         |  SELECT doc_id, lang,
         |    CASE WHEN trim(text) = '' THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+        |         ELSE len(regexp_split_to_array(trim(text),
+        |                   '[ \\t\\n\\x0B\\f\\r]+')) END
         |      AS n_tokens,
         |    md5('mix:' || CAST(doc_id AS VARCHAR)) AS rk
         |  FROM documents),
@@ -1340,6 +1344,91 @@ object Oracle {
         |JOIN sp sa ON sa.doc_id = p.a
         |JOIN sp sb ON sb.doc_id = p.b
         |WHERE sa.split <> sb.split
-        |ORDER BY a, b""".stripMargin)
+        |ORDER BY a, b""".stripMargin),
+
+    // q84: the literal-quantizer semantic dedup replayed stage for
+    // stage — the q71 convention (integer-coefficient left-associated
+    // dot chains, exact in double, identical addition order) for the
+    // cell assignment, the SAME sequential first-max CASE as the Spark
+    // side for the argmax, q45's proven list_cosine_similarity ≡
+    // float_dot pairing for the within-cell re-score, and q60's
+    // recursive-CTE closure for the components. The Spark side's
+    // zero-norm exclusion is vacuous on this corpus (the embeddings are
+    // unit-norm by generation — measured min = max = 1.0), so the
+    // oracle joins cells directly.
+    "q84_semantic_dedup_cells" -> {
+      def dotSql(cs: Seq[Int]): String =
+        cs.zipWithIndex.map { case (c, j) =>
+          s"(embedding[${j + 1}] * ${c.toDouble})"
+        }.mkString(" + ")
+      val k = Extended.Q84Centroids.length
+      val scoreCols = Extended.Q84Centroids.zipWithIndex
+        .map { case (cs, i) => s"${dotSql(cs)} AS s$i" }
+        .mkString(",\n    ")
+      val caseSql = (0 until k - 1).map { i =>
+        val isMax = (i + 1 until k).map(j => s"s$i >= s$j").mkString(" AND ")
+        s"WHEN $isMax THEN $i"
+      }.mkString("CASE ", " ", s" ELSE ${k - 1} END")
+      s"""WITH RECURSIVE scored AS (
+        |  SELECT vec_id, embedding,
+        |    $scoreCols
+        |  FROM embeddings),
+        | cells AS (
+        |  SELECT vec_id, embedding, $caseSql AS cell FROM scored),
+        | pairs AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b
+        |  FROM cells x JOIN cells y
+        |    ON x.cell = y.cell AND y.vec_id > x.vec_id
+        |  WHERE round(list_cosine_similarity(x.embedding, y.embedding), 4) >= 0.35),
+        | e AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+        | nodes AS (SELECT DISTINCT x AS node FROM e),
+        | reach AS (
+        |   SELECT node AS s, node AS t FROM nodes
+        |   UNION
+        |   SELECT r.s, e.y FROM reach r JOIN e ON e.x = r.t),
+        | comp AS (SELECT s AS vid, min(t) AS kpr FROM reach GROUP BY s),
+        | assigned AS (
+        |  SELECT c.vec_id, c.cell, COALESCE(k.kpr, c.vec_id) AS keeper
+        |  FROM cells c LEFT JOIN comp k ON k.vid = c.vec_id),
+        | sizes AS (SELECT keeper AS kk, count(*) AS cluster_size
+        |           FROM assigned GROUP BY keeper)
+        |SELECT a.vec_id, a.cell, a.keeper, s.cluster_size,
+        |       a.vec_id = a.keeper AS is_keeper
+        |FROM assigned a JOIN sizes s ON s.kk = a.keeper
+        |ORDER BY a.vec_id""".stripMargin
+    },
+
+    // q85: transitive split-leakage — q60's recursive closure over the
+    // q59 pair chain (components + min-id keeper) joined to q50's split
+    // CASE, aggregated to one row per component touching >= 2 splits.
+    // Per-split sums cast back to BIGINT (DuckDB widens sum(INTEGER)
+    // to HUGEINT — the q67 dtype-parity note).
+    "q85_transitive_leakage" -> ("WITH RECURSIVE " + minhashChainCtes +
+      """,
+        | pairs AS (SELECT i2.a, i2.b
+        |   FROM inter i2 JOIN cnt ca ON ca.doc_id = i2.a JOIN cnt cb ON cb.doc_id = i2.b
+        |   WHERE CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) >= 0.8),
+        | e AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+        | nodes AS (SELECT DISTINCT x AS node FROM e),
+        | reach AS (
+        |   SELECT node AS s, node AS t FROM nodes
+        |   UNION
+        |   SELECT r.s, e.y FROM reach r JOIN e ON e.x = r.t),
+        | comp AS (SELECT s AS node_id, min(t) AS keeper FROM reach GROUP BY s),
+        | sp AS (SELECT doc_id,
+        |   CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000 < 8000 THEN 'train'
+        |        WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000 < 9000 THEN 'val'
+        |        ELSE 'test' END AS split
+        |   FROM documents),
+        | m AS (SELECT c.keeper, c.node_id, sp.split
+        |       FROM comp c JOIN sp ON sp.doc_id = c.node_id)
+        |SELECT keeper, count(*) AS component_size,
+        |  count(DISTINCT split) AS n_splits,
+        |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |  CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+        |  CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+        |FROM m GROUP BY keeper
+        |HAVING count(DISTINCT split) >= 2
+        |ORDER BY keeper""".stripMargin)
   )
 }

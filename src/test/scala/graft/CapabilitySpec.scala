@@ -250,6 +250,63 @@ class CapabilitySpec extends SparkSpec {
     assert(recall >= 0.6, f"q71 recall $recall%.3f fell below the pinned floor")
   }
 
+  test("q84 literal-cell blocking recall vs the exact cosine pair graph") {
+    // The declared quantizer's stated blocking trade, measured: of the
+    // 272 exact pairs at cosine ≥ 0.35 (sf0.01 — the corpus has NO
+    // pairs at ≥ 0.6, so 0.35 IS the similarity tail), 121 share a
+    // cell → within-cell recall 0.445, the same regime as q66's
+    // declared point (its k-means nlist=4 faces the identical
+    // boundary-pair loss). The value oracle checks the MACHINERY is
+    // exact given the blocking; this pin keeps the blocking itself
+    // from silently degenerating (e.g. a centroid edit collapsing all
+    // mass into one cell would push recall to 1.0 — also caught, by
+    // the upper bound: one cell = the full quadratic pair set, which
+    // defeats the quantizer's purpose).
+    val emb = graft.ops.Tables.embeddings(spark, sf001)
+    val exact = graft.operators.Approx
+      .cosineNearDup(emb, 0.35, maxProbeId = Long.MaxValue)
+      .select(col("pid").as("a"), col("nid").as("b"))
+    // The declared output carries each vector's cell, so the blocking
+    // is measured on the exact assignment the query ships.
+    val cells = graft.SparkEntry.queries("q84_semantic_dedup_cells")(spark, sf001)
+      .select(col("vec_id"), col("cell"))
+    val within = exact
+      .join(cells.select(col("vec_id").as("a"), col("cell").as("ca")), Seq("a"))
+      .join(cells.select(col("vec_id").as("b"), col("cell").as("cb")), Seq("b"))
+      .filter(col("ca") === col("cb")).count()
+    val total = exact.count()
+    val recall = within.toDouble / total
+    assert(recall >= 0.40 && recall < 0.95,
+      f"q84 blocking recall $recall%.3f left the measured band " +
+        "[0.40, 0.95) — quantizer drift or collapse")
+  }
+
+  test("q85 components are exactly the components holding a q83 pair") {
+    // Connectivity argument: a component touching >= 2 splits contains
+    // a DIRECT cross-split edge (any path from a train member to a
+    // test member flips split somewhere), so q85's keeper set must
+    // equal the set of components containing a q83 direct-leak pair —
+    // the composition is consistent by graph theory, and this test
+    // keeps the two declared audits from drifting apart. q85's added
+    // value over q83 is the REPORT (full membership: transitively
+    // linked docs that never form a cross-split pair themselves are
+    // counted in the component's per-split breakdown).
+    val comp = graft.operators.Approx.dedupClusters(
+      graft.ops.Extended.minhashPairs(spark, sf001).select(col("a"), col("b")))
+    val direct = graft.SparkEntry.queries("q83_split_leakage")(spark, sf001)
+      .select(col("a").as("doc_id"))
+      .join(comp, Seq("doc_id"))
+      .select(col("cluster_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val transitive = graft.SparkEntry.queries("q85_transitive_leakage")(spark, sf001)
+      .select(col("keeper")).collect().map(_.getLong(0)).toSet
+    assert(transitive === direct)
+    // And the giant planted family leaks across ALL three splits.
+    val spans = graft.SparkEntry.queries("q85_transitive_leakage")(spark, sf001)
+      .agg(max(col("n_splits"))).head().getLong(0)
+    assert(spans === 3L)
+  }
+
   test("GraftExtensions plugin injects every native function into a fresh session") {
     import org.apache.spark.sql.SparkSession
     // The --conf spark.sql.extensions path was previously untested: a

@@ -137,7 +137,15 @@ class GoldenCountsSpec extends SparkSpec {
     // q83 (round 11): near-dup pairs straddling the q50 split — ~34%
     // of q59's 25320 pairs land on differing splits (the 80/10/10
     // cross terms).
-    "q83_split_leakage" -> 8565
+    "q83_split_leakage" -> 8565,
+    // q84 (round 12): one row per embedding vector — the
+    // literal-quantizer semantic dedup, value-checked stage for stage
+    // by its DuckDB oracle (the q66 twin).
+    "q84_semantic_dedup_cells" -> 500,
+    // q85 (round 12): near-dup COMPONENTS spanning >= 2 of q50's
+    // splits at sf0.01 — 4 pair components plus the planted family's
+    // 341-doc component touching all three splits.
+    "q85_transitive_leakage" -> 5
   )
 
   test("queries/oracleSql keys line up") {
@@ -272,7 +280,14 @@ class GoldenCountsSpec extends SparkSpec {
     // q83 tracks the q59 pair mass (~2.5M pairs at sf0.1, one planted
     // near-clique) times the cross-split fraction; parity-checked at
     // all three SFs when declared (round 11).
-    "q83_split_leakage" -> 869557L
+    "q83_split_leakage" -> 869557L,
+    // q84 is one row per embedding (2000 at sf0.1); parity-checked
+    // against DuckDB at sf0.001/sf0.01/sf0.1 when declared (round 12).
+    "q84_semantic_dedup_cells" -> 2000L,
+    // q85: 30 near-dup components straddle a split boundary at sf0.1
+    // (the giant planted family plus 29 small components);
+    // parity-checked at all three SFs when declared (round 12).
+    "q85_transitive_leakage" -> 30L
   )
 
   sf01Pins.toSeq.sortBy(_._1).foreach { case (name, rows) =>
