@@ -215,6 +215,28 @@ object Bench {
       }
       (best.toMap, passTotals.toSeq)
     }
+    // Suite-status stamp (VERDICT r12 #8): build.sbt's `Test / test` hook
+    // writes target/test-status.json (green/red + wall) on every FULL
+    // suite run; stamping it into the bench record makes a round shipped
+    // with a red or never-run suite visible in BENCH_r{N}.json itself.
+    // "missing" = no full `sbt test` has run since the last `clean`.
+    def testStatus(): String =
+      try {
+        val p = java.nio.file.Paths.get("target/test-status.json")
+        if (!java.nio.file.Files.exists(p)) "missing"
+        else {
+          val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          val status = "\"status\":\"([a-z]+)\"".r.findFirstMatchIn(s)
+            .map(_.group(1)).getOrElse("unparseable")
+          val wall = "\"wall\":([0-9]+)".r.findFirstMatchIn(s)
+            .map(_.group(1)).getOrElse("0")
+          s"$status@$wall"
+        }
+      } catch { case _: Throwable => "unreadable" }
+    val suiteStatus = testStatus()
+    if (!suiteStatus.startsWith("green"))
+      System.err.println(s"[bench] WARNING: test suite status is '$suiteStatus' — " +
+        "this bench record is stamped accordingly; run a full `sbt test` to green before shipping")
     def render(metric: String, queries: Seq[(String, Any)], best: Map[String, Double],
                passTotals: Seq[Double], loadBefore: String, loadAfter: String): String = {
       val results = queries.map { case (name, _) => name -> best.getOrElse(name, -1.0) }
@@ -225,7 +247,7 @@ object Bench {
       val passes = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
       // wall = emission time (epoch ms): lets a consumer of bench_out.json
       // tell a fresh record from a stale one left by an earlier run.
-      s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"load":"before=$loadBefore after=$loadAfter","wall":${System.currentTimeMillis()}}"""
+      s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"load":"before=$loadBefore after=$loadAfter","tests":"$suiteStatus","wall":${System.currentTimeMillis()}}"""
     }
     // Two anchor sets, two JSON lines. "total" is the q01–q40 BASELINE.md
     // DuckDB anchor set — kept first and format-identical so the

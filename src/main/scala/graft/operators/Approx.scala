@@ -1134,6 +1134,14 @@ object Approx {
     * never enter this tail. */
   private[graft] def keeperMap(vecs: DataFrame, pairs: DataFrame,
                                idCol: String = "vec_id"): DataFrame = {
+    // The method is generic over vecs' extra passthrough columns, so a
+    // caller-side column sharing one of the internal working names
+    // would silently shadow or ambiguate resolution — fail loudly
+    // instead (ADVICE r12).
+    val internal = Set("vid", "kpr", "k", "keeper", "cluster_size", "is_keeper")
+    val clash = vecs.columns.filter(internal.contains)
+    require(clash.isEmpty,
+      s"keeperMap: vecs columns ${clash.mkString(", ")} collide with internal names ${internal.mkString(", ")}")
     val labels = dedupClusters(pairs.select(col("a"), col("b")))
       .toDF("vid", "kpr")
     val passthrough = vecs.columns.map(col)

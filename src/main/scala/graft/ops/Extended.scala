@@ -844,7 +844,7 @@ object Extended {
   /** Per-source cap for q81 — 15: below the testdata's uniform 25 (250
     * at sf0.1) docs per source, so the cap genuinely bites on every
     * source at every SF. Spliced into the oracle SQL. */
-  private[ops] val Q81CapPerSource = 15
+  private[graft] val Q81CapPerSource = 15
 
   /** q81: per-source diversity cap — keep at most [[Q81CapPerSource]]
     * documents per source, chosen by seeded md5 rank within the source

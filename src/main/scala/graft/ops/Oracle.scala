@@ -1403,6 +1403,12 @@ object Oracle {
     // CASE, aggregated to one row per component touching >= 2 splits.
     // Per-split sums cast back to BIGINT (DuckDB widens sum(INTEGER)
     // to HUGEINT — the q67 dtype-parity note).
+    //
+    // SCALE NOTE: inherits q60's recursive-closure cost — O(sum of
+    // component^2) reach rows, tens-of-GB spill over the ~2.5M-pair
+    // sf0.1 chain. Run this oracle at the sf0.01 contract tier only;
+    // sf0.1 coverage is the Spark-side cardinality pin in
+    // GoldenCountsSpec.
     "q85_transitive_leakage" -> ("WITH RECURSIVE " + minhashChainCtes +
       """,
         | pairs AS (SELECT i2.a, i2.b

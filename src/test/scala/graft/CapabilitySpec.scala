@@ -263,6 +263,18 @@ class CapabilitySpec extends SparkSpec {
     // the upper bound: one cell = the full quadratic pair set, which
     // defeats the quantizer's purpose).
     val emb = graft.ops.Tables.embeddings(spark, sf001)
+    // q84's Spark side drops zero-norm vectors from the pair stage
+    // while the DuckDB oracle joins cells directly; parity rests on
+    // the corpus being unit-norm (no zero vectors). Pin that
+    // precondition so a regenerated testdata set surfaces the broken
+    // assumption here instead of as an engine divergence (ADVICE r12).
+    import org.apache.spark.sql.functions.{aggregate, lit, min => smin, sqrt}
+    val minNorm = emb.select(smin(sqrt(aggregate(col("embedding"),
+        lit(0.0), (acc, x) => acc + x * x)))).head.getDouble(0)
+    assert(minNorm > 1e-6,
+      f"q84 precondition broken: min embedding norm $minNorm%.2e — " +
+        "corpus carries a (near-)zero vector; Spark/DuckDB divide " +
+        "semantics diverge there")
     val exact = graft.operators.Approx
       .cosineNearDup(emb, 0.35, maxProbeId = Long.MaxValue)
       .select(col("pid").as("a"), col("nid").as("b"))
@@ -559,6 +571,43 @@ class CapabilitySpec extends SparkSpec {
       }
       for (i <- 0 until 8)
         assert(row.getDouble(8 + i) === ((fp >> (8 * i)) & 255L).toDouble / 255.0)
+    }
+  }
+
+  test("q48 golden table: fixed probe set decodes to committed literal values") {
+    // VERDICT r11 #6 / r12 #5: the sf0.001/sf0.01 checksum pins re-base
+    // whenever q48's code changes, so ImageIO-decode drift (a JDK
+    // upgrade changing PNG decoding, a generator edit, a luma-rounding
+    // change) could slide through a re-base unnoticed. These rows are
+    // LITERALS extracted once (round 13, JDK 17 ImageIO) and committed;
+    // the test fails on ANY value drift and never re-bases silently.
+    // Probe set = the 11 image rows with media_id <= 30 at sf0.001
+    // (every third doc is an image; payloads are syntheticPngBytes
+    // 4x4 RGB PNGs, 120 bytes each).
+    val golden = Seq(
+      // (media_id, n_bytes, content_fp, width, height, channels, mean_luma)
+      (0L, 120L, 9196319203213079157L, 4, 4, 3, 140.125),
+      (3L, 120L, 7959646944640043368L, 4, 4, 3, 113.9583),
+      (6L, 120L, -684370418460346525L, 4, 4, 3, 145.3125),
+      (9L, 120L, -789436532596234077L, 4, 4, 3, 127.1458),
+      (12L, 120L, 4266683934254640181L, 4, 4, 3, 105.75),
+      (15L, 120L, -6646697139009983287L, 4, 4, 3, 125.8542),
+      (18L, 120L, 1837229982495496604L, 4, 4, 3, 110.3125),
+      (21L, 120L, -7037593338498081606L, 4, 4, 3, 126.0417),
+      (24L, 120L, 9092374800418559226L, 4, 4, 3, 114.2292),
+      (27L, 120L, -9019004549201649707L, 4, 4, 3, 134.4792),
+      (30L, 120L, -3382241099067392248L, 4, 4, 3, 125.8542))
+    val rows = graft.ops.Extended.q48MediaFeatures(spark, sf0001)
+      .filter(col("kind") === "image").filter(col("media_id") <= 30)
+      .select("media_id", "n_bytes", "content_fp", "width", "height",
+        "channels", "mean_luma")
+      .orderBy("media_id").collect()
+    assert(rows.length === golden.length,
+      s"probe set size drifted: ${rows.length} image rows, expected ${golden.length}")
+    for ((g, row) <- golden.zip(rows)) {
+      val got = (row.getLong(0), row.getLong(1), row.getLong(2), row.getInt(3),
+        row.getInt(4), row.getInt(5), row.getDouble(6))
+      assert(got === g, s"q48 golden drift at media_id ${g._1}")
     }
   }
 

@@ -285,8 +285,10 @@ class GoldenCountsSpec extends SparkSpec {
     // against DuckDB at sf0.001/sf0.01/sf0.1 when declared (round 12).
     "q84_semantic_dedup_cells" -> 2000L,
     // q85: 30 near-dup components straddle a split boundary at sf0.1
-    // (the giant planted family plus 29 small components);
-    // parity-checked at all three SFs when declared (round 12).
+    // (the giant planted family plus 29 small components). Spark
+    // cardinality pin; oracle parity at sf0.001/sf0.01 only — the q85
+    // oracle embeds q60's recursive closure, which cannot run at sf0.1
+    // (O(sum component^2) reach rows; see the q60 tier caveat).
     "q85_transitive_leakage" -> 30L
   )
 

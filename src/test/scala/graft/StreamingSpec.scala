@@ -473,6 +473,83 @@ class StreamingSpec extends SparkSpec {
       s"expected the duplicate-key guard, got: $exDup")
   }
 
+  test("streaming source cap across microbatches == batch q81SourceCap") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingCap
+    // The real sf0.001 corpus with q81's exact order key, fed in
+    // (rk, doc_id) order SPLIT ACROSS THREE MICROBATCHES: the state
+    // store must carry each source's (kept, seen) pair between batches
+    // — a source's cap usually fills mid-stream, not on a batch
+    // boundary — and the selection must equal the batch window
+    // operator's row-for-row INCLUDING src_rank.
+    val k = graft.ops.Extended.Q81CapPerSource.toLong
+    val corpus = graft.ops.Tables.documents(spark, sf0001)
+      .select(col("source"), col("doc_id"),
+        md5(concat_ws(":", lit("cap"), col("doc_id").cast("string"))).as("rk"))
+    val ordered = corpus.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(t => (t._3, t._2))
+    val stream = MemoryStream[(String, Long, String)]
+    runToMemory("cap_t",
+      StreamingCap.capStream(
+        stream.toDF().toDF("source", "doc_id", "rk"), k).toDF(),
+      mode = "append") {
+      ordered.grouped(math.max(1, ordered.length / 3)).foreach { b =>
+        stream.addData(b.toSeq)
+        spark.streams.active.foreach(_.processAllAvailable())
+      }
+    }
+    val streamed = spark.table("cap_t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    val batch = graft.ops.Extended.q81SourceCap(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq,
+      "streamed cap selection diverged from the batch WindowGroupLimit form")
+    // Every source must be capped AT k (the testdata gives each source
+    // more than k docs, so the cap genuinely bites everywhere).
+    val perSource = streamed.groupBy(_._2).view.mapValues(_.length)
+    assert(perSource.values.forall(_ == k.toInt),
+      s"expected exactly $k rows per source, got $perSource")
+  }
+
+  test("streaming cap quotas: whitelist exclusion and per-source limits") {
+    import spark.implicits._
+    import graft.streaming.StreamingCap
+    // Batch-mode execution of the streaming operator (each source
+    // complete in one call): quota map semantics — per-source limits,
+    // absent sources dropped entirely.
+    val docs = (1L to 10L).map(i => ("web", i, f"k$i%02d")) ++
+      (11L to 20L).map(i => ("books", i, f"k$i%02d")) ++
+      (21L to 25L).map(i => ("wiki", i, f"k$i%02d"))
+    val out = StreamingCap.capStreamQuotas(
+        docs.toDF("source", "doc_id", "rk"),
+        Map("web" -> 3L, "books" -> 30L))
+      .collect().map(o => (o.doc_id, o.source, o.src_rank)).sortBy(_._1)
+    assert(out.count(_._2 == "web") === 3, "web capped at its quota")
+    assert(out.count(_._2 == "books") === 10, "books under-quota keeps all")
+    assert(!out.exists(_._2 == "wiki"), "absent source must be whitelisted out")
+    // Ranks are the (rk, doc_id) fill positions.
+    assert(out.filter(_._2 == "web").map(_._3).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("streaming cap fails loudly on a duplicate (rk, doc_id) key") {
+    import spark.implicits._
+    import graft.streaming.StreamingCap
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val dup = Seq(("web", 1L, "k1"), ("web", 1L, "k1"))
+      .toDF("source", "doc_id", "rk")
+    val ex = intercept[Throwable] {
+      StreamingCap.capStream(dup, 5L).collect()
+    }
+    assert(messages(ex).exists(_.contains("duplicate (rk, doc_id)")),
+      s"expected the duplicate-key guard, got: $ex")
+  }
+
   test("streaming packing fails loudly on a duplicate doc_id (batch-twin guard)") {
     import spark.implicits._
     import graft.streaming.StreamingPacking
@@ -494,7 +571,10 @@ class StreamingSpec extends SparkSpec {
     val viaSql = spark.sql(
       "SELECT c_mktsegment, count(*) AS n FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1")
     assert(viaSql.count() === 5)
-    assert(Graft.operators.size === 83)
+    // Derived from the registry itself so declaring a new query can never
+    // desynchronize this pin (r12 shipped red with a stale literal 83).
+    assert(Graft.operators.size === SparkEntry.queries.size)
+    assert(Graft.operators.size >= 85)
     assert(Graft.query("q21_sort_topk")(spark, sf0001).count() === 25)
     // SQL over the events view (ns-timestamp table) works too
     assert(spark.sql("SELECT count(*) FROM events WHERE user_id < 5").head.getLong(0) > 0)
