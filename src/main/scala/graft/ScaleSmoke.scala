@@ -498,6 +498,62 @@ object ScaleSmoke {
         restore("spark.sql.adaptive.coalescePartitions.initialPartitionNum", pInit)
       }
     }
+    // Round 13 (VERDICT r12 #3): NAME the residual spill. The listener
+    // totals (diskBytesSpilled) say HOW MUCH spilled; this probe says
+    // WHERE — after executing the query once under the sized dials it
+    // walks the finalized adaptive plan (descending into materialized
+    // query stages, which are leaves to TreeNode.collect) and prints
+    // every physical node whose own `spillSize` SQL metric is nonzero.
+    // The gap between the listener total and the plan-node sum is
+    // shuffle-WRITE-side spill (ExternalSorter/UnsafeShuffleWriter
+    // inside the exchange), which no plan node owns — so the one
+    // print separates operator sorts/hash-agg fallbacks from exchange
+    // machinery in a single run.
+    if (enabled("spill_attrib")) {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val pAdv = spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      val pInit = spark.conf.getOption("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+      val pScan = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+      try {
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", 512)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+        def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case other => other.children.flatMap(walk)
+        })
+        def attrib(tag: String, df: DataFrame): Unit = {
+          shuffleWrite.set(0); spilled.set(0)
+          // Execute through hashed() — the same anti-pruning wrapper the
+          // smoke's timed runs use — so the probe attributes the exact
+          // plan whose spill the smoke measured (a bare count() lets
+          // Catalyst prune every column and eliminate sorts, and the
+          // first cut of this probe measured that nothing: 0 spill).
+          val agg = hashed(df).groupBy().count()
+          agg.head()
+          Thread.sleep(300)
+          val nodes = walk(agg.queryExecution.executedPlan)
+          val spills = nodes.flatMap { n =>
+            n.metrics.get("spillSize").map(m => (n.nodeName, m.value)).filter(_._2 > 0)
+          }
+          println(f"SMOKEATTRIB $tag listenerSpillMB=${spilled.get / 1e6}%.1f " +
+            s"nodeSpills=[${spills.map { case (n, v) => s"$n=${(v / 1e6).round}MB" }.mkString(", ")}]")
+        }
+        attrib("q38", SparkEntry.queries("q38_star_denorm")(spark, out))
+        attrib("q76", SparkEntry.queries("q76_window_stats")(spark, out))
+        attrib("q77", SparkEntry.queries("q77_window_scrub")(spark, out))
+      } finally {
+        def restore(key: String, prior: Option[String]): Unit = prior match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+        restore("spark.sql.adaptive.advisoryPartitionSizeInBytes", pAdv)
+        restore("spark.sql.adaptive.coalescePartitions.initialPartitionNum", pInit)
+        restore("spark.sql.files.maxPartitionBytes", pScan)
+      }
+    }
     // Round 13 (VERDICT r12 #4): q81's WindowGroupLimit under REAL
     // skew — one crawl domain owning 90% of the corpus, the situation
     // the map-side partial limit exists for. The probe corpus is

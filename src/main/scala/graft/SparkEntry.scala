@@ -108,7 +108,8 @@ object SparkEntry {
     "q82_epoch_mixture"       -> Extended.q82EpochMixture _,
     "q83_split_leakage"       -> Extended.q83SplitLeakage _,
     "q84_semantic_dedup_cells" -> Extended.q84SemanticDedupCells _,
-    "q85_transitive_leakage"  -> Extended.q85TransitiveLeakage _
+    "q85_transitive_leakage"  -> Extended.q85TransitiveLeakage _,
+    "q86_incremental_dedup"   -> Extended.q86IncrementalDedup _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

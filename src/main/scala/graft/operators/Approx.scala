@@ -252,8 +252,14 @@ object Approx {
     * seconds at sf0.1); min is order-independent and every
     * (a·x+b) mod p < p = the fold's initial accumulator, so values are
     * bit-identical to the fold's and to the oracle's literal replay. */
-  private[graft] def bandedMd5Candidates(spark: SparkSession,
-                                         docs: DataFrame): (DataFrame, DataFrame) = {
+  /** The md5 family's shared signature chain: token SETS (with sizes),
+    * and the banded signature index (doc_id, sig, g, v) at full
+    * parallelism. Extracted so the symmetric self-join
+    * ([[bandedMd5Candidates]]) and the asymmetric increment-vs-index
+    * join ([[incrementalDedup]]) build from the SAME chain — a family
+    * fix cannot land in only one arm. */
+  private def md5SetsAndBands(spark: SparkSession,
+                              docs: DataFrame): (DataFrame, DataFrame) = {
     val p = 2147483647L
     val (as, bs) = (graft.ops.Extended.MinHashA, graft.ops.Extended.MinHashB)
     val minExprs = (0 until 16).map(i =>
@@ -294,6 +300,12 @@ object Approx {
       .select(col("doc_id"), col("sig"), col("band.g"), col("band.v"))
       .repartition(bandParts)
     graft.expressions.GraftFunctions.register(spark)
+    (sets, bands)
+  }
+
+  private[graft] def bandedMd5Candidates(spark: SparkSession,
+                                         docs: DataFrame): (DataFrame, DataFrame) = {
+    val (sets, bands) = md5SetsAndBands(spark, docs)
     // Emit-once banding: a pair is emitted only at its MINIMAL matching
     // band (codegen'd earlier-band check on the flat signature, inside
     // the band-bucket partitions) — same candidate set as emit-per-band
@@ -304,6 +316,66 @@ object Approx {
         !expr("band_match_before(x.sig, y.sig, 4, x.g)"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
     (sets, cand)
+  }
+
+  /** Incremental near-dup dedup: screen a crawl INCREMENT against an
+    * existing INDEX corpus without ever pairing index docs with each
+    * other — the daily-increment shape of a production dedup, where
+    * the index is orders of magnitude larger than the increment and
+    * reprocessing it per batch is the cost that doesn't scale.
+    *
+    * Output: one row per increment doc, `(doc_id, verdict)` with
+    * verdict ∈ {dup_old, dup_new, keep} — `dup_old` if the doc
+    * near-dups (q59's exact acceptance: token-set Jaccard ≥ 0.8 after
+    * the same 16-hash/4-band md5 MinHash banding) ANY index doc,
+    * else `dup_new` if it near-dups an EARLIER increment doc (smaller
+    * doc_id — q33's shadowed-by-any-earlier keep-first convention,
+    * whether or not that earlier doc is itself kept), else `keep`.
+    *
+    * Scale shape: the signature chain is the family's single
+    * implementation (md5SetsAndBands), but the candidate join is
+    * ASYMMETRIC — increment bands against the full band index, so the
+    * quadratic-in-corpus self-join never exists; candidate mass is
+    * O(|increment| × band collisions). When the increment is small the
+    * planner broadcasts its band side and the index streams through
+    * map-side — no corpus-wide shuffle. In production the index's
+    * (sets, bands) are precomputed once and reused per batch; this
+    * self-contained form rebuilds them, and the `md5SetsAndBands` seam
+    * is where a stored index would plug in. Doc ids must be disjoint
+    * across the two inputs (the caller's id space is global).
+    *
+    * The banded candidate set restricted to increment-involving pairs
+    * is IDENTICAL to the symmetric family's (banding is per-doc, and
+    * the emit-once minimal-band check is symmetric in the two
+    * signatures), so the verdicts equal what a full q59 pair run would
+    * derive — IncrementalDedupSpec pins that equivalence. */
+  def incrementalDedup(spark: SparkSession, index: DataFrame,
+                       increment: DataFrame): DataFrame = {
+    val docs = index.select(col("doc_id"), col("text"), lit(false).as("is_new"))
+      .unionByName(increment.select(col("doc_id"), col("text"), lit(true).as("is_new")))
+    val (sets, bands) = md5SetsAndBands(spark, docs.select("doc_id", "text"))
+    val flag = docs.select(col("doc_id"), col("is_new"))
+    val fb = bands.join(flag, Seq("doc_id"))
+    val cand = fb.filter(col("is_new")).as("x").join(fb.as("y"),
+        col("x.g") === col("y.g") && col("x.v") === col("y.v") &&
+        col("x.doc_id") =!= col("y.doc_id") &&
+        (!col("y.is_new") || col("y.doc_id") < col("x.doc_id")) &&
+        !expr("band_match_before(x.sig, y.sig, 4, x.g)"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val pairs = rescoredPairs(spark, cand, sets,
+        col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
+      .filter(col("i").cast("double") /
+        (col("na") + col("nb") - col("i")).cast("double") >= 0.8)
+    val flags = pairs
+      .join(flag.select(col("doc_id").as("b"), col("is_new").as("b_new")), Seq("b"))
+      .groupBy(col("a").as("doc_id"))
+      .agg(max(when(!col("b_new"), 1).otherwise(0)).as("has_old"),
+        max(when(col("b_new"), 1).otherwise(0)).as("has_new"))
+    increment.select(col("doc_id")).join(flags, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("has_old") === 1, "dup_old")
+          .when(col("has_new") === 1, "dup_new")
+          .otherwise("keep").as("verdict"))
   }
 
   /** Candidate re-score join for [[bandedMd5Candidates]]: attach both

@@ -1053,4 +1053,23 @@ object Extended {
       .filter(col("n_splits") >= 2)
       .orderBy("keeper")
   }
+
+  /** q86: incremental dedup — screen a crawl increment against the
+    * already-ingested corpus. The declared split is deterministic and
+    * engine-portable: docs with `doc_id % 10 >= 7` are the increment
+    * (the "today's crawl" 30%), the rest are the index. Verdicts per
+    * increment doc: `dup_old` (near-dups an index doc under q59's
+    * exact acceptance), `dup_new` (near-dups an earlier increment doc
+    * — keep-first within the batch), else `keep`. The operator's
+    * candidate join is increment-bands × index-bands (asymmetric — the
+    * corpus-squared self-join never exists); the oracle derives the
+    * same verdicts from the symmetric q59 pair set, which restricted
+    * to increment-involving pairs is provably the same set. */
+  def q86IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val isNew = pmod(col("doc_id"), lit(10)) >= 7
+    graft.operators.Approx.incrementalDedup(s,
+        docs.filter(!isNew), docs.filter(isNew))
+      .orderBy("doc_id")
+  }
 }

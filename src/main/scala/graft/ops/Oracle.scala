@@ -1435,6 +1435,32 @@ object Oracle {
         |  CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
         |FROM m GROUP BY keeper
         |HAVING count(DISTINCT split) >= 2
-        |ORDER BY keeper""".stripMargin)
+        |ORDER BY keeper""".stripMargin),
+
+    // q86: incremental dedup verdicts derived from the SYMMETRIC q59
+    // pair set (the Spark side's asymmetric increment×index band join
+    // yields the same increment-involving pairs — banding is per-doc
+    // and the emit-once check is symmetric, so only the join SHAPE
+    // differs). Each increment doc (doc_id % 10 >= 7): dup_old if any
+    // accepted pair reaches an index doc, else dup_new if one reaches
+    // an EARLIER increment doc, else keep. The LEFT JOIN keeps
+    // pairless docs; their CASE flags aggregate to 0 → keep.
+    "q86_incremental_dedup" -> ("WITH " + minhashChainCtes +
+      """,
+        | pairs AS (SELECT i2.a, i2.b
+        |   FROM inter i2 JOIN cnt ca ON ca.doc_id = i2.a JOIN cnt cb ON cb.doc_id = i2.b
+        |   WHERE CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) >= 0.8),
+        | sym AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b AS x, a AS y FROM pairs),
+        | nd AS (SELECT doc_id FROM documents WHERE doc_id % 10 >= 7),
+        | fl AS (SELECT n.doc_id,
+        |     max(CASE WHEN s.y % 10 < 7 THEN 1 ELSE 0 END) AS has_old,
+        |     max(CASE WHEN s.y % 10 >= 7 AND s.y < n.doc_id THEN 1 ELSE 0 END) AS has_new
+        |   FROM nd n LEFT JOIN sym s ON s.x = n.doc_id
+        |   GROUP BY n.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN has_old = 1 THEN 'dup_old'
+        |       WHEN has_new = 1 THEN 'dup_new'
+        |       ELSE 'keep' END AS verdict
+        |FROM fl ORDER BY doc_id""".stripMargin)
   )
 }

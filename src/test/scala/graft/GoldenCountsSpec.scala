@@ -145,7 +145,11 @@ class GoldenCountsSpec extends SparkSpec {
     // q85 (round 12): near-dup COMPONENTS spanning >= 2 of q50's
     // splits at sf0.01 — 4 pair components plus the planted family's
     // 341-doc component touching all three splits.
-    "q85_transitive_leakage" -> 5
+    "q85_transitive_leakage" -> 5,
+    // q86 (round 13): one row per increment doc (doc_id % 10 >= 7,
+    // 30% of the 500-doc corpus) — incremental dedup verdicts,
+    // oracle-matched value for value.
+    "q86_incremental_dedup" -> 150
   )
 
   test("queries/oracleSql keys line up") {
@@ -289,7 +293,14 @@ class GoldenCountsSpec extends SparkSpec {
     // cardinality pin; oracle parity at sf0.001/sf0.01 only — the q85
     // oracle embeds q60's recursive closure, which cannot run at sf0.1
     // (O(sum component^2) reach rows; see the q60 tier caveat).
-    "q85_transitive_leakage" -> 30L
+    "q85_transitive_leakage" -> 30L,
+    // q86 is one row per increment doc (1500 at sf0.1) by
+    // construction; the verdict-distribution pin below guards the
+    // values. Parity-checked against DuckDB at all three SFs when
+    // declared (round 13 — the q86 oracle is the q59 chain plus
+    // cheap flag joins, no recursive closure, so unlike q60/q85 it
+    // RUNS at sf0.1).
+    "q86_incremental_dedup" -> 1500L
   )
 
   sf01Pins.toSeq.sortBy(_._1).foreach { case (name, rows) =>
@@ -319,6 +330,18 @@ class GoldenCountsSpec extends SparkSpec {
     test(s"$name value checksum at sf0.1 (scale pin)") {
       assert(PinProbe.resultChecksum(SparkEntry.queries(name)(spark, sf01)) === pin)
     }
+  }
+
+  test("q86 verdict distribution at sf0.1 (scale pin)") {
+    // The giant 3698-doc near-clique dominates: most increment docs
+    // near-dup an index doc (dup_old wins the CASE priority), only 9
+    // pairs exist solely within the increment, and the keeps are the
+    // corpus's unique tail. A banding/acceptance regression moves
+    // this histogram long before it moves the 1500-row count.
+    val hist = SparkEntry.queries("q86_incremental_dedup")(spark, sf01)
+      .groupBy("verdict").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hist === Map("dup_old" -> 1134L, "dup_new" -> 9L, "keep" -> 357L))
   }
 
   test("q60 component-size histogram at sf0.1 (scale pin)") {

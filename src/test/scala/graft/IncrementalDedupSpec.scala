@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Incremental dedup (round 13): the asymmetric increment-vs-index
+  * screen must agree with the symmetric family it claims to shortcut,
+  * and its verdict conventions must hold on a corpus where every case
+  * is planted by hand. */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("crafted corpus: dup_old / dup_new / keep conventions") {
+    // Index: doc 1 is the "already ingested" text, doc 2 is unrelated.
+    val index = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    // Increment:
+    //  17 ≡ index doc 1                        → dup_old
+    //  27 new-unique text, first of its pair   → keep (nothing earlier)
+    //  37 ≡ 27 (within-increment duplicate)    → dup_new (27 is earlier)
+    //  47 shares 5 of 10 tokens with 27        → keep (J = 1/3 < 0.8)
+    //  57 empty text (no token set)            → keep (never pairs)
+    //  67 ≡ index doc 1 AND ≡ 17               → dup_old (CASE priority
+    //     over the also-true dup_new)
+    val increment = Seq(
+      (17L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (27L, "red orange yellow green blue indigo violet black white grey"),
+      (37L, "red orange yellow green blue indigo violet black white grey"),
+      (47L, "red orange yellow green blue lion tiger bear wolf fox"),
+      (57L, ""),
+      (67L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Approx.incrementalDedup(spark, index, increment)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(
+      17L -> "dup_old", 27L -> "keep", 37L -> "dup_new",
+      47L -> "keep", 57L -> "keep", 67L -> "dup_old"))
+  }
+
+  test("asymmetric screen ≡ verdicts derived from the symmetric pair set (sf0.001)") {
+    // The operator's claim: restricting the symmetric q59 pair set to
+    // increment-involving pairs yields exactly what the asymmetric
+    // band join emits (banding is per-doc; the emit-once minimal-band
+    // check is symmetric in the two signatures). So deriving verdicts
+    // from minhashPairs — the declared q59 surface, a completely
+    // independent join shape — must reproduce q86 row for row.
+    val isNewOf: Long => Boolean = id => id % 10 >= 7
+    val pairs = graft.ops.Extended.minhashPairs(spark, sf0001)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sym = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val newIds = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).filter(isNewOf).sorted
+    val expected = newIds.map { d =>
+      val others = sym.collect { case (x, y) if x == d => y }
+      val verdict =
+        if (others.exists(!isNewOf(_))) "dup_old"
+        else if (others.exists(o => isNewOf(o) && o < d)) "dup_new"
+        else "keep"
+      d -> verdict
+    }.toMap
+    val actual = SparkEntry.queries("q86_incremental_dedup")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(actual === expected)
+  }
+}
