@@ -149,6 +149,27 @@ object ScaleSmoke {
       println(f"SMOKE $name%-22s rows=$rows%-9d sec=$sec%.2f " +
         f"shuffleWriteMB=${shuffleWrite.get / 1e6}%.1f spillMB=${spilled.get / 1e6}%.1f")
     }
+    // run() times df.count(), and a count PRUNES whatever it doesn't
+    // need: narrow per-row projections collapse to a footer-count scan
+    // and unreferenced aggregate expressions (q74's collect_list
+    // rebuild) are dropped — the first q73/q74 smoke cut measured the
+    // count machinery, not the operator (caught because q73's wall was
+    // flat 10×→100×, physically impossible for real work). Force every
+    // output column through a hash the count depends on.
+    def hashed(df: DataFrame): DataFrame = {
+      // A per-row FILTER on the hash, not an aggregate-then-rebuild:
+      // the masked hash is >= 0 at runtime but Catalyst cannot prove it
+      // (xxhash64 isn't foldable and no rule reasons about bitmask
+      // ranges), so the predicate survives optimization and count()
+      // must evaluate the hash — and with it every output column — for
+      // each row. rows = the TRUE count with zero materialization.
+      // (The first cut aggregated a hash sum and rebuilt the count via
+      // explode(array_repeat(1, n)): one n-element array on one row,
+      // int cast silently wrapping past 2^31 — a larger decade would
+      // OOM or report a wrong count.)
+      val h = xxhash64(df.columns.map(col): _*).bitwiseAND(lit(0x7FFFFFFFL))
+      df.select(h.as("h")).filter(col("h") >= 0L).select(lit(1).as("one"))
+    }
     run("q38_star_denorm") { SparkEntry.queries("q38_star_denorm")(spark, out) }
     // Round 11 (VERDICT r10 #6): the ONE recorded smoke spill is q38's
     // sort (805 MB at 100×, 1.8 GB at 300×). Two constraints bind, and
@@ -176,9 +197,18 @@ object ScaleSmoke {
       spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes")
     val priorInit =
       spark.conf.getOption("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+    val priorScanQ38 = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
     try {
       spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", 512)
+      // Third dial (round 13): at 300× the two shuffle dials left a
+      // consistent ~2.4 GB that the per-node attribution probe showed
+      // belongs to NO operator — it is the map tasks' shuffle-write
+      // sorters outgrowing their memory share on 128 MB scan chunks of
+      // the wide fact. Small scan partitions size the map side the way
+      // the advisory sizes the reduce side; with all three set the
+      // 300× run is spill-free (spill_attrib stage, COVERAGE round 13).
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
       run("q38_sized_advisory") { SparkEntry.queries("q38_star_denorm")(spark, out) }
     } finally {
       def restore(key: String, prior: Option[String]): Unit = prior match {
@@ -187,10 +217,50 @@ object ScaleSmoke {
       }
       restore("spark.sql.adaptive.advisoryPartitionSizeInBytes", priorAdvisory)
       restore("spark.sql.adaptive.coalescePartitions.initialPartitionNum", priorInit)
+      restore("spark.sql.files.maxPartitionBytes", priorScanQ38)
     }
     run("q63_outlier_zscore") { SparkEntry.queries("q63_outlier_zscore")(spark, out) }
     run("q59_minhash_md5") { SparkEntry.queries("q59_minhash_md5")(spark, out) }
     run("q60_dedup_clusters") { SparkEntry.queries("q60_dedup_clusters")(spark, out) }
+    // Incremental dedup at scale (round 13). Two arms:
+    //  - the DECLARED 30% split: an increment that is almost a third
+    //    of the corpus does NOT satisfy the operator's increment ≪
+    //    index premise, so its wall sits a little above q59's (the
+    //    same family work plus the verdict tail) — the value here is
+    //    the spill/shuffle shape, not a speedup;
+    //  - a 1% increment (the premise the operator exists for): the
+    //    candidate and re-score mass collapse to the increment-
+    //    involving slice, and the remaining wall is dominated by the
+    //    index-side signature build — the part a production deployment
+    //    precomputes ONCE through the md5SetsAndBands seam and
+    //    amortizes over every batch.
+    // Counted through hashed(): a bare count() of this query measures
+    // NOTHING — its tail is a left join against an aggregate that is
+    // provably unique on the join key, and when only the row count is
+    // needed Catalyst ELIMINATES the join (correct optimizer behavior,
+    // wrong probe: the first cut timed a 0.36 s parquet count at 300×).
+    run("q86_incremental") {
+      hashed(SparkEntry.queries("q86_incremental_dedup")(spark, out))
+    }
+    run("q86_small_increment") {
+      val docs = spark.read.parquet(s"$out/documents.parquet")
+        .select("doc_id", "text")
+      val isInc = pmod(col("doc_id"), lit(100)) === 0
+      hashed(graft.operators.Approx.incrementalDedup(spark,
+        docs.filter(!isInc), docs.filter(isInc)))
+    }
+    // The index signature chain ALONE (99% of the corpus): the part of
+    // q86_small_increment's wall a production deployment computes once
+    // and amortizes across every daily batch through the
+    // md5SetsAndBands seam. small_increment − index_chain ≈ the true
+    // per-batch marginal cost.
+    run("q86_index_chain") {
+      val docs = spark.read.parquet(s"$out/documents.parquet")
+        .select("doc_id", "text")
+      val (_, bands) = graft.operators.Approx.md5SetsAndBands(spark,
+        docs.filter(pmod(col("doc_id"), lit(100)) =!= 0))
+      hashed(bands)
+    }
     // The rest of the near-dup family (round 9): the ML-LSH variant and
     // the 64-bit SimHash — their pair/bucket behavior at scale is the
     // 100 TB question, and the planted-family corpus keeps their TRUE
@@ -303,27 +373,6 @@ object ScaleSmoke {
       tracked(graft.operators.Packing.packSequences(sizedShuf, 2048, orderCol = "prk"))
     }
     if (lastSmoked != null) { graft.operators.Materialized.free(lastSmoked); lastSmoked = null }
-    // run() times df.count(), and a count PRUNES whatever it doesn't
-    // need: narrow per-row projections collapse to a footer-count scan
-    // and unreferenced aggregate expressions (q74's collect_list
-    // rebuild) are dropped — the first q73/q74 smoke cut measured the
-    // count machinery, not the operator (caught because q73's wall was
-    // flat 10×→100×, physically impossible for real work). Force every
-    // output column through a hash the count depends on.
-    def hashed(df: DataFrame): DataFrame = {
-      // A per-row FILTER on the hash, not an aggregate-then-rebuild:
-      // the masked hash is >= 0 at runtime but Catalyst cannot prove it
-      // (xxhash64 isn't foldable and no rule reasons about bitmask
-      // ranges), so the predicate survives optimization and count()
-      // must evaluate the hash — and with it every output column — for
-      // each row. rows = the TRUE count with zero materialization.
-      // (The first cut aggregated a hash sum and rebuilt the count via
-      // explode(array_repeat(1, n)): one n-element array on one row,
-      // int cast silently wrapping past 2^31 — a larger decade would
-      // OOM or report a wrong count.)
-      val h = xxhash64(df.columns.map(col): _*).bitwiseAND(lit(0x7FFFFFFFL))
-      df.select(h.as("h")).filter(col("h") >= 0L).select(lit(1).as("one"))
-    }
     // Shuffle-shard (round 11, pipeline stage 7): the global rank is
     // the same two-phase form as packing, over (id, md5) pairs — wall
     // near-flat, rows = ids, all exchanges narrow. hashed(): shard/pos

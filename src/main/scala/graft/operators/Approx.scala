@@ -258,8 +258,8 @@ object Approx {
     * ([[bandedMd5Candidates]]) and the asymmetric increment-vs-index
     * join ([[incrementalDedup]]) build from the SAME chain — a family
     * fix cannot land in only one arm. */
-  private def md5SetsAndBands(spark: SparkSession,
-                              docs: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def md5SetsAndBands(spark: SparkSession,
+                                     docs: DataFrame): (DataFrame, DataFrame) = {
     val p = 2147483647L
     val (as, bs) = (graft.ops.Extended.MinHashA, graft.ops.Extended.MinHashB)
     val minExprs = (0 until 16).map(i =>
@@ -351,25 +351,35 @@ object Approx {
     * derive — IncrementalDedupSpec pins that equivalence. */
   def incrementalDedup(spark: SparkSession, index: DataFrame,
                        increment: DataFrame): DataFrame = {
-    val docs = index.select(col("doc_id"), col("text"), lit(false).as("is_new"))
-      .unionByName(increment.select(col("doc_id"), col("text"), lit(true).as("is_new")))
-    val (sets, bands) = md5SetsAndBands(spark, docs.select("doc_id", "text"))
-    val flag = docs.select(col("doc_id"), col("is_new"))
-    val fb = bands.join(flag, Seq("doc_id"))
-    val cand = fb.filter(col("is_new")).as("x").join(fb.as("y"),
+    // The signature chain is per-doc (a pure function of text), so it
+    // runs once PER SIDE and the old/new distinction rides each band
+    // row as a LITERAL — never a corpus-wide flag join. (The first cut
+    // attached flags by joining bands with a (doc_id, is_new) table:
+    // +1.25 GB of exchange at the 300× smoke, and at production scale
+    // that flag table is corpus-sized — the one thing this operator
+    // must never shuffle. The increment's ids ARE joinable: that side
+    // is small by the operator's premise.)
+    val (setsIdx, bandsIdx) = md5SetsAndBands(spark, index.select("doc_id", "text"))
+    val (setsInc, bandsInc) = md5SetsAndBands(spark, increment.select("doc_id", "text"))
+    val all = bandsIdx.withColumn("y_new", lit(false))
+      .unionByName(bandsInc.withColumn("y_new", lit(true)))
+    val cand = bandsInc.as("x").join(all.as("y"),
         col("x.g") === col("y.g") && col("x.v") === col("y.v") &&
         col("x.doc_id") =!= col("y.doc_id") &&
-        (!col("y.is_new") || col("y.doc_id") < col("x.doc_id")) &&
+        (!col("y.y_new") || col("y.doc_id") < col("x.doc_id")) &&
         !expr("band_match_before(x.sig, y.sig, 4, x.g)"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-    val pairs = rescoredPairs(spark, cand, sets,
+    val pairs = rescoredPairs(spark, cand, setsIdx.unionByName(setsInc),
         col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
       .filter(col("i").cast("double") /
         (col("na") + col("nb") - col("i")).cast("double") >= 0.8)
+    // b's side is recovered from the increment's OWN id set — the
+    // small side by premise, so this join broadcasts where it matters.
     val flags = pairs
-      .join(flag.select(col("doc_id").as("b"), col("is_new").as("b_new")), Seq("b"))
+      .join(increment.select(col("doc_id").as("b"), lit(true).as("b_new")),
+        Seq("b"), "left")
       .groupBy(col("a").as("doc_id"))
-      .agg(max(when(!col("b_new"), 1).otherwise(0)).as("has_old"),
+      .agg(max(when(col("b_new").isNull, 1).otherwise(0)).as("has_old"),
         max(when(col("b_new"), 1).otherwise(0)).as("has_new"))
     increment.select(col("doc_id")).join(flags, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -175,6 +175,24 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q86's candidate stage is an equi-join on the band key — text stays out of its exchanges") {
+    // The incremental screen's whole scale claim is the ASYMMETRIC
+    // band join: increment bands against the full band index, keyed
+    // (g, v) — never a cartesian, never text-keyed. Same audit as
+    // q58/q59 (the family it extends): every exchange carries ids,
+    // signatures, bands, or verdict flags; the token-SET column is
+    // allowed only into the bounded re-score join, raw text# nowhere.
+    val p = plan("q86_incremental_dedup")
+    assert(!p.contains("CartesianProduct"),
+      "q86 candidate stage degenerated to a cartesian")
+    val exchanges = p.split("\\(\\d+\\) ").filter(_.startsWith("Exchange"))
+    assert(exchanges.nonEmpty, "q86 plan has no exchange to audit")
+    exchanges.foreach { e =>
+      val input = e.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      assert(!input.contains("text#"), s"q86 exchange carries full text: $input")
+    }
+  }
+
   test("q62 shuffles token pairs and log-probs — document text never crosses an exchange") {
     // The LM pipeline explodes bigrams scan-side; every exchange carries
     // (doc_id, w1, w2) instances, (w1, w2, n) model counts, or 6dp

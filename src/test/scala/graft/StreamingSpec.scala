@@ -566,6 +566,69 @@ class StreamingSpec extends SparkSpec {
       s"expected the duplicate-id guard, got: $ex")
   }
 
+  test("streaming incremental dedup across microbatches == batch q86") {
+    import spark.implicits._
+    // The full sf0.001 increment fed in doc_id order across three
+    // microbatches must reproduce the single-shot q86 verdicts
+    // row-for-row — including dup_new pairs whose two docs arrive in
+    // DIFFERENT batches (the state the foreachBatch twin carries).
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val isNew = pmod(col("doc_id"), lit(10)) >= 7
+    val incDocs = docs.filter(isNew).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = graft.streaming.StreamingIncrementalDedup.start(spark,
+      docs.filter(!isNew), stream.toDF().toDF("doc_id", "text")) { (_, v) =>
+        v.collect().foreach(r => got.add((r.getLong(0), r.getString(1))))
+    }
+    try {
+      incDocs.grouped(math.max(1, incDocs.length / 3)).foreach { b =>
+        stream.addData(b.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batch = SparkEntry.queries("q86_incremental_dedup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val streamed = got.toArray(Array.empty[(Long, String)]).sortBy(_._1)
+    assert(streamed.length === batch.length)
+    assert(streamed.toSeq === batch.toSeq,
+      "streamed incremental-dedup verdicts diverged from the batch screen")
+  }
+
+  test("streaming incremental dedup: cross-batch dup_new and dup_old priority") {
+    import spark.implicits._
+    // Crafted corpus (IncrementalDedupSpec's) split so the interesting
+    // pairs SPAN batches: 37's only mate (27) is one batch earlier →
+    // dup_new from state, not from within-batch pairing; 67 pairs the
+    // static index (doc 1) AND batch-1's 17 → dup_old wins.
+    val index = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val batches = Seq(
+      Seq((17L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (27L, "red orange yellow green blue indigo violet black white grey")),
+      Seq((37L, "red orange yellow green blue indigo violet black white grey"),
+        (47L, "red orange yellow green blue lion tiger bear wolf fox")),
+      Seq((57L, ""),
+        (67L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")))
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = graft.streaming.StreamingIncrementalDedup.start(spark, index,
+      stream.toDF().toDF("doc_id", "text")) { (_, v) =>
+        v.collect().foreach(r => got.add((r.getLong(0), r.getString(1))))
+    }
+    try batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    assert(got.toArray(Array.empty[(Long, String)]).toMap === Map(
+      17L -> "dup_old", 27L -> "keep", 37L -> "dup_new",
+      47L -> "keep", 57L -> "keep", 67L -> "dup_old"))
+  }
+
   test("Graft facade: registerTables + SQL + named operator") {
     Graft.registerTables(spark, sf0001)
     val viaSql = spark.sql(
