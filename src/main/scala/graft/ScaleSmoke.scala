@@ -261,6 +261,26 @@ object ScaleSmoke {
         docs.filter(pmod(col("doc_id"), lit(100)) =!= 0))
       hashed(bands)
     }
+    // The stored-index batch itself: index built and WRITTEN once
+    // (outside the timer — that is the amortized part), then the timed
+    // run is exactly what a daily batch pays: read the index tables,
+    // chain the 1% increment, join, verdict. This is q86's production
+    // per-batch number at this scale.
+    if (only.forall(_.findFirstIn("q86_stored_batch").nonEmpty)) {
+      val docs = spark.read.parquet(s"$out/documents.parquet")
+        .select("doc_id", "text")
+      val isInc = pmod(col("doc_id"), lit(100)) === 0
+      val idx = graft.operators.Approx.buildMinHashIndex(spark, docs.filter(!isInc))
+      idx.sets.write.mode("overwrite").parquet(s"$out/mhidx/sets")
+      idx.bands.write.mode("overwrite").parquet(s"$out/mhidx/bands")
+      run("q86_stored_batch") {
+        hashed(graft.operators.Approx.incrementalDedup(spark,
+          graft.operators.Approx.MinHashIndex(
+            spark.read.parquet(s"$out/mhidx/sets"),
+            spark.read.parquet(s"$out/mhidx/bands")),
+          docs.filter(isInc)))
+      }
+    }
     // The rest of the near-dup family (round 9): the ML-LSH variant and
     // the 64-bit SimHash — their pair/bucket behavior at scale is the
     // 100 TB question, and the planted-family corpus keeps their TRUE

@@ -349,7 +349,32 @@ object Approx {
     * the emit-once minimal-band check is symmetric in the two
     * signatures), so the verdicts equal what a full q59 pair run would
     * derive — IncrementalDedupSpec pins that equivalence. */
+  /** A persisted-form MinHash index: the `md5SetsAndBands` output made
+    * storable. `sets` = (doc_id, set, n) token sets; `bands` =
+    * (doc_id, sig, g, v) banded signatures. Write both frames to
+    * parquet once (bucket `sets` by doc_id to co-locate the re-score
+    * join) and every daily batch pays only its own chain +
+    * increment-proportional joins — the amortization the incremental
+    * screen exists for. */
+  case class MinHashIndex(sets: DataFrame, bands: DataFrame)
+
+  /** Build the storable index for a corpus — one pass, reusable by
+    * every subsequent [[incrementalDedup]] call. */
+  def buildMinHashIndex(spark: SparkSession, docs: DataFrame): MinHashIndex = {
+    val (sets, bands) = md5SetsAndBands(spark, docs.select("doc_id", "text"))
+    MinHashIndex(sets, bands)
+  }
+
   def incrementalDedup(spark: SparkSession, index: DataFrame,
+                       increment: DataFrame): DataFrame =
+    incrementalDedup(spark,
+      buildMinHashIndex(spark, index.select("doc_id", "text")), increment)
+
+  /** The stored-index form: screen `increment` against a prebuilt
+    * [[MinHashIndex]] (freshly built or read back from parquet — the
+    * frames are plain tables). Semantics identical to the two-corpus
+    * form; only where the index's signatures come from differs. */
+  def incrementalDedup(spark: SparkSession, index: MinHashIndex,
                        increment: DataFrame): DataFrame = {
     // The signature chain is per-doc (a pure function of text), so it
     // runs once PER SIDE and the old/new distinction rides each band
@@ -359,7 +384,8 @@ object Approx {
     // that flag table is corpus-sized — the one thing this operator
     // must never shuffle. The increment's ids ARE joinable: that side
     // is small by the operator's premise.)
-    val (setsIdx, bandsIdx) = md5SetsAndBands(spark, index.select("doc_id", "text"))
+    graft.expressions.GraftFunctions.register(spark)
+    val (setsIdx, bandsIdx) = (index.sets, index.bands)
     val (setsInc, bandsInc) = md5SetsAndBands(spark, increment.select("doc_id", "text"))
     val all = bandsIdx.withColumn("y_new", lit(false))
       .unionByName(bandsInc.withColumn("y_new", lit(true)))

@@ -38,6 +38,29 @@ class IncrementalDedupSpec extends SparkSpec {
       47L -> "keep", 57L -> "keep", 67L -> "dup_old"))
   }
 
+  test("stored-index round trip: parquet-persisted MinHashIndex screens identically") {
+    // The production deployment builds the index ONCE, writes it, and
+    // every batch reads it back — the screen must not care. The index
+    // frames round-trip through parquet (losing lineage, stats, and
+    // the in-memory partitioning) and the verdicts must equal the
+    // direct two-corpus form row for row.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val isNew = pmod(col("doc_id"), lit(10)) >= 7
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx").toString
+    val built = graft.operators.Approx.buildMinHashIndex(spark, docs.filter(!isNew))
+    built.sets.write.mode("overwrite").parquet(s"$dir/sets")
+    built.bands.write.mode("overwrite").parquet(s"$dir/bands")
+    val stored = graft.operators.Approx.MinHashIndex(
+      spark.read.parquet(s"$dir/sets"), spark.read.parquet(s"$dir/bands"))
+    val viaStored = graft.operators.Approx
+      .incrementalDedup(spark, stored, docs.filter(isNew))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val direct = SparkEntry.queries("q86_incremental_dedup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(viaStored.toSeq === direct.toSeq)
+  }
+
   test("asymmetric screen ≡ verdicts derived from the symmetric pair set (sf0.001)") {
     // The operator's claim: restricting the symmetric q59 pair set to
     // increment-involving pairs yields exactly what the asymmetric
