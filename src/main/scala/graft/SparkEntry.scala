@@ -109,7 +109,8 @@ object SparkEntry {
     "q83_split_leakage"       -> Extended.q83SplitLeakage _,
     "q84_semantic_dedup_cells" -> Extended.q84SemanticDedupCells _,
     "q85_transitive_leakage"  -> Extended.q85TransitiveLeakage _,
-    "q86_incremental_dedup"   -> Extended.q86IncrementalDedup _
+    "q86_incremental_dedup"   -> Extended.q86IncrementalDedup _,
+    "q87_semantic_decontam"   -> Extended.q87SemanticDecontam _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1054,6 +1054,41 @@ object Extended {
       .orderBy("keeper")
   }
 
+  /** q87: semantic decontamination — the embedding-space twin of q57's
+    * n-gram decontam: corpus vectors whose cosine against ANY
+    * benchmark vector reaches 0.35 (the corpus's q45/q66 semantic-dup
+    * threshold — this testdata's embeddings are hash-noise with a
+    * compressed cosine range, global pair max ≈ 0.51) are
+    * contamination (a training doc
+    * that IS an eval item, paraphrased past the n-gram screen). The
+    * benchmark set is the deterministic 1-in-40 slice
+    * (`vec_id % 40 = 0`); output one row per contaminated corpus
+    * vector: (vec_id, n_hits, max_sim). The float32 cosine chain,
+    * pair-level 4dp rounding, and float-literal threshold are q45's
+    * proven parity conventions verbatim; aggregation happens on the
+    * ROUNDED pair values so both engines aggregate identical inputs.
+    * Scale shape: benchmark broadcasts (eval suites are tiny), the
+    * corpus streams scan-side through codegen'd dot products — no
+    * corpus-side exchange at all until the per-vector aggregate. */
+  def q87SemanticDecontam(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val dot = (a: String, b: String) => graft.expressions.GraftFunctions.floatDot(s, a, b)
+    val bench = emb.filter(pmod(col("vec_id"), lit(40)) === 0)
+      .select(col("vec_id").as("bid"), col("embedding").as("be"),
+        sqrt(dot("embedding", "embedding")).cast("float").as("bnorm"))
+    val corpus = emb.filter(pmod(col("vec_id"), lit(40)) =!= 0)
+      .select(col("vec_id"), col("embedding").as("ce"),
+        sqrt(dot("embedding", "embedding")).cast("float").as("cnorm"))
+      .repartition(math.min(s.sparkContext.defaultParallelism, 8))
+    val sim = (dot("be", "ce") / (col("bnorm") * col("cnorm"))).cast("float")
+    broadcast(bench).crossJoin(corpus)
+      .select(col("vec_id"), round(sim, 4).as("sim"))
+      .filter(col("sim") >= lit(0.35f))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_hits"), max(col("sim")).as("max_sim"))
+      .orderBy("vec_id")
+  }
+
   /** q86: incremental dedup — screen a crawl increment against the
     * already-ingested corpus. The declared split is deterministic and
     * engine-portable: docs with `doc_id % 10 >= 7` are the increment

@@ -1461,6 +1461,20 @@ object Oracle {
         |  CASE WHEN has_old = 1 THEN 'dup_old'
         |       WHEN has_new = 1 THEN 'dup_new'
         |       ELSE 'keep' END AS verdict
-        |FROM fl ORDER BY doc_id""".stripMargin)
+        |FROM fl ORDER BY doc_id""".stripMargin),
+
+    // q87: embedding-space decontamination — q45's proven
+    // list_cosine_similarity ≡ float_dot parity chain (FLOAT
+    // accumulation, pair-level round to 4dp BEFORE the threshold and
+    // the aggregates, so both engines aggregate identical values).
+    "q87_semantic_decontam" ->
+      """SELECT b.vec_id,
+        |  CAST(count(*) AS BIGINT) AS n_hits,
+        |  max(round(list_cosine_similarity(a.embedding, b.embedding), 4)) AS max_sim
+        |FROM embeddings a JOIN embeddings b ON b.vec_id % 40 <> 0
+        |WHERE a.vec_id % 40 = 0
+        |  AND round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.35
+        |GROUP BY b.vec_id
+        |ORDER BY b.vec_id""".stripMargin
   )
 }

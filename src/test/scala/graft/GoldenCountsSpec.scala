@@ -149,7 +149,11 @@ class GoldenCountsSpec extends SparkSpec {
     // q86 (round 13): one row per increment doc (doc_id % 10 >= 7,
     // 30% of the 500-doc corpus) — incremental dedup verdicts,
     // oracle-matched value for value.
-    "q86_incremental_dedup" -> 150
+    "q86_incremental_dedup" -> 150,
+    // q87 (round 13): corpus vectors within cosine 0.35 of the 1-in-40
+    // benchmark slice — embedding-space decontam, oracle-matched
+    // (n_hits, max_sim) value for value.
+    "q87_semantic_decontam" -> 17
   )
 
   test("queries/oracleSql keys line up") {
@@ -300,7 +304,12 @@ class GoldenCountsSpec extends SparkSpec {
     // declared (round 13 — the q86 oracle is the q59 chain plus
     // cheap flag joins, no recursive closure, so unlike q60/q85 it
     // RUNS at sf0.1).
-    "q86_incremental_dedup" -> 1500L
+    "q86_incremental_dedup" -> 1500L,
+    // q87: contamination grows with the corpus (more vectors fall
+    // inside the benchmark slice's 0.35 ball as the noise mass grows);
+    // parity-checked against DuckDB at all three SFs when declared
+    // (round 13).
+    "q87_semantic_decontam" -> 182L
   )
 
   sf01Pins.toSeq.sortBy(_._1).foreach { case (name, rows) =>

@@ -29,7 +29,11 @@ class PlanQualitySpec extends SparkSpec {
       "q62_lm_bigram_score",
       // q71 is q36's probe-bounded broadcast pair loop with the
       // Hamming-bucket prune as the join predicate (round 11).
-      "q71_ann_planes")
+      "q71_ann_planes",
+      // q87 is q45's benchmark-bounded broadcast pair loop — the
+      // benchmark slice (1/40 of the vectors) broadcasts and the
+      // corpus streams scan-side (round 13).
+      "q87_semantic_decontam")
 
   test("no query plan contains an unintended cartesian product or Scala UDF") {
     SparkEntry.queries.keys.foreach { name =>
