@@ -110,7 +110,8 @@ object SparkEntry {
     "q84_semantic_dedup_cells" -> Extended.q84SemanticDedupCells _,
     "q85_transitive_leakage"  -> Extended.q85TransitiveLeakage _,
     "q86_incremental_dedup"   -> Extended.q86IncrementalDedup _,
-    "q87_semantic_decontam"   -> Extended.q87SemanticDecontam _
+    "q87_semantic_decontam"   -> Extended.q87SemanticDecontam _,
+    "q88_incremental_semantic" -> Extended.q88IncrementalSemantic _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

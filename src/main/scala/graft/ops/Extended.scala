@@ -1054,6 +1054,61 @@ object Extended {
       .orderBy("keeper")
   }
 
+  /** q88: incremental SEMANTIC dedup — q86's daily-increment screen in
+    * embedding space: new vectors (`vec_id % 10 >= 7`, q86's split
+    * rule) are checked against the ingested index within q84's
+    * literal-centroid cells, verdicts dup_old / dup_new (keep-first
+    * within the batch) / keep. The candidate join is increment-cells ×
+    * all-cells — like q86, the index never pairs with itself. The
+    * 4-cell literal quantizer is the VALUE HARNESS (q84's declared
+    * role); the production path swaps q66's sampled-fit IVF cells into
+    * the same structure, where cell assignment of the increment is
+    * O(batch × nlist) and the index's assignments are stored. Zero-norm
+    * vectors never pair (cosine undefined) and verdict `keep`. */
+  def q88IncrementalSemantic(s: SparkSession, d: String): DataFrame = {
+    def cellDot(e: Column, cs: Seq[Int]): Column =
+      cs.zipWithIndex.map { case (c, j) =>
+        element_at(e, j + 1) * lit(c.toDouble)
+      }.reduce(_ + _)
+    val scores = Q84Centroids.map(cs => cellDot(col("embedding"), cs))
+    val cell = (0 until scores.length - 1).foldRight(
+        lit(scores.length - 1)) { (k, els) =>
+      val isMax = (k + 1 until scores.length)
+        .map(j => scores(k) >= scores(j)).reduce(_ && _)
+      when(isMax, lit(k)).otherwise(els)
+    }
+    val dot = (a: String, b: String) =>
+      graft.expressions.GraftFunctions.floatDot(s, a, b)
+    val isNew = pmod(col("vec_id"), lit(10)) >= 7
+    val cells = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), cell.as("cell"), isNew.as("is_new"))
+    val sides = cells
+      .withColumn("nrm", sqrt(dot("embedding", "embedding")).cast("float"))
+      .filter(col("nrm") > 0)
+    val lhs = sides.filter(col("is_new"))
+      .select(col("vec_id").as("a"), col("embedding").as("ea"),
+        col("cell").as("cella"), col("nrm").as("na"))
+    val rhs = sides.select(col("vec_id").as("b"), col("embedding").as("eb"),
+      col("cell").as("cellb"), col("nrm").as("nb"), col("is_new").as("b_new"))
+    val sim = (dot("ea", "eb") / (col("na") * col("nb"))).cast("float")
+    val pairs = lhs
+      .join(rhs, col("cella") === col("cellb") &&
+        (!col("b_new") || col("b") < col("a")))
+      .select(col("a"), col("b_new"), round(sim, 4).as("sim"))
+      .filter(col("sim") >= lit(0.35f))
+    val flags = pairs
+      .groupBy(col("a").as("vec_id"))
+      .agg(max(when(!col("b_new"), 1).otherwise(0)).as("has_old"),
+        max(when(col("b_new"), 1).otherwise(0)).as("has_new"))
+    cells.filter(col("is_new")).select(col("vec_id"))
+      .join(flags, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("has_old") === 1, "dup_old")
+          .when(col("has_new") === 1, "dup_new")
+          .otherwise("keep").as("verdict"))
+      .orderBy("vec_id")
+  }
+
   /** q87: semantic decontamination — the embedding-space twin of q57's
     * n-gram decontam: corpus vectors whose cosine against ANY
     * benchmark vector reaches 0.35 (the corpus's q45/q66 semantic-dup

@@ -1463,6 +1463,50 @@ object Oracle {
         |       ELSE 'keep' END AS verdict
         |FROM fl ORDER BY doc_id""".stripMargin),
 
+    // q88: incremental semantic dedup — q84's literal-centroid cell
+    // CASE (identical render both engines) + q86's verdict derivation,
+    // with the pair set restricted to increment-involving pairs inside
+    // a cell: (y index) OR (y an EARLIER increment vector). The LEFT
+    // JOIN keeps pairless increment vectors; NULL flags aggregate to
+    // 0 → keep.
+    "q88_incremental_semantic" -> {
+      def dotSql(cs: Seq[Int]): String =
+        cs.zipWithIndex.map { case (c, j) =>
+          s"(embedding[${j + 1}] * ${c.toDouble})"
+        }.mkString(" + ")
+      val k = Extended.Q84Centroids.length
+      val scoreCols = Extended.Q84Centroids.zipWithIndex
+        .map { case (cs, i) => s"${dotSql(cs)} AS s$i" }
+        .mkString(",\n    ")
+      val caseSql = (0 until k - 1).map { i =>
+        val isMax = (i + 1 until k).map(j => s"s$i >= s$j").mkString(" AND ")
+        s"WHEN $isMax THEN $i"
+      }.mkString("CASE ", " ", s" ELSE ${k - 1} END")
+      s"""WITH scored AS (
+        |  SELECT vec_id, embedding,
+        |    $scoreCols
+        |  FROM embeddings),
+        | cells AS (
+        |  SELECT vec_id, embedding, $caseSql AS cell FROM scored),
+        | pairs AS (
+        |  SELECT x.vec_id AS a, (y.vec_id % 10 >= 7) AS y_new
+        |  FROM cells x JOIN cells y ON x.cell = y.cell
+        |  WHERE x.vec_id % 10 >= 7
+        |    AND ((y.vec_id % 10 < 7) OR y.vec_id < x.vec_id)
+        |    AND round(list_cosine_similarity(x.embedding, y.embedding), 4) >= 0.35),
+        | nd AS (SELECT vec_id FROM embeddings WHERE vec_id % 10 >= 7),
+        | fl AS (SELECT n.vec_id,
+        |     max(CASE WHEN NOT p.y_new THEN 1 ELSE 0 END) AS has_old,
+        |     max(CASE WHEN p.y_new THEN 1 ELSE 0 END) AS has_new
+        |   FROM nd n LEFT JOIN pairs p ON p.a = n.vec_id
+        |   GROUP BY n.vec_id)
+        |SELECT vec_id,
+        |  CASE WHEN has_old = 1 THEN 'dup_old'
+        |       WHEN has_new = 1 THEN 'dup_new'
+        |       ELSE 'keep' END AS verdict
+        |FROM fl ORDER BY vec_id""".stripMargin
+    },
+
     // q87: embedding-space decontamination — q45's proven
     // list_cosine_similarity ≡ float_dot parity chain (FLOAT
     // accumulation, pair-level round to 4dp BEFORE the threshold and

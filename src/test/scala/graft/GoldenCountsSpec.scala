@@ -153,7 +153,11 @@ class GoldenCountsSpec extends SparkSpec {
     // q87 (round 13): corpus vectors within cosine 0.35 of the 1-in-40
     // benchmark slice — embedding-space decontam, oracle-matched
     // (n_hits, max_sim) value for value.
-    "q87_semantic_decontam" -> 17
+    "q87_semantic_decontam" -> 17,
+    // q88 (round 13): one row per increment vector (vec_id % 10 >= 7,
+    // 30% of the 500-vector corpus) — incremental semantic dedup
+    // verdicts, oracle-matched value for value.
+    "q88_incremental_semantic" -> 150
   )
 
   test("queries/oracleSql keys line up") {
@@ -309,7 +313,13 @@ class GoldenCountsSpec extends SparkSpec {
     // inside the benchmark slice's 0.35 ball as the noise mass grows);
     // parity-checked against DuckDB at all three SFs when declared
     // (round 13).
-    "q87_semantic_decontam" -> 182L
+    "q87_semantic_decontam" -> 182L,
+    // q88 is one row per increment vector (600 at sf0.1) by
+    // construction; the verdict-histogram pin below guards the values.
+    // Parity-checked against DuckDB at all three SFs when declared
+    // (round 13 — no recursive closure in its oracle, so like q86 it
+    // runs at sf0.1).
+    "q88_incremental_semantic" -> 600L
   )
 
   sf01Pins.toSeq.sortBy(_._1).foreach { case (name, rows) =>
@@ -351,6 +361,17 @@ class GoldenCountsSpec extends SparkSpec {
       .groupBy("verdict").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(hist === Map("dup_old" -> 1134L, "dup_new" -> 9L, "keep" -> 357L))
+  }
+
+  test("q88 verdict distribution at sf0.1 (scale pin)") {
+    // The planted embedding families put most increment vectors next
+    // to an index family mate (dup_old), 33 pairs exist only inside
+    // the increment, and the keeps are the noise tail. A centroid or
+    // threshold regression moves this histogram before the row count.
+    val hist = SparkEntry.queries("q88_incremental_semantic")(spark, sf01)
+      .groupBy("verdict").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hist === Map("dup_old" -> 417L, "dup_new" -> 33L, "keep" -> 150L))
   }
 
   test("q60 component-size histogram at sf0.1 (scale pin)") {
