@@ -90,7 +90,10 @@ object TrainingData {
                        minQuality: Double = 0.5, maxRepetition: Double = 0.2,
                        minTokens: Int = 10, salt: Long = 0L,
                        tokenCounter: Option[org.apache.spark.sql.Column] = None,
-                       withReplacement: Boolean = false): TrainingSet = {
+                       withReplacement: Boolean = false,
+                       embeddings: Option[DataFrame] = None,
+                       benchmarkEmbeddings: Option[DataFrame] = None,
+                       minCosine: Double = 0.35): TrainingSet = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.TextFunctions
 
@@ -132,7 +135,50 @@ object TrainingData {
         nearDeduped.select(col("doc_id"), col("text")), benchIds,
         n = 8, minContainment = minBenchContainment)
       .select(col("doc_id")).distinct()
-    val clean = nearDeduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val lexClean = nearDeduped.join(contaminated, Seq("doc_id"), "left_anti")
+
+    // 4b+4c. SEMANTIC stages (round 13, optional — active only when an
+    // `embeddings` frame (doc_id, embedding) is supplied): first
+    // semantic decontamination (q87's shape — drop survivors whose
+    // embedding lands within `minCosine` of ANY `benchmarkEmbeddings`
+    // vector; benchmark broadcasts, corpus streams scan-side), then
+    // semantic dedup (q66's production sampled-fit IVF path; keeper =
+    // min doc_id, the pipeline's keep-first convention). Docs WITHOUT
+    // a vector pass through unjudged — absence of an embedding is not
+    // evidence of redundancy. Both stages run on the lexically-clean
+    // survivors only, so the embedding work is bounded by what
+    // earlier, cheaper stages already kept.
+    val clean = embeddings match {
+      case None => lexClean
+      case Some(embAll) =>
+        val dot = (a: String, b: String) =>
+          graft.expressions.GraftFunctions.floatDot(spark, a, b)
+        val emb = embAll.select(col("doc_id"), col("embedding"))
+          .join(lexClean.select(col("doc_id")), Seq("doc_id"))
+        val afterDecon = benchmarkEmbeddings match {
+          case None => emb
+          case Some(bench) =>
+            val b = broadcast(bench.select(col("embedding").as("be"))
+              .withColumn("bnorm", sqrt(dot("be", "be")).cast("float"))
+              .filter(col("bnorm") > 0))
+            val sim = (dot("be", "embedding") /
+              (col("bnorm") * col("cnorm"))).cast("float")
+            val hits = emb
+              .withColumn("cnorm", sqrt(dot("embedding", "embedding")).cast("float"))
+              .filter(col("cnorm") > 0)
+              .crossJoin(b)
+              .filter(round(sim, 4) >= lit(minCosine.toFloat))
+              .select(col("doc_id")).distinct()
+            emb.join(hits, Seq("doc_id"), "left_anti")
+        }
+        val keepers = Approx.semanticDedup(
+            afterDecon.select(col("doc_id").as("vec_id"), col("embedding")),
+            minSim = minCosine)
+          .filter(col("is_keeper"))
+          .select(col("vec_id").as("doc_id"))
+        lexClean.join(emb.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .unionByName(lexClean.join(keepers, Seq("doc_id"), "left_semi"))
+    }
 
     // 5. Mixture: per-lang token budgets in salted-hash order. The
     // pluggable counter evaluates here — scan-side over the surviving

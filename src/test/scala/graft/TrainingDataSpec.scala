@@ -117,6 +117,64 @@ class TrainingDataSpec extends SparkSpec {
     assert(again === rows.map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq)
   }
 
+  test("semantic stages: decontam + dedup compose into the pipeline correctly") {
+    // Wiring test for the round-13 optional stages 4b/4c — the PIECES
+    // (q87's broadcast-cosine decontam, semanticDedup's IVF keepers)
+    // are value-verified elsewhere; this pins the COMPOSITION: they
+    // run on the lexically-clean survivors, docs WITHOUT a vector pass
+    // through unjudged, and the whole build stays deterministic.
+    // Budgets are huge so selection == survival and set algebra holds.
+    val big = Map("en" -> 10000000L, "de" -> 10000000L, "es" -> 10000000L,
+      "fr" -> 10000000L, "zh" -> 10000000L)
+    val base = TrainingData.buildTrainingSet(
+        spark, docs, benchmark, big, seqLen = 256L)
+      .selected.collect().map(_.getLong(0)).toSet
+    val emb250 = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .filter(col("doc_id") < 250)
+    val benchEmb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .filter(pmod(col("vec_id"), lit(40)) === 0).select("embedding")
+    val ts3 = TrainingData.buildTrainingSet(
+      spark, docs, benchmark, big, seqLen = 256L,
+      embeddings = Some(emb250), benchmarkEmbeddings = Some(benchEmb))
+    val picked = ts3.selected.collect().map(_.getLong(0)).toSet
+    // Docs without a vector (id >= 250) are untouched by the stages.
+    assert(base.filter(_ >= 250L).subsetOf(picked),
+      "a doc without an embedding was dropped by the semantic stages")
+    assert(picked.filter(_ >= 250L) === base.filter(_ >= 250L))
+    // Expected survivors among the vectored lexical survivors: not a
+    // q87 decontam hit, and a semanticDedup keeper of what remains —
+    // the same operators the stages delegate to, applied to the same
+    // survivor base.
+    val dot = (a: String, b: String) =>
+      graft.expressions.GraftFunctions.floatDot(spark, a, b)
+    val survivors = emb250.join(
+      spark.createDataset(base.toSeq.filter(_ < 250L))(
+        org.apache.spark.sql.Encoders.scalaLong).toDF("doc_id"), Seq("doc_id"))
+    val b = broadcast(benchEmb.select(col("embedding").as("be"))
+      .withColumn("bnorm", sqrt(dot("be", "be")).cast("float")))
+    val sim = (dot("be", "embedding") / (col("bnorm") * col("cnorm"))).cast("float")
+    val hits = survivors
+      .withColumn("cnorm", sqrt(dot("embedding", "embedding")).cast("float"))
+      .crossJoin(b).filter(round(sim, 4) >= lit(0.35f))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val afterDecon = survivors.filter(!col("doc_id").isin(hits.toSeq: _*))
+    val keepers = graft.operators.Approx.semanticDedup(
+        afterDecon.select(col("doc_id").as("vec_id"), col("embedding")),
+        minSim = 0.35)
+      .filter(col("is_keeper")).collect().map(_.getLong(0)).toSet
+    assert(picked.filter(_ < 250L) === keepers,
+      "semantic-stage survivors diverge from decontam+dedup applied to the survivor base")
+    assert(hits.nonEmpty && keepers.size < (base.count(_ < 250L)),
+      "the semantic stages did no work on this corpus — test is vacuous")
+    // Determinism: a second build reproduces the selection exactly.
+    val again = TrainingData.buildTrainingSet(
+        spark, docs, benchmark, big, seqLen = 256L,
+        embeddings = Some(emb250), benchmarkEmbeddings = Some(benchEmb))
+      .selected.collect().map(_.getLong(0)).toSet
+    assert(again === picked)
+  }
+
   test("stage 7: sharding addresses every slice, balanced and complete") {
     val sharded = TrainingData.shardTrainingSet(ts.packed, nShards = 4)
     val rows = sharded.select("seq_id", "shard", "pos", "doc_id", "slice_len")
