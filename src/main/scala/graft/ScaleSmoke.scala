@@ -281,6 +281,40 @@ object ScaleSmoke {
           docs.filter(isInc)))
       }
     }
+    // Incremental SEMANTIC dedup (round 13): the embedding-space twin
+    // of q86_stored_batch. Quantizer fit (sampled, the q66 law) + index
+    // cell assignment + write happen ONCE outside the timer — the
+    // amortized ingest cost; the timed run is a daily batch's true
+    // marginal work: assign the 1% increment to cells (O(batch × nlist
+    // · dim), scan-side), pair within cells against the stored index
+    // (the increment broadcasts; the index streams map-side off its
+    // parquet scan, never crossing an exchange), verdict aggregate.
+    // Growth law: under the nlist ∝ N constant-cell-size rule each
+    // increment vector meets ~constant within-cell partners, so the
+    // timed wall should track the linear index SCAN, not pair mass.
+    // minSim 0.98 = the tight regime the standalone semantic_dedup
+    // arms measure on this corpus (planted families sit ≈ 0.999).
+    if (only.forall(_.findFirstIn("q88_stored_batch").nonEmpty)) {
+      val embAll = spark.read.parquet(s"$out/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val isInc = pmod(col("vec_id"), lit(100)) === 0
+      val cents = graft.operators.Approx.fitSemanticCentroids(
+        embAll.filter(!isInc), nlist = 8 * copies,
+        fitFraction = math.min(1.0, 50000.0 / nDocs))
+      val semIdx = graft.operators.Approx.buildSemanticIndex(
+        embAll.filter(!isInc), cents)
+      semIdx.vectors.write.mode("overwrite").parquet(s"$out/semidx/vectors")
+      graft.operators.Approx.semanticCentroidsDF(spark, cents)
+        .write.mode("overwrite").parquet(s"$out/semidx/centroids")
+      run("q88_stored_batch") {
+        hashed(graft.operators.Approx.incrementalSemanticDedup(
+          graft.operators.Approx.SemanticIndex(
+            spark.read.parquet(s"$out/semidx/vectors"),
+            graft.operators.Approx.semanticCentroidsFromDF(
+              spark.read.parquet(s"$out/semidx/centroids"))),
+          embAll.filter(isInc), minSim = 0.98))
+      }
+    }
     // The rest of the near-dup family (round 9): the ML-LSH variant and
     // the 64-bit SimHash — their pair/bucket behavior at scale is the
     // 100 TB question, and the planted-family corpus keeps their TRUE
@@ -709,6 +743,49 @@ object ScaleSmoke {
       ts.selected
     }
     if (lastSelected != null) { graft.operators.Materialized.free(lastSelected); lastSelected = null }
+    // Semantic-staged pipeline (round 13): the SAME build but with the
+    // optional 4b/4c stages active — semantic decontam against the
+    // 1-in-40 embedding slice, then the q66 sampled-fit IVF dedup —
+    // both running on the lexically-clean survivors. The embeddings
+    // table shares the documents' planted-family law, so the semantic
+    // dedup does real work (≈ corpus/7 · 8/9 non-keepers) and the
+    // stage's wall should track the standalone semantic_dedup smoke
+    // plus the lexical pipeline (its two dominant parts).
+    var lastSem: DataFrame = null
+    run("training_semantic") {
+      if (lastSem != null) graft.operators.Materialized.free(lastSem)
+      val docsAll = spark.read.parquet(s"$out/documents.parquet")
+        .select("doc_id", "text", "lang")
+      val bench = docsAll.filter(col("doc_id") < 500).select("text")
+      val embAll = spark.read.parquet(s"$out/embeddings.parquet")
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      // FIXED-size benchmark embeddings (500 vectors at every scale),
+      // mirroring the lexical bench above and for the same reason: an
+      // eval set does not grow with the training corpus. The first cut
+      // scaled the slice with the corpus (1-in-40 → 12.5k vectors at
+      // 100×) and paid twice — a corpus × bench decontam join growing
+      // quadratically, and enough memory pressure to trip Spark's
+      // sorter-spill NPE in the downstream stage.
+      val benchEmb = embAll.filter(col("doc_id") < 500)
+        .select("embedding")
+      // minCosine = 0.9, not the testdata queries' 0.35: this corpus's
+      // 64-dim noise vectors cosine up to ~0.54 against SOME member of
+      // a 12.5k-vector benchmark slice (max of n draws grows with
+      // √ln n), so 0.35 would decontaminate the ENTIRE corpus — the
+      // first cut of this stage did exactly that and crashed the IVF
+      // fit on zero rows (now guarded). 0.9 is the production question
+      // ("is this a near-copy of an eval item?") and the planted
+      // families sit at ~0.999, so both stages do real, bounded work.
+      val ts = graft.operators.TrainingData.buildTrainingSet(spark, docsAll, bench,
+        budgets = Map("en" -> 100000L * copies), seqLen = 2048,
+        minQuality = 0.0, maxRepetition = 1.0, minTokens = 1,
+        embeddings = Some(embAll), benchmarkEmbeddings = Some(benchEmb),
+        minCosine = 0.9)
+      graft.operators.Materialized.free(ts.packed)
+      lastSem = ts.selected
+      ts.selected
+    }
+    if (lastSem != null) { graft.operators.Materialized.free(lastSem); lastSem = null }
     // BPE-counted pipeline (round 13, VERDICT r12 #2 / r11 #3): the
     // SAME buildTrainingSet call but with budgets measured in TRUE
     // merge-replay BPE tokens via the `tokenCounter` seam — budgeting,

@@ -90,6 +90,8 @@ object GraftFunctions {
     new ExpressionInfo(classOf[VocabTokenCount].getName, "vocab_token_count")
   val ivfTreeInfo =
     new ExpressionInfo(classOf[IvfTreeAssign].getName, "ivf_tree_assign")
+  val mipAssignInfo =
+    new ExpressionInfo(classOf[MipAssign].getName, "mip_assign")
   val vocabTokenizeInfo =
     new ExpressionInfo(classOf[VocabTokenize].getName, "vocab_tokenize")
   val bpeTokensInfo =
@@ -117,6 +119,8 @@ object GraftFunctions {
       exprs => VocabTokenCount(exprs(0), exprs(1))),
     (FunctionIdentifier("ivf_tree_assign"), ivfTreeInfo,
       exprs => IvfTreeAssign(exprs(0), exprs(1), exprs(2), exprs(3))),
+    (FunctionIdentifier("mip_assign"), mipAssignInfo,
+      exprs => MipAssign(exprs(0), exprs(1))),
     (FunctionIdentifier("vocab_tokenize"), vocabTokenizeInfo,
       exprs => VocabTokenize(exprs(0), exprs(1))),
     (FunctionIdentifier("bpe_tokens"), bpeTokensInfo,

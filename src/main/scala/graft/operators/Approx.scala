@@ -1270,6 +1270,32 @@ object Approx {
     * (a, b, sim) for all within-cell pairs at sim ≥ minSim; the k-means
     * fit runs eagerly here (the only ML-model stage), everything
     * downstream of the model is a declarative plan. */
+  /** The fit-sample selection shared by [[semanticDedupPairs]] and
+    * [[fitSemanticCentroids]]. The 1e-6 floor only guarantees bucket
+    * RESOLUTION — a legal fraction can still sample fewer than nlist
+    * rows on a small corpus (1e-6 × 100k rows ≈ 0), and KMeans would
+    * then fail deep inside Lloyd's instead of at the precondition. The
+    * guard only needs "does the sample reach nlist rows?", so it counts
+    * through limit(nlist) — the scan short-circuits once nlist
+    * survivors are found, costing ~nothing on the large corpora where
+    * the guard can never fire (a full sample.count() would add one
+    * complete corpus pass per call). Falls back to the full-corpus fit
+    * when k centroids cannot be seeded — a small corpus is exactly
+    * where the full fit is affordable. */
+  private def ivfFitInput(featured: DataFrame, nlist: Int, seed: Long,
+                          fitFraction: Double): DataFrame =
+    if (fitFraction >= 1.0) featured
+    else {
+      val sample = Sampling.hashSample(featured, Seq("vec_id"), fitFraction, salt = seed)
+      if (sample.limit(nlist).count() >= nlist) sample
+      else {
+        System.err.println(
+          s"graft.semanticDedup: fitFraction $fitFraction sampled fewer " +
+            s"than nlist $nlist rows — falling back to the full-corpus fit")
+        featured
+      }
+    }
+
   private[graft] def semanticDedupPairs(emb: DataFrame, minSim: Double,
                                         nlist: Int, seed: Long,
                                         fitFraction: Double = 1.0,
@@ -1301,28 +1327,7 @@ object Approx {
     // TIGHT operating point is what the spec re-measures under
     // sampling (cells can only lose boundary pairs; near-identical
     // vectors still quantize together).
-    val fitInput = if (fitFraction >= 1.0) featured
-      else {
-        // The 1e-6 floor only guarantees bucket RESOLUTION — a legal
-        // fraction can still sample fewer than nlist rows on a small
-        // corpus (1e-6 × 100k rows ≈ 0), and KMeans would then fail deep
-        // inside Lloyd's instead of at the precondition. The guard only
-        // needs "does the sample reach nlist rows?", so it counts
-        // through limit(nlist) — the scan short-circuits once nlist
-        // survivors are found, costing ~nothing on the large corpora
-        // where the guard can never fire (a full sample.count() would
-        // add one complete corpus pass per call). Falls back to the
-        // full-corpus fit when k centroids cannot be seeded — a small
-        // corpus is exactly where the full fit is affordable.
-        val sample = Sampling.hashSample(featured, Seq("vec_id"), fitFraction, salt = seed)
-        if (sample.limit(nlist).count() >= nlist) sample
-        else {
-          System.err.println(
-            s"graft.semanticDedup: fitFraction $fitFraction sampled fewer " +
-              s"than nlist $nlist rows — falling back to the full-corpus fit")
-          featured
-        }
-      }
+    val fitInput = ivfFitInput(featured, nlist, seed, fitFraction)
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(fitInput)
@@ -1369,6 +1374,142 @@ object Approx {
       .select(col("a"), col("b"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("sim"))
       .filter(col("sim") >= minSim)
+  }
+
+  // -------------------------------------------------------------------
+  // Incremental SEMANTIC dedup — [[incrementalDedup]]'s increment-vs-
+  // index screen carried into embedding space: the production form of
+  // declared q88 (whose 4-cell literal quantizer is the value harness;
+  // this operator takes ANY centroid list, including one fitted by
+  // [[fitSemanticCentroids]] — q66's sampled-fit IVF cells — or q84's
+  // literals, under which it reproduces q88 row for row, pinned in
+  // IncrementalDedupSpec).
+
+  /** A persisted-form IVF semantic index: the ingested corpus's
+    * embeddings with their quantizer cell and norm precomputed —
+    * `vectors` = (vec_id, embedding, cell, nrm), a plain parquet-
+    * storable table — plus the quantizer's centroid list (driver-side
+    * by construction, like the KMeans model it comes from: nlist × dim
+    * doubles; persist it with [[semanticCentroidsDF]] and rebuild via
+    * [[semanticCentroidsFromDF]]). Build once per corpus with
+    * [[buildSemanticIndex]]; every daily batch then pays only its own
+    * O(batch × nlist) assignment plus within-cell pairing against
+    * co-celled vectors — the corpus² self-join never exists, exactly
+    * like [[MinHashIndex]] on the lexical side, and the index's own
+    * vectors never pair with each other. */
+  case class SemanticIndex(vectors: DataFrame, centroids: Seq[Seq[Double]])
+
+  /** Fit IVF quantizer centroids for [[buildSemanticIndex]]: the same
+    * seeded KMeans — optionally over a deterministic hash-sample, the
+    * measured mitigation of the O(N·nlist) full-corpus fit — as
+    * [[semanticDedup]]'s internal fit, exposed so production fits ONCE
+    * and reuses the quantizer across every daily increment (re-fitting
+    * per batch would move every cell boundary and silently change which
+    * pairs are findable between batches). */
+  def fitSemanticCentroids(emb: DataFrame, nlist: Int, seed: Long = 42L,
+                           fitFraction: Double = 1.0): Seq[Seq[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(fitFraction >= 1e-6 && fitFraction <= 1.0,
+      s"fitFraction $fitFraction outside [1e-6, 1]")
+    val featured = emb.select(col("vec_id"),
+      array_to_vector(col("embedding")).as("features"))
+    new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(ivfFitInput(featured, nlist, seed, fitFraction))
+      .clusterCenters.map(_.toArray.toSeq).toSeq
+  }
+
+  /** Max-inner-product cell assignment over literal centroids as ONE
+    * native expression ([[graft.expressions.MipAssign]]): per-centroid
+    * scores are float×double per-term products with sequential double
+    * accumulation — q84/q88's exact arithmetic — and the winner is the
+    * FIRST index attaining the maximum (≡ q84's `>=`-over-later fold).
+    * O(nlist·dim) per row in one tight loop, no exchange, constant
+    * codegen size at any nlist (a composed per-centroid Column tree
+    * goes interpreted past codegen limits — the q88_stored_batch smoke
+    * measured the assign superlinear that way at nlist = 2400).
+    * Max-inner-product is the right quantizer rule for COSINE dedup
+    * (the similarity being thresholded); on unit-norm embeddings it
+    * coincides with the Euclidean assign of [[semanticDedup]]'s
+    * in-corpus KMeans path. */
+  private[graft] def mipCell(emb: Column, centroids: Seq[Seq[Double]]): Column = {
+    require(centroids.nonEmpty, "mipCell needs at least one centroid")
+    call_function("mip_assign", emb, typedLit(centroids))
+  }
+
+  /** Assign every vector its quantizer cell and norm — one linear
+    * codegen'd pass over (vec_id, embedding). The result is the
+    * storable index table; zero-norm vectors are KEPT here (they are
+    * corpus members) and excluded only at the pair stage, where their
+    * cosine is undefined. */
+  def buildSemanticIndex(emb: DataFrame, centroids: Seq[Seq[Double]]): SemanticIndex = {
+    graft.expressions.GraftFunctions.register(emb.sparkSession)
+    SemanticIndex(
+      emb.select(col("vec_id"), col("embedding"),
+        mipCell(col("embedding"), centroids).as("cell"),
+        sqrt(expr("float_dot(embedding, embedding)")).cast("float").as("nrm")),
+      centroids)
+  }
+
+  /** The centroid list as a tiny storable table (cell, centroid) —
+    * write beside the index's `vectors` parquet, rebuild with
+    * [[semanticCentroidsFromDF]]. */
+  def semanticCentroidsDF(spark: SparkSession, centroids: Seq[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+  }
+
+  /** Rebuild a stored centroid table. The collect is bounded by
+    * construction — a quantizer is nlist × dim doubles, driver-resident
+    * in ANY IVF system (the fitted KMeans model it mirrors lives on the
+    * driver too). */
+  def semanticCentroidsFromDF(df: DataFrame): Seq[Seq[Double]] =
+    df.select(col("cell").cast("int"), col("centroid"))
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toSeq).toSeq
+
+  /** Screen an embedding increment against an ingested [[SemanticIndex]]:
+    * verdict per increment vector — `dup_old` (cosine ≥ minSim against
+    * an index vector within its cell), `dup_new` (only against EARLIER
+    * increment vectors, keep-first by id — q86's convention), `keep`.
+    * Pairing is increment-cells × (index ∪ earlier-increment)-cells, so
+    * the index never pairs with itself and per-batch work is
+    * O(batch × nlist · dim) assignment + within-cell candidates. The
+    * increment side broadcasts (small by the operator's premise — a
+    * daily batch against an ingested corpus), so the INDEX never
+    * crosses an exchange: it streams map-side through the pair join,
+    * and only already-thresholded (a, b_new, sim) tuples reach the
+    * verdict aggregate. Zero-norm vectors never pair (cosine undefined)
+    * and verdict `keep`. The float32 cosine chain with pair-level 4dp
+    * rounding and a float-literal threshold is q45/q88's proven parity
+    * arithmetic verbatim. */
+  def incrementalSemanticDedup(index: SemanticIndex, increment: DataFrame,
+                               minSim: Double = 0.35): DataFrame = {
+    graft.expressions.GraftFunctions.register(index.vectors.sparkSession)
+    val inc = buildSemanticIndex(
+      increment.select(col("vec_id"), col("embedding")), index.centroids).vectors
+    val lhs = inc.filter(col("nrm") > 0)
+      .select(col("vec_id").as("a"), col("embedding").as("ea"),
+        col("cell").as("cella"), col("nrm").as("na"))
+    val rhs = index.vectors.withColumn("b_new", lit(false))
+      .unionByName(inc.withColumn("b_new", lit(true)))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id").as("b"), col("embedding").as("eb"),
+        col("cell").as("cellb"), col("nrm").as("nb"), col("b_new"))
+    val sim = (expr("float_dot(ea, eb)") / (col("na") * col("nb"))).cast("float")
+    val pairs = broadcast(lhs).join(rhs,
+        col("cella") === col("cellb") &&
+          (!col("b_new") || col("b") < col("a")))
+      .select(col("a"), col("b_new"), round(sim, 4).as("sim"))
+      .filter(col("sim") >= lit(minSim.toFloat))
+    val flags = pairs.groupBy(col("a").as("vec_id"))
+      .agg(max(when(!col("b_new"), 1).otherwise(0)).as("has_old"),
+        max(when(col("b_new"), 1).otherwise(0)).as("has_new"))
+    increment.select(col("vec_id")).join(flags, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("has_old") === 1, "dup_old")
+          .when(col("has_new") === 1, "dup_new")
+          .otherwise("keep").as("verdict"))
   }
 
   /** Exact embedding-cosine near-duplicate pairs (threshold form of q36):

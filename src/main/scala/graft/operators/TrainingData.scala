@@ -76,6 +76,16 @@ object TrainingData {
     * (below), so a regenerated set's sequences cut differently from an
     * archived pre-round-11 one by design.
     *
+    * `embeddings` (doc_id, embedding) activates the optional SEMANTIC
+    * stages 4b/4c between lexical decontam and the mixture (see the
+    * stage comment below); `benchmarkEmbeddings` (embedding) is the
+    * eval set for stage 4b, `minCosine` the similarity threshold both
+    * stages share. The IVF quantizer defaults derive from the measured
+    * scale laws — `semNlist` = survivors/625 (constant cell size),
+    * `semFitFraction` = a fixed-size fit sample — and `semTreeAssign`
+    * flips the flat O(N·nlist) cell assign to the coarse-quantizer
+    * tree; override any of the three for a tuned quantizer.
+    *
     * The scored+deduped working set is materialized ONCE (five
     * downstream consumers — the near-dup mass probe, the pair build,
     * the keeper filter, the contamination join, the mixture input —
@@ -93,7 +103,10 @@ object TrainingData {
                        withReplacement: Boolean = false,
                        embeddings: Option[DataFrame] = None,
                        benchmarkEmbeddings: Option[DataFrame] = None,
-                       minCosine: Double = 0.35): TrainingSet = {
+                       minCosine: Double = 0.35,
+                       semNlist: Option[Int] = None,
+                       semFitFraction: Option[Double] = None,
+                       semTreeAssign: Boolean = false): TrainingSet = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.TextFunctions
 
@@ -148,6 +161,7 @@ object TrainingData {
     // evidence of redundancy. Both stages run on the lexically-clean
     // survivors only, so the embedding work is bounded by what
     // earlier, cheaper stages already kept.
+    var semWorkingSet: DataFrame = null
     val clean = embeddings match {
       case None => lexClean
       case Some(embAll) =>
@@ -171,11 +185,52 @@ object TrainingData {
               .select(col("doc_id")).distinct()
             emb.join(hits, Seq("doc_id"), "left_anti")
         }
-        val keepers = Approx.semanticDedup(
-            afterDecon.select(col("doc_id").as("vec_id"), col("embedding")),
-            minSim = minCosine)
-          .filter(col("is_keeper"))
-          .select(col("vec_id").as("doc_id"))
+        // Materialize the survivor set before the IVF fit: KMeans
+        // persists its input, and computing those cache blocks through
+        // this point's long join lineage (lexical stages → anti-joins)
+        // trips Spark's sorter-spill NPE under memory pressure at the
+        // 100× smoke scale — from checkpoint blocks the fit reads the
+        // same shape the standalone semantic_dedup smoke proved.
+        // An empty decontam survivor set is legal (every vectored doc
+        // matched the benchmark — τ too loose for the embedding
+        // distribution, or a genuinely contaminated batch); the IVF
+        // fit cannot run on zero rows, and "no survivors" needs no
+        // dedup anyway.
+        semWorkingSet = afterDecon.localCheckpoint(true)
+        // The IVF quantizer must SCALE with the survivor count or the
+        // within-cell pairing degenerates toward all-pairs: at the 100×
+        // smoke (~440k survivor vectors) semanticDedup's nlist=8
+        // default means ~N²/8 scored pairs — the first cut of this
+        // stage sat in exactly that join. The standalone smoke's
+        // measured laws apply verbatim: constant ~625-vector cells
+        // (nlist = N/625, the O(N) pair mass the 10×→300× decade
+        // held), and a FIXED-size fit sample (the full-corpus Lloyd's
+        // fit is the other superlinear term — O(N·nlist) with
+        // nlist ∝ N). The fit sample grows only when nlist outpaces
+        // 64 points/centroid; the count is a cached-block scan of the
+        // checkpoint just taken. Callers with a tuned quantizer
+        // override both via semNlist/semFitFraction.
+        val nVec = semWorkingSet.count()
+        val keepers =
+          if (nVec == 0L) semWorkingSet.select(col("doc_id"))
+          else {
+            val nlist = semNlist.getOrElse(
+              math.min(1 << 20, math.max(8L, nVec / 625L)).toInt)
+            val fitFrac = semFitFraction.getOrElse(
+              math.min(1.0, math.max(50000.0, 64.0 * nlist) / nVec))
+            // semTreeAssign flips the remaining superlinear term — the
+            // flat O(N·nlist) cell assignment (≡ O(N²) under the
+            // constant-cell-size law; the 100×→300× pipeline smoke
+            // measured wall 3.40× for 3× data with it flat) — to the
+            // coarse-quantizer tree's O(N·√nlist), at the standalone
+            // smoke's measured recall trade (boundary pairs only).
+            Approx.semanticDedup(
+                semWorkingSet.select(col("doc_id").as("vec_id"), col("embedding")),
+                minSim = minCosine, nlist = nlist, fitFraction = fitFrac,
+                treeAssign = semTreeAssign)
+              .filter(col("is_keeper"))
+              .select(col("vec_id").as("doc_id"))
+          }
         lexClean.join(emb.select(col("doc_id")), Seq("doc_id"), "left_anti")
           .unionByName(lexClean.join(keepers, Seq("doc_id"), "left_semi"))
     }
@@ -228,6 +283,7 @@ object TrainingData {
     // Materialized.free exists to prevent).
     Materialized.free(labels)
     Materialized.free(exactDeduped)
+    if (semWorkingSet != null) Materialized.free(semWorkingSet)
     TrainingSet(selected, packed)
   }
 

@@ -629,6 +629,45 @@ class StreamingSpec extends SparkSpec {
       47L -> "keep", 57L -> "keep", 67L -> "dup_old"))
   }
 
+  test("streaming incremental SEMANTIC dedup across microbatches == batch q88") {
+    import spark.implicits._
+    // The embedding-space twin of the q86 stream test: the full sf0.001
+    // vector increment fed in vec_id order across three microbatches
+    // must reproduce the single-shot batch screen row-for-row —
+    // including dup_new pairs whose two vectors arrive in DIFFERENT
+    // batches (the seen-state the foreachBatch twin carries). The batch
+    // operator itself equals declared q88 under these centroids
+    // (IncrementalDedupSpec), so stream ≡ q88 transitively.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val isNew = pmod(col("vec_id"), lit(10)) >= 7
+    val index = graft.operators.Approx.buildSemanticIndex(
+      emb.filter(!isNew),
+      graft.ops.Extended.Q84Centroids.map(_.map(_.toDouble)))
+    val incVecs = emb.filter(isNew).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = graft.streaming.StreamingIncrementalSemantic.start(spark, index,
+      stream.toDF().toDF("vec_id", "embedding")) { (_, v) =>
+        v.collect().foreach(r => got.add((r.getLong(0), r.getString(1))))
+    }
+    try {
+      incVecs.grouped(math.max(1, incVecs.length / 3)).foreach { b =>
+        stream.addData(b.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batch = graft.operators.Approx
+      .incrementalSemanticDedup(index, emb.filter(isNew))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val streamed = got.toArray(Array.empty[(Long, String)]).sortBy(_._1)
+    assert(streamed.length === batch.length)
+    assert(streamed.toSeq === batch.toSeq,
+      "streamed semantic verdicts diverged from the batch screen")
+  }
+
   test("Graft facade: registerTables + SQL + named operator") {
     Graft.registerTables(spark, sf0001)
     val viaSql = spark.sql(

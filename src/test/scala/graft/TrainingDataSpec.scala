@@ -175,6 +175,57 @@ class TrainingDataSpec extends SparkSpec {
     assert(again === picked)
   }
 
+  test("semantic stages: semTreeAssign plumbing — composes, unvectored untouched, deterministic") {
+    // The tree assign is the measured O(N·√nlist) mitigation of the
+    // flat O(N·nlist) cell assignment; its cell approximation is
+    // pinned at the operator level (CapabilitySpec's tight-regime
+    // recall). Here only the PLUMBING: the flag reaches semanticDedup,
+    // docs without a vector stay unjudged, and the build reproduces.
+    val big = Map("en" -> 10000000L, "de" -> 10000000L, "es" -> 10000000L,
+      "fr" -> 10000000L, "zh" -> 10000000L)
+    val emb250 = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .filter(col("doc_id") < 250)
+    val benchEmb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .filter(pmod(col("vec_id"), lit(40)) === 0).select("embedding")
+    def build() = TrainingData.buildTrainingSet(
+        spark, docs, benchmark, big, seqLen = 256L,
+        embeddings = Some(emb250), benchmarkEmbeddings = Some(benchEmb),
+        semTreeAssign = true)
+      .selected.collect().map(_.getLong(0)).toSet
+    val base = TrainingData.buildTrainingSet(
+        spark, docs, benchmark, big, seqLen = 256L)
+      .selected.collect().map(_.getLong(0)).toSet
+    val tree = build()
+    assert(tree.filter(_ >= 250L) === base.filter(_ >= 250L),
+      "a doc without an embedding was judged by the tree-assign stages")
+    assert(tree.filter(_ < 250L).subsetOf(base.filter(_ < 250L)) &&
+      tree.exists(_ < 250L),
+      "tree-assign keepers must be a nonempty subset of the vectored lexical survivors")
+    assert(build() === tree, "tree-assign build is not reproducible")
+  }
+
+  test("semantic stages: a fully-contaminated vectored batch empties cleanly") {
+    // benchmarkEmbeddings = the corpus's own vectors → every vectored
+    // doc cosines 1.0 against the benchmark and is decontaminated
+    // away. The IVF dedup must not be asked to fit zero rows (the
+    // crash the guard exists for — found by the 100× smoke, where a
+    // 12.5k-vector benchmark slice at τ = 0.35 contaminated the whole
+    // corpus); unvectored docs still pass through.
+    val big = Map("en" -> 10000000L, "de" -> 10000000L, "es" -> 10000000L,
+      "fr" -> 10000000L, "zh" -> 10000000L)
+    val emb250 = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .filter(col("doc_id") < 250)
+    val ts4 = TrainingData.buildTrainingSet(
+      spark, docs, benchmark, big, seqLen = 256L,
+      embeddings = Some(emb250),
+      benchmarkEmbeddings = Some(emb250.select("embedding")))
+    val picked = ts4.selected.collect().map(_.getLong(0)).toSet
+    assert(picked.nonEmpty && picked.forall(_ >= 250L),
+      "every vectored doc should be contaminated; unvectored docs should survive")
+  }
+
   test("stage 7: sharding addresses every slice, balanced and complete") {
     val sharded = TrainingData.shardTrainingSet(ts.packed, nShards = 4)
     val rows = sharded.select("seq_id", "shard", "pos", "doc_id", "slice_len")
