@@ -786,6 +786,35 @@ object ScaleSmoke {
       ts.selected
     }
     if (lastSem != null) { graft.operators.Materialized.free(lastSem); lastSem = null }
+    // The SAME semantic-staged build under the coarse-quantizer tree
+    // assign (semTreeAssign): the 100×→300× flat-assign run measured
+    // wall 3.40× for 3× data, and the attribution is the O(N·nlist)
+    // assignment (nlist ∝ survivors ⇒ O(N²) along the scaling path —
+    // the exact term the standalone semantic_dedup decade named). The
+    // tree cuts it to O(N·√nlist); this arm measures the mitigation
+    // END-TO-END so "reachable from the pipeline" is a number, not a
+    // parameter. Selected-count law is NOT asserted identical to the
+    // flat arm (boundary cells differ by the documented approximation);
+    // the planted-family mass keeps it within a few percent.
+    var lastSemT: DataFrame = null
+    run("training_semantic_tree") {
+      if (lastSemT != null) graft.operators.Materialized.free(lastSemT)
+      val docsAll = spark.read.parquet(s"$out/documents.parquet")
+        .select("doc_id", "text", "lang")
+      val bench = docsAll.filter(col("doc_id") < 500).select("text")
+      val embAll = spark.read.parquet(s"$out/embeddings.parquet")
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val benchEmb = embAll.filter(col("doc_id") < 500).select("embedding")
+      val ts = graft.operators.TrainingData.buildTrainingSet(spark, docsAll, bench,
+        budgets = Map("en" -> 100000L * copies), seqLen = 2048,
+        minQuality = 0.0, maxRepetition = 1.0, minTokens = 1,
+        embeddings = Some(embAll), benchmarkEmbeddings = Some(benchEmb),
+        minCosine = 0.9, semTreeAssign = true)
+      graft.operators.Materialized.free(ts.packed)
+      lastSemT = ts.selected
+      ts.selected
+    }
+    if (lastSemT != null) { graft.operators.Materialized.free(lastSemT); lastSemT = null }
     // BPE-counted pipeline (round 13, VERDICT r12 #2 / r11 #3): the
     // SAME buildTrainingSet call but with budgets measured in TRUE
     // merge-replay BPE tokens via the `tokenCounter` seam — budgeting,

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 /** Plan-quality regression net: asserts the physical plans keep the
   * shapes that matter at scale (PLANS.md is the human-readable audit;
@@ -312,6 +312,27 @@ class PlanQualitySpec extends SparkSpec {
       s"semanticDedup pair stage degraded to a nested loop:\n${p.take(600)}")
     assert(p.contains("Join") && p.contains("cella"),
       "expected an equi-join keyed on the cell")
+  }
+
+  test("incrementalSemanticDedup broadcasts the increment — the index never crosses an exchange") {
+    // The daily-batch screen's scale contract: the small increment is
+    // the BUILD side of a broadcast hash join keyed on the cell, so the
+    // ingested index streams map-side off its parquet scan; no
+    // cartesian/NLJ fallback, and no index-sized shuffle may exist
+    // before the verdict aggregate (the q88_stored_batch smoke's
+    // shuffleWrite ≈ 0.1 MB at 495k index vectors is this plan's
+    // runtime receipt). Pinned on the production operator itself.
+    val emb = graft.ops.Tables.embeddings(spark, sf0001)
+    val isNew = pmod(col("vec_id"), lit(10)) >= 7
+    val idx = graft.operators.Approx.buildSemanticIndex(
+      emb.filter(!isNew), graft.ops.Extended.Q84Centroids.map(_.map(_.toDouble)))
+    val p = graft.operators.Approx
+      .incrementalSemanticDedup(idx, emb.filter(isNew))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental semantic screen degraded to a nested loop:\n${p.take(600)}")
+    assert(p.contains("BroadcastHashJoin") && p.contains("cella"),
+      "expected the increment broadcast as a hash join keyed on the cell")
   }
 
   test("q73 computes every repetition signal in one narrow scan pass") {
