@@ -1482,7 +1482,9 @@ object Approx {
     * verdict aggregate. Zero-norm vectors never pair (cosine undefined)
     * and verdict `keep`. The float32 cosine chain with pair-level 4dp
     * rounding and a float-literal threshold is q45/q88's proven parity
-    * arithmetic verbatim. */
+    * arithmetic verbatim. Vec ids must be disjoint across the two
+    * inputs (the caller's id space is global — same contract as the
+    * lexical [[incrementalDedup]]). */
   def incrementalSemanticDedup(index: SemanticIndex, increment: DataFrame,
                                minSim: Double = 0.35): DataFrame = {
     graft.expressions.GraftFunctions.register(index.vectors.sparkSession)

@@ -223,4 +223,27 @@ class EdgeCorpusSpec extends SparkSpec {
       "exact duplicates must cluster to the min id")
     assert(rows(4L) === ((4L, 1L, true)), "antipodal vector (cosine -1) stays a singleton")
   }
+
+  test("incrementalSemanticDedup: empty increment and empty index both degrade cleanly") {
+    // The shapes a daily ingest actually produces: a quiet day (empty
+    // batch — also every idle microbatch of the streaming twin) must
+    // yield zero verdicts without touching the index; a FIRST-day
+    // screen (empty index) must still dedup the batch against itself
+    // (dup_new/keep only — there is no "old" to be a duplicate of).
+    import spark.implicits._
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val vecs = Seq(
+      (10L, Array(1f, 0f)), (20L, Array(1f, 0f)), (30L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val empty = vecs.filter(lit(false))
+    val idx = graft.operators.Approx.buildSemanticIndex(vecs, cents)
+    assert(graft.operators.Approx.incrementalSemanticDedup(idx, empty)
+      .collect().isEmpty, "empty increment must yield zero verdicts")
+    val emptyIdx = graft.operators.Approx.buildSemanticIndex(empty, cents)
+    val firstDay = graft.operators.Approx
+      .incrementalSemanticDedup(emptyIdx, vecs, minSim = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(firstDay === Map(10L -> "keep", 20L -> "dup_new", 30L -> "keep"),
+      "an empty index must reduce the screen to within-batch keep-first dedup")
+  }
 }

@@ -240,4 +240,62 @@ class GeneratedPropertiesSpec extends SparkSpec {
       assert(gotLoop === want, s"distributed-loop case $i (${edges.size} edges)")
     }
   }
+
+  test("incremental semantic screen ≡ verdicts from the symmetric within-cell pair set") {
+    // The semantic analog of the lexical asym≡sym spec: for ANY vector
+    // corpus and ANY index/increment split, the asymmetric
+    // increment×(index ∪ earlier-increment) screen must emit exactly
+    // the verdicts derivable from the SYMMETRIC within-cell pair set
+    // (a < b, same cell, rounded float32 cosine ≥ τ) restricted to
+    // increment-involving pairs — the structural claim (no pair found
+    // twice, none missed, dup_old priority over dup_new, keep-first by
+    // id) for corpora with planted exact duplicates, random near-misses
+    // and a zero vector, across cells of a 3-centroid quantizer.
+    import spark.implicits._
+    val cents = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 0.7, 0.7))
+    val corpusGen: Gen[List[(Long, Array[Float])]] = for {
+      n <- Gen.choose(4, 25)
+      base <- Gen.listOfN(n, Gen.listOfN(4, Gen.choose(-1.0f, 1.0f)))
+      dups <- Gen.choose(0, 6)
+    } yield {
+      val b = base.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+      // exact duplicates under fresh ids: guaranteed cosine-1.0 pairs
+      // that land on both sides of any id-based split
+      val extra = (0 until dups).map(j => (100L + j, b(j % b.size)._2.clone))
+      (b ++ extra).toList
+    }
+    for ((corpus0, ci) <- samples(corpusGen, 8).zipWithIndex) {
+      val corpus = corpus0 :+ (999L, Array(0f, 0f, 0f, 0f)) // zero vector: never pairs
+      val df = corpus.toDF("vec_id", "embedding")
+      val isNewCol = pmod(col("vec_id"), lit(3)) === 0
+      val idx = graft.operators.Approx.buildSemanticIndex(df.filter(!isNewCol), cents)
+      val got = graft.operators.Approx
+        .incrementalSemanticDedup(idx, df.filter(isNewCol), minSim = 0.3)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // Symmetric reference: ALL within-cell pairs over the whole
+      // corpus (the q84 pair shape), verdicts derived driver-side.
+      val all = graft.operators.Approx.buildSemanticIndex(df, cents).vectors
+      val l = all.filter(col("nrm") > 0).select(col("vec_id").as("a"),
+        col("embedding").as("ea"), col("cell").as("ca"), col("nrm").as("na"))
+      val r = all.filter(col("nrm") > 0).select(col("vec_id").as("b"),
+        col("embedding").as("eb"), col("cell").as("cb"), col("nrm").as("nb"))
+      val simEx = (expr("float_dot(ea, eb)") / (col("na") * col("nb"))).cast("float")
+      val sym = l.join(r, col("ca") === col("cb") && col("a") < col("b"))
+        .select(col("a"), col("b"), round(simEx, 4).as("sim"))
+        .filter(col("sim") >= lit(0.3f))
+        .collect().map(row => (row.getLong(0), row.getLong(1)))
+      val undirected = sym.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      val isNew = (id: Long) => id % 3 == 0
+      val expected = corpus.map(_._1).filter(isNew).map { d =>
+        val others = undirected.collect { case (x, y) if x == d => y }
+        val verdict =
+          if (others.exists(!isNew(_))) "dup_old"
+          else if (others.exists(o => isNew(o) && o < d)) "dup_new"
+          else "keep"
+        d -> verdict
+      }.toMap
+      assert(got === expected, s"case $ci (${corpus.size} vectors)")
+    }
+  }
 }
