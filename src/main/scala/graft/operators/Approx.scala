@@ -1405,7 +1405,10 @@ object Approx {
     * [[semanticDedup]]'s internal fit, exposed so production fits ONCE
     * and reuses the quantizer across every daily increment (re-fitting
     * per batch would move every cell boundary and silently change which
-    * pairs are findable between batches). */
+    * pairs are findable between batches). A corpus smaller than `nlist`
+    * (a first-day deployment) degrades gracefully: Spark ML returns one
+    * centroid per distinct point and the quantizer is simply smaller —
+    * probed, not assumed. */
   def fitSemanticCentroids(emb: DataFrame, nlist: Int, seed: Long = 42L,
                            fitFraction: Double = 1.0): Seq[Seq[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
