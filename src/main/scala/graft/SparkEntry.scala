@@ -111,7 +111,8 @@ object SparkEntry {
     "q85_transitive_leakage"  -> Extended.q85TransitiveLeakage _,
     "q86_incremental_dedup"   -> Extended.q86IncrementalDedup _,
     "q87_semantic_decontam"   -> Extended.q87SemanticDecontam _,
-    "q88_incremental_semantic" -> Extended.q88IncrementalSemantic _
+    "q88_incremental_semantic" -> Extended.q88IncrementalSemantic _,
+    "q89_cell_balance"        -> Extended.q89CellBalance _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -938,6 +938,28 @@ object Extended {
     Seq.fill(4)(Seq.fill(64)(r.nextInt(17) - 8))
   }
 
+  /** The q84 literal-quantizer cell as ONE scan-side Column: per-cell
+    * scores are the left-associated element × double(int) chains, and
+    * the argmax is a sequential first-max CASE — branch k fires iff
+    * s_k >= every LATER score; earlier branches failing guarantees
+    * some later score beat each of them, so the first firing branch
+    * holds the maximum. Shared verbatim by q84, q88 and q89 so the
+    * three queries' assignments are bit-identical by construction
+    * (and render as the SAME score+CASE SQL in their oracles). */
+  private[graft] def q84Cell: Column = {
+    def cellDot(e: Column, cs: Seq[Int]): Column =
+      cs.zipWithIndex.map { case (c, j) =>
+        element_at(e, j + 1) * lit(c.toDouble)
+      }.reduce(_ + _)
+    val scores = Q84Centroids.map(cs => cellDot(col("embedding"), cs))
+    (0 until scores.length - 1).foldRight(
+        lit(scores.length - 1): Column) { (k, els) =>
+      val isMax = (k + 1 until scores.length)
+        .map(j => scores(k) >= scores(j)).reduce(_ && _)
+      when(isMax, lit(k)).otherwise(els)
+    }
+  }
+
   /** q84: semantic deduplication with an EXPLICIT literal quantizer —
     * the value-checked twin of the rows-only q66 (whose seeded k-means
     * fit has no SQL form), closing the last rows-only FAMILY gap the
@@ -976,25 +998,10 @@ object Extended {
     * shuffles only (id, label) rows. Identical exchange structure to
     * q66 minus the ML fit. */
   def q84SemanticDedupCells(s: SparkSession, d: String): DataFrame = {
-    def cellDot(e: Column, cs: Seq[Int]): Column =
-      cs.zipWithIndex.map { case (c, j) =>
-        element_at(e, j + 1) * lit(c.toDouble)
-      }.reduce(_ + _)
-    val scores = Q84Centroids.map(cs => cellDot(col("embedding"), cs))
-    // First-max argmax as a sequential CASE: branch k fires iff s_k is
-    // >= every LATER score — earlier branches failing guarantees some
-    // later score beat each of them, so the first firing branch holds
-    // the maximum (the identical CASE renders in the oracle).
-    val cell = (0 until scores.length - 1).foldRight(
-        lit(scores.length - 1)) { (k, els) =>
-      val isMax = (k + 1 until scores.length)
-        .map(j => scores(k) >= scores(j)).reduce(_ && _)
-      when(isMax, lit(k)).otherwise(els)
-    }
     val dot = (a: String, b: String) =>
       graft.expressions.GraftFunctions.floatDot(s, a, b)
     val cells = embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), cell.as("cell"))
+      .select(col("vec_id"), col("embedding"), q84Cell.as("cell"))
     // q45's float32 parity chain: float norms, float sim, round-to-4,
     // compared against a FLOAT literal (a bare 0.35 is a double and
     // float(0.35) widens a hair below it — the q45 boundary note).
@@ -1066,22 +1073,11 @@ object Extended {
     * O(batch × nlist) and the index's assignments are stored. Zero-norm
     * vectors never pair (cosine undefined) and verdict `keep`. */
   def q88IncrementalSemantic(s: SparkSession, d: String): DataFrame = {
-    def cellDot(e: Column, cs: Seq[Int]): Column =
-      cs.zipWithIndex.map { case (c, j) =>
-        element_at(e, j + 1) * lit(c.toDouble)
-      }.reduce(_ + _)
-    val scores = Q84Centroids.map(cs => cellDot(col("embedding"), cs))
-    val cell = (0 until scores.length - 1).foldRight(
-        lit(scores.length - 1)) { (k, els) =>
-      val isMax = (k + 1 until scores.length)
-        .map(j => scores(k) >= scores(j)).reduce(_ && _)
-      when(isMax, lit(k)).otherwise(els)
-    }
     val dot = (a: String, b: String) =>
       graft.expressions.GraftFunctions.floatDot(s, a, b)
     val isNew = pmod(col("vec_id"), lit(10)) >= 7
     val cells = embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), cell.as("cell"), isNew.as("is_new"))
+      .select(col("vec_id"), col("embedding"), q84Cell.as("cell"), isNew.as("is_new"))
     val sides = cells
       .withColumn("nrm", sqrt(dot("embedding", "embedding")).cast("float"))
       .filter(col("nrm") > 0)
@@ -1107,6 +1103,42 @@ object Extended {
           .when(col("has_new") === 1, "dup_new")
           .otherwise("keep").as("verdict"))
       .orderBy("vec_id")
+  }
+
+  /** q89: quantizer-cell balance — embedding-space corpus monitoring,
+    * the observability counterpart of the IVF machinery (q66/q84/q88):
+    * how does the corpus distribute over the quantizer's cells, per
+    * language? One row per (lang, cell): the vector count and the
+    * cell's rounded share of that language's vectors. This is the
+    * report an ingest pipeline watches for quantizer drift — a cell
+    * whose share balloons is the hot-cell skew the scale smokes
+    * measure (nprobe=1's 2.5× pair-mass blowup was exactly a
+    * ballooning cell), and a language whose distribution shifts
+    * against the fitted quantizer is the re-fit trigger.
+    *
+    * Parity: the cell is [[q84Cell]] — the SAME Column q84/q88 run,
+    * rendered as the same score+CASE SQL in the oracle — counts are
+    * exact integers, and the share is an IEEE double division of two
+    * longs (exactly rounded, identical in both engines) through
+    * [[graft.ops.Determinism.dround]]'s floor formula.
+    *
+    * Scale shape: cell assignment is scan-side codegen; the join to
+    * `documents` is id-keyed (at 100 TB, lang would live ON the
+    * embedding row and the join disappears); one partial-aggregated
+    * exchange on (lang, cell) — a key space of languages × nlist, tiny
+    * by construction — and a window over its aggregate, not the
+    * corpus. Nothing corpus-sized moves. */
+  def q89CellBalance(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = embeddings(s, d).select(col("vec_id"), q84Cell.as("cell"))
+    val langs = documents(s, d).select(col("doc_id").as("vec_id"), col("lang"))
+    cells.join(langs, Seq("vec_id"))
+      .groupBy(col("lang"), col("cell"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .withColumn("share", dround(
+        col("n_vectors").cast("double") /
+          sum(col("n_vectors")).over(Window.partitionBy("lang")).cast("double"), 6))
+      .orderBy("lang", "cell")
   }
 
   /** q87: semantic decontamination — the embedding-space twin of q57's

@@ -112,6 +112,27 @@ object Oracle {
       |                        JOIN tok tb ON tb.doc_id = c2.b AND tb.w = ta.w
       |           GROUP BY c2.a, c2.b)""".stripMargin
 
+  /** The q84 literal-quantizer cell rendered as SQL — (score columns,
+    * first-max CASE) — shared by the q84/q88/q89 oracles exactly as
+    * `Extended.q84Cell` is shared by the queries: same left-associated
+    * element × double(int) chains, same sequential CASE, so the
+    * engines' assignments are bit-identical by construction. */
+  private def q84CellSql: (String, String) = {
+    def dotSql(cs: Seq[Int]): String =
+      cs.zipWithIndex.map { case (c, j) =>
+        s"(embedding[${j + 1}] * ${c.toDouble})"
+      }.mkString(" + ")
+    val k = Extended.Q84Centroids.length
+    val scoreCols = Extended.Q84Centroids.zipWithIndex
+      .map { case (cs, i) => s"${dotSql(cs)} AS s$i" }
+      .mkString(",\n    ")
+    val caseSql = (0 until k - 1).map { i =>
+      val isMax = (i + 1 until k).map(j => s"s$i >= s$j").mkString(" AND ")
+      s"WHEN $isMax THEN $i"
+    }.mkString("CASE ", " ", s" ELSE ${k - 1} END")
+    (scoreCols, caseSql)
+  }
+
   val sql: Map[String, String] = Map(
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, round(l_extendedprice * (1 - l_discount), 2) AS net
@@ -1357,18 +1378,7 @@ object Oracle {
     // unit-norm by generation — measured min = max = 1.0), so the
     // oracle joins cells directly.
     "q84_semantic_dedup_cells" -> {
-      def dotSql(cs: Seq[Int]): String =
-        cs.zipWithIndex.map { case (c, j) =>
-          s"(embedding[${j + 1}] * ${c.toDouble})"
-        }.mkString(" + ")
-      val k = Extended.Q84Centroids.length
-      val scoreCols = Extended.Q84Centroids.zipWithIndex
-        .map { case (cs, i) => s"${dotSql(cs)} AS s$i" }
-        .mkString(",\n    ")
-      val caseSql = (0 until k - 1).map { i =>
-        val isMax = (i + 1 until k).map(j => s"s$i >= s$j").mkString(" AND ")
-        s"WHEN $isMax THEN $i"
-      }.mkString("CASE ", " ", s" ELSE ${k - 1} END")
+      val (scoreCols, caseSql) = q84CellSql
       s"""WITH RECURSIVE scored AS (
         |  SELECT vec_id, embedding,
         |    $scoreCols
@@ -1470,18 +1480,7 @@ object Oracle {
     // JOIN keeps pairless increment vectors; NULL flags aggregate to
     // 0 → keep.
     "q88_incremental_semantic" -> {
-      def dotSql(cs: Seq[Int]): String =
-        cs.zipWithIndex.map { case (c, j) =>
-          s"(embedding[${j + 1}] * ${c.toDouble})"
-        }.mkString(" + ")
-      val k = Extended.Q84Centroids.length
-      val scoreCols = Extended.Q84Centroids.zipWithIndex
-        .map { case (cs, i) => s"${dotSql(cs)} AS s$i" }
-        .mkString(",\n    ")
-      val caseSql = (0 until k - 1).map { i =>
-        val isMax = (i + 1 until k).map(j => s"s$i >= s$j").mkString(" AND ")
-        s"WHEN $isMax THEN $i"
-      }.mkString("CASE ", " ", s" ELSE ${k - 1} END")
+      val (scoreCols, caseSql) = q84CellSql
       s"""WITH scored AS (
         |  SELECT vec_id, embedding,
         |    $scoreCols
@@ -1519,6 +1518,30 @@ object Oracle {
         |WHERE a.vec_id % 40 = 0
         |  AND round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.35
         |GROUP BY b.vec_id
-        |ORDER BY b.vec_id""".stripMargin
+        |ORDER BY b.vec_id""".stripMargin,
+
+    // q89: quantizer-cell balance — the shared q84 cell CASE, exact
+    // integer counts, and the share as an IEEE double division of two
+    // BIGINTs (exactly rounded, identical in both engines) through the
+    // explicit dround floor formula.
+    "q89_cell_balance" -> {
+      val (scoreCols, caseSql) = q84CellSql
+      s"""WITH scored AS (
+        |  SELECT vec_id,
+        |    $scoreCols
+        |  FROM embeddings),
+        | cells AS (
+        |  SELECT vec_id, $caseSql AS cell FROM scored),
+        | j AS (
+        |  SELECT d.lang, c.cell
+        |  FROM cells c JOIN documents d ON d.doc_id = c.vec_id)
+        |SELECT lang, cell,
+        |  CAST(count(*) AS BIGINT) AS n_vectors,
+        |  floor((CAST(count(*) AS DOUBLE) /
+        |         CAST(sum(count(*)) OVER (PARTITION BY lang) AS DOUBLE))
+        |        * 1000000 + 0.5) / 1000000 AS share
+        |FROM j GROUP BY lang, cell
+        |ORDER BY lang, cell""".stripMargin
+    }
   )
 }

@@ -157,7 +157,11 @@ class GoldenCountsSpec extends SparkSpec {
     // q88 (round 13): one row per increment vector (vec_id % 10 >= 7,
     // 30% of the 500-vector corpus) — incremental semantic dedup
     // verdicts, oracle-matched value for value.
-    "q88_incremental_semantic" -> 150
+    "q88_incremental_semantic" -> 150,
+    // q89 (round 13): one row per (lang, cell) — 5 languages × the 4
+    // q84 cells, every combination populated at this corpus size;
+    // counts and shares oracle-matched value for value.
+    "q89_cell_balance" -> 20
   )
 
   test("queries/oracleSql keys line up") {
@@ -319,7 +323,12 @@ class GoldenCountsSpec extends SparkSpec {
     // Parity-checked against DuckDB at all three SFs when declared
     // (round 13 — no recursive closure in its oracle, so like q86 it
     // runs at sf0.1).
-    "q88_incremental_semantic" -> 600L
+    "q88_incremental_semantic" -> 600L,
+    // q89: the (lang, cell) key space — languages × nlist — does NOT
+    // grow with the corpus (5 × 4 at every SF); only the counts inside
+    // it do. Parity-checked against DuckDB at all three SFs when
+    // declared (round 13; no recursive closure, runs at sf0.1).
+    "q89_cell_balance" -> 20L
   )
 
   sf01Pins.toSeq.sortBy(_._1).foreach { case (name, rows) =>
