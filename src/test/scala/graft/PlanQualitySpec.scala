@@ -335,6 +335,19 @@ class PlanQualitySpec extends SparkSpec {
       "expected the increment broadcast as a hash join keyed on the cell")
   }
 
+  test("q89 exchanges only the (lang, cell) key space — partial agg below, window above") {
+    // The monitoring query's scale contract: cell assignment is
+    // scan-side, the count aggregates PARTIALLY before its exchange
+    // (so the exchange carries languages × nlist rows, not vectors),
+    // and the share window runs over that aggregate — nothing
+    // corpus-sized moves past the id-keyed lang join.
+    val p = plan("q89_cell_balance")
+    assert(p.contains("HashAggregate") && p.contains("partial_count"),
+      "q89 lost its map-side partial aggregation")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q89 degenerated to a nested loop")
+  }
+
   test("q73 computes every repetition signal in one narrow scan pass") {
     // The point of the sorted-run-fold/array_distinct formulation: no
     // aggregate operator, no exchange except the declared orderBy's
