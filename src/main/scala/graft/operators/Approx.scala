@@ -1467,9 +1467,18 @@ object Approx {
     * construction — a quantizer is nlist × dim doubles, driver-resident
     * in ANY IVF system (the fitted KMeans model it mirrors lives on the
     * driver too). */
-  def semanticCentroidsFromDF(df: DataFrame): Seq[Seq[Double]] =
-    df.select(col("cell").cast("int"), col("centroid"))
-      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toSeq).toSeq
+  def semanticCentroidsFromDF(df: DataFrame): Seq[Seq[Double]] = {
+    val rows = df.select(col("cell").cast("int"), col("centroid"))
+      .collect().sortBy(_.getInt(0))
+    // Cell ids ARE the centroid indices mip_assign emits — a stored
+    // table with a gap or duplicate would silently renumber every cell
+    // in the rebuilt quantizer and desynchronize it from the index's
+    // stored assignments. Fail loudly instead.
+    require(rows.map(_.getInt(0)).toSeq == rows.indices,
+      s"centroid table must carry cells 0..${rows.length - 1} exactly once, " +
+        s"got ${rows.map(_.getInt(0)).mkString("[", ",", "]")}")
+    rows.map(_.getSeq[Double](1).toSeq).toSeq
+  }
 
   /** Screen an embedding increment against an ingested [[SemanticIndex]]:
     * verdict per increment vector — `dup_old` (cosine ≥ minSim against
