@@ -331,6 +331,107 @@ object ScaleSmoke {
     // (4 hashes per band ⇒ collision ≈ J⁴) is the 100 TB path; q43's
     // own scaladoc routes large corpora through this same mass check.
     def enabled(name: String): Boolean = only.forall(_.findFirstIn(name).isDefined)
+
+    // ---- index-advance flat-day-cost (round 14, VERDICT r13 #1) ----
+    // The premise of the whole incremental family, measured: a 5-day
+    // durable replay through the streaming twins' fold-then-screen
+    // seam, per-day wall printed separately. Day k's screen reads the
+    // stored index PLUS k folded batch partitions, so if the advance
+    // loop leaked superlinear work the later days would climb; the
+    // expected shape is FLAT (the index scan dominates and the folded
+    // state is ≤ the 1% increment in total).
+    if (enabled("advance_days")) {
+      val docs = spark.read.parquet(s"$out/documents.parquet")
+        .select("doc_id", "text")
+      val isInc = pmod(col("doc_id"), lit(100)) === 0
+      val dayOf = least(lit(4), floor(col("doc_id") / lit(nDocs / 5))).cast("int")
+      val idx0 = graft.operators.Approx.buildMinHashIndex(spark, docs.filter(!isInc))
+      idx0.sets.write.mode("overwrite").parquet(s"$out/mhadv/sets")
+      idx0.bands.write.mode("overwrite").parquet(s"$out/mhadv/bands")
+      val stored = graft.operators.Approx.MinHashIndex(
+        spark.read.parquet(s"$out/mhadv/sets"),
+        spark.read.parquet(s"$out/mhadv/bands"))
+      val stateDir = s"$out/mhadv_state_${System.nanoTime()}"
+      (0 until 5).foreach { k =>
+        val dayDf = docs.filter(isInc && dayOf === k).localCheckpoint(true)
+        shuffleWrite.set(0); spilled.set(0)
+        val t0 = System.nanoTime()
+        val n = hashed(graft.streaming.StreamingIncrementalDedup
+          .foldAndScreen(spark, stored, stateDir, dayDf, k.toLong)).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)
+        println(f"SMOKE q86_advance_day$k%-9s rows=$n%-9d sec=$sec%.2f " +
+          f"shuffleWriteMB=${shuffleWrite.get / 1e6}%.1f spillMB=${spilled.get / 1e6}%.1f")
+      }
+      // Semantic twin of the same loop, same day split, same stateDir
+      // discipline (fit + index write outside the timers).
+      val embAll = spark.read.parquet(s"$out/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val isIncV = pmod(col("vec_id"), lit(100)) === 0
+      val dayOfV = least(lit(4), floor(col("vec_id") / lit(nDocs / 5))).cast("int")
+      val cents = graft.operators.Approx.fitSemanticCentroids(
+        embAll.filter(!isIncV), nlist = 8 * copies,
+        fitFraction = math.min(1.0, 50000.0 / nDocs))
+      val semIdx = graft.operators.Approx.buildSemanticIndex(
+        embAll.filter(!isIncV), cents)
+      semIdx.vectors.write.mode("overwrite").parquet(s"$out/semadv/vectors")
+      val semStored = graft.operators.Approx.SemanticIndex(
+        spark.read.parquet(s"$out/semadv/vectors"), cents)
+      val semState = s"$out/semadv_state_${System.nanoTime()}"
+      (0 until 5).foreach { k =>
+        val dayDf = embAll.filter(isIncV && dayOfV === k).localCheckpoint(true)
+        shuffleWrite.set(0); spilled.set(0)
+        val t0 = System.nanoTime()
+        val n = hashed(graft.streaming.StreamingIncrementalSemantic
+          .foldAndScreen(spark, semStored, semState, dayDf, k.toLong, 0.98)).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)
+        println(f"SMOKE q88_advance_day$k%-9s rows=$n%-9d sec=$sec%.2f " +
+          f"shuffleWriteMB=${shuffleWrite.get / 1e6}%.1f spillMB=${spilled.get / 1e6}%.1f")
+      }
+    }
+
+    // ---- flat-vs-tree assign crossover (round 14, VERDICT r13 #2) ----
+    // The one measured superlinear term left in the semantic family:
+    // the flat O(N·nlist) cell assign (≡ O(N²) under nlist = N/625).
+    // The r13 pipeline decade measured flat wall ×3.40 vs tree ×2.27
+    // per 3× data and EXTRAPOLATED the crossover to ~10⁶-vector
+    // survivor sets; this arm measures it directly on standalone
+    // synthetic corpora (same planted-family law, so true pair mass is
+    // linear and identical between arms) at N values bracketing the
+    // prediction. Both arms pay the same sampled fit inside the timer
+    // (same seed ⇒ same centroids); the wall DIFFERENCE is the
+    // assign-stage term. Gate: SPARK_GRAFT_SMOKE_ONLY=sem_xover; sizes
+    // via SPARK_GRAFT_XOVER_NS (comma-separated), default 1M and 3M.
+    if (only.exists(_.findFirstIn("sem_xover").isDefined)) {
+      val ns = sys.env.get("SPARK_GRAFT_XOVER_NS")
+        .map(_.split(",").toSeq.map(_.trim.toLong))
+        .getOrElse(Seq(1000000L, 3000000L))
+      ns.foreach { n =>
+        val path = s"$out/xemb$n"
+        spark.range(n).select(
+            col("id").as("vec_id"),
+            expr("""transform(sequence(1, 64), i ->
+                   |  CAST(CASE WHEN pmod(floor(id / 3), 7) = 0
+                   |    THEN (pmod(xxhash64(floor(id / 3), i), 2001) - 1000) / 1000.0
+                   |         + (pmod(xxhash64(id, i), 2001) - 1000) / 50000.0
+                   |    ELSE (pmod(xxhash64(id, i), 2001) - 1000) / 1000.0
+                   |  END AS FLOAT))""".stripMargin).as("embedding"))
+          .write.mode("overwrite").parquet(path)
+        val vecs = spark.read.parquet(path)
+        val nlist = (n / 625L).toInt
+        val frac = math.min(1.0, 50000.0 / n)
+        Seq(false, true).foreach { tree =>
+          run(f"sem_xover_${n}_${if (tree) "tree" else "flat"}") {
+            hashed(graft.operators.Approx.semanticDedup(
+              vecs.select(col("vec_id"), col("embedding")),
+              minSim = 0.98, nlist = nlist, fitFraction = frac,
+              treeAssign = tree))
+          }
+        }
+      }
+    }
+
     val docsDf = spark.read.parquet(s"$out/documents.parquet")
     lazy val mass = graft.operators.Approx.minHashCandidateMass(spark, docsDf)
     if (enabled("q43") || enabled("neardup_auto"))

@@ -112,7 +112,9 @@ object SparkEntry {
     "q86_incremental_dedup"   -> Extended.q86IncrementalDedup _,
     "q87_semantic_decontam"   -> Extended.q87SemanticDecontam _,
     "q88_incremental_semantic" -> Extended.q88IncrementalSemantic _,
-    "q89_cell_balance"        -> Extended.q89CellBalance _
+    "q89_cell_balance"        -> Extended.q89CellBalance _,
+    "q90_index_advance"       -> Extended.q90IndexAdvance _,
+    "q91_semantic_advance"    -> Extended.q91SemanticAdvance _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -83,17 +83,29 @@ case class MipAssign(vec: Expression, cents: Expression)
 /** The prepared centroid matrix behind [[MipAssign]]. */
 final class MipModel(cents: Array[Array[Double]]) extends Serializable {
   require(cents.nonEmpty, "mip_assign: empty centroid set")
+  // One quantizer = one dimensionality; a ragged centroid table is a
+  // construction error, caught once here rather than per row.
+  private val dim = cents(0).length
+  require(cents.forall(_.length == dim),
+    s"mip_assign: ragged centroid set (dims ${cents.map(_.length).distinct.mkString(",")})")
 
   def assign(v: ArrayData): Int = {
+    // A mis-dimensioned embedding must fail LOUDLY: silently scoring a
+    // prefix inner product would return a plausible-looking cell and
+    // desynchronize assignments from a correctly-dimensioned index —
+    // the repo's fail-loud convention (packedPos, centroid-table gap
+    // guard). One branch per row against a hoisted constant.
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"mip_assign: embedding dim ${v.numElements()} != quantizer dim $dim")
     var best = 0
     var bestScore = Double.NegativeInfinity
     var k = 0
     while (k < cents.length) {
       val c = cents(k)
-      val n = math.min(v.numElements(), c.length)
       var acc = 0.0
       var i = 0
-      while (i < n) { acc += v.getFloat(i).toDouble * c(i); i += 1 }
+      while (i < dim) { acc += v.getFloat(i).toDouble * c(i); i += 1 }
       if (acc > bestScore) { best = k; bestScore = acc }
       k += 1
     }

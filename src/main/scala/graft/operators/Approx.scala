@@ -355,7 +355,10 @@ object Approx {
     * parquet once (bucket `sets` by doc_id to co-locate the re-score
     * join) and every daily batch pays only its own chain +
     * increment-proportional joins — the amortization the incremental
-    * screen exists for. */
+    * screen exists for. An index advanced by [[advanceIndex]]
+    * additionally carries a boolean `inc` column on `bands` (folded-
+    * increment provenance; absent ≡ all-false on a freshly built
+    * index) — it round-trips through parquet like any other column. */
   case class MinHashIndex(sets: DataFrame, bands: DataFrame)
 
   /** Build the storable index for a corpus — one pass, reusable by
@@ -387,25 +390,33 @@ object Approx {
     graft.expressions.GraftFunctions.register(spark)
     val (setsIdx, bandsIdx) = (index.sets, index.bands)
     val (setsInc, bandsInc) = md5SetsAndBands(spark, increment.select("doc_id", "text"))
-    val all = bandsIdx.withColumn("y_new", lit(false))
+    // An index built by [[buildMinHashIndex]] is all-old; one advanced
+    // by [[advanceIndex]] carries folded increment docs flagged
+    // `inc = true` — THOSE stay "new" for verdict purposes (a doc
+    // pairing a previously-folded increment doc is dup_new, never
+    // dup_old: the ingested-corpus/crawl distinction is provenance,
+    // not index membership), and the `y.doc_id < x.doc_id` keep-first
+    // condition applies to them exactly as to same-batch docs.
+    val all = flaggedBands(bandsIdx)
       .unionByName(bandsInc.withColumn("y_new", lit(true)))
     val cand = bandsInc.as("x").join(all.as("y"),
         col("x.g") === col("y.g") && col("x.v") === col("y.v") &&
         col("x.doc_id") =!= col("y.doc_id") &&
         (!col("y.y_new") || col("y.doc_id") < col("x.doc_id")) &&
         !expr("band_match_before(x.sig, y.sig, 4, x.g)"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("y.y_new").as("b_new"))
+    // b_new rides the candidate row from the band join (a per-row
+    // literal on each union branch), so no join recovers it — the
+    // previous form re-derived it by joining pairs with the
+    // increment's id set, one join the plan no longer needs.
     val pairs = rescoredPairs(spark, cand, setsIdx.unionByName(setsInc),
         col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
       .filter(col("i").cast("double") /
         (col("na") + col("nb") - col("i")).cast("double") >= 0.8)
-    // b's side is recovered from the increment's OWN id set — the
-    // small side by premise, so this join broadcasts where it matters.
     val flags = pairs
-      .join(increment.select(col("doc_id").as("b"), lit(true).as("b_new")),
-        Seq("b"), "left")
       .groupBy(col("a").as("doc_id"))
-      .agg(max(when(col("b_new").isNull, 1).otherwise(0)).as("has_old"),
+      .agg(max(when(!col("b_new"), 1).otherwise(0)).as("has_old"),
         max(when(col("b_new"), 1).otherwise(0)).as("has_new"))
     increment.select(col("doc_id")).join(flags, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -414,20 +425,79 @@ object Approx {
           .otherwise("keep").as("verdict"))
   }
 
+  /** Band frame → (band columns, y_new): `inc` (absent on a freshly
+    * built index, present on an advanced one) becomes the verdict
+    * provenance flag. */
+  private def flaggedBands(bands: DataFrame): DataFrame =
+    if (bands.columns.contains("inc"))
+      bands.withColumn("y_new", coalesce(col("inc"), lit(false))).drop("inc")
+    else bands.withColumn("y_new", lit(false))
+
+  /** Fold an increment INTO a stored [[MinHashIndex]] — the
+    * index-advance step of a multi-day ingest: screen day k with
+    * [[incrementalDedup]], then fold day k with this, and day k+1
+    * screens against index ∪ days(1..k) at O(day) signature cost.
+    * The folded docs' band rows carry `inc = true` (parquet-storable
+    * like every other index column), so later screens report a pair
+    * with them as `dup_new` — they entered as crawl increment, not as
+    * the ingested corpus, and the single-batch verdicts distinguish
+    * exactly that.
+    *
+    * ALL of the day's docs fold, not only its keepers: `dup_new` is
+    * "near-dups ANY earlier increment doc, kept or not" (q33's
+    * shadowed-by-any-earlier convention), and near-dup at a Jaccard
+    * threshold is NOT transitive — fold-kept-only would let this chain
+    * through: index A; day-1 B ≈ A (dup_old, dropped); day-2 C ≈ B but
+    * C ≉ A. Kept-only folding never sees B again and calls C `keep`;
+    * the single-batch run calls it `dup_new`. IncrementalDedupSpec
+    * plants exactly that chain.
+    *
+    * Replay ≡ single-batch equivalence (pinned in
+    * IncrementalDedupSpec): if the increment is partitioned into days
+    * MONOTONE in doc_id (day boundaries respect id order — the same
+    * ordering contract as the streaming twins), then screening each
+    * day against the advanced index and unioning the per-day verdicts
+    * reproduces the single-batch [[incrementalDedup]] over the whole
+    * increment row for row. Monotonicity is what makes the
+    * `y.doc_id < x.doc_id` keep-first condition see the same earlier
+    * set in both executions; day partitions that interleave ids lose
+    * pairs whose smaller-id member arrives later — in BOTH directions
+    * the batch run would count.
+    *
+    * Cost shape: the increment's chain runs once (O(day)); the union
+    * is a metadata operation on DataFrames and an append on stored
+    * parquet (the streaming twins write each day as one `batch_id=`
+    * partition — no rewrite of the existing index). Doc ids must be
+    * disjoint from everything already in the index. */
+  def advanceIndex(spark: SparkSession, index: MinHashIndex,
+                   increment: DataFrame): MinHashIndex = {
+    val (setsInc, bandsInc) = md5SetsAndBands(spark, increment.select("doc_id", "text"))
+    val bandsIdx =
+      if (index.bands.columns.contains("inc")) index.bands
+      else index.bands.withColumn("inc", lit(false))
+    MinHashIndex(
+      index.sets.unionByName(setsInc),
+      bandsIdx.unionByName(bandsInc.withColumn("inc", lit(true))))
+  }
+
   /** Candidate re-score join for [[bandedMd5Candidates]]: attach both
     * sides' token sets, apply the caller's size-ratio `prune` BEFORE
     * any intersection runs (candidates failing it skip the sorted-merge
-    * entirely), and emit (a, b, i, na, nb) with `i` the codegen'd
-    * sorted-merge intersect size. The exact acceptance cut stays with
+    * entirely), and emit (a, b, …, i, na, nb) with `i` the codegen'd
+    * sorted-merge intersect size — any EXTRA candidate columns beyond
+    * (a, b) ride through untouched (incrementalDedup's per-row `b_new`
+    * provenance literal; re-deriving it downstream would cost the join
+    * this pass-through removes). The exact acceptance cut stays with
     * the caller — the prune may only discard pairs the cut would. */
   private[graft] def rescoredPairs(spark: SparkSession, cand: DataFrame,
                                    sets: DataFrame, prune: Column): DataFrame = {
     val inter = graft.expressions.GraftFunctions.sortedIntersectSize(spark, "ta", "tb")
+    val carried = cand.columns.toIndexedSeq.map(col)
     cand
       .join(sets.select(col("doc_id").as("a"), col("set").as("ta"), col("n").as("na")), "a")
       .join(sets.select(col("doc_id").as("b"), col("set").as("tb"), col("n").as("nb")), "b")
       .filter(prune)
-      .select(col("a"), col("b"), inter.as("i"), col("na"), col("nb"))
+      .select(carried :+ inter.as("i") :+ col("na") :+ col("nb"): _*)
   }
 
   private def minHashNearDupImpl(spark: SparkSession, tokens: DataFrame,
@@ -1455,6 +1525,34 @@ object Approx {
       centroids)
   }
 
+  /** Fold an embedding increment INTO a stored [[SemanticIndex]] under
+    * the index's FIXED quantizer — the semantic half of the
+    * index-advance loop ([[advanceIndex]] is the lexical half, and the
+    * same reasoning applies verbatim): ALL of the day's vectors fold
+    * (cosine at a threshold is not transitive, so kept-only folding
+    * breaks the A≈B dropped, C≈B≉A chain — IncrementalDedupSpec plants
+    * it), folded vectors carry `inc = true` so later screens report
+    * pairs with them as dup_new, and an N-day replay with days
+    * MONOTONE in vec_id reproduces the single-batch
+    * [[incrementalSemanticDedup]] row for row. The quantizer must stay
+    * fixed across folds — re-fitting would move cell boundaries and
+    * silently change which pairs are findable (the
+    * [[fitSemanticCentroids]] contract); the fold itself is one
+    * O(day × nlist · dim) assignment pass plus a union (an append-one-
+    * partition write on stored parquet). Vec ids must be disjoint from
+    * everything already in the index. */
+  def advanceSemanticIndex(index: SemanticIndex,
+                           increment: DataFrame): SemanticIndex = {
+    val incVecs = buildSemanticIndex(
+      increment.select(col("vec_id"), col("embedding")), index.centroids).vectors
+    val idxVecs =
+      if (index.vectors.columns.contains("inc")) index.vectors
+      else index.vectors.withColumn("inc", lit(false))
+    SemanticIndex(
+      idxVecs.unionByName(incVecs.withColumn("inc", lit(true))),
+      index.centroids)
+  }
+
   /** The centroid list as a tiny storable table (cell, centroid) —
     * write beside the index's `vectors` parquet, rebuild with
     * [[semanticCentroidsFromDF]]. */
@@ -1505,7 +1603,15 @@ object Approx {
     val lhs = inc.filter(col("nrm") > 0)
       .select(col("vec_id").as("a"), col("embedding").as("ea"),
         col("cell").as("cella"), col("nrm").as("na"))
-    val rhs = index.vectors.withColumn("b_new", lit(false))
+    // An `inc` column on the index marks vectors folded by
+    // [[advanceSemanticIndex]] — crawl-increment provenance, so a pair
+    // with them reports dup_new (under the `b < a` keep-first
+    // condition), exactly as the lexical twin treats advanced bands.
+    val idxFlagged =
+      if (index.vectors.columns.contains("inc"))
+        index.vectors.withColumn("b_new", coalesce(col("inc"), lit(false))).drop("inc")
+      else index.vectors.withColumn("b_new", lit(false))
+    val rhs = idxFlagged
       .unionByName(inc.withColumn("b_new", lit(true)))
       .filter(col("nrm") > 0)
       .select(col("vec_id").as("b"), col("embedding").as("eb"),

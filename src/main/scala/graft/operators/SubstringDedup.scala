@@ -158,6 +158,95 @@ object SubstringDedup {
         (packedPos =!= col("own")).as("shad"))
   }
 
+  /** Storable window-hash index for the INCREMENTAL screen — one row
+    * per DISTINCT window content in the ingested corpus:
+    * `(h, n_inst, own)` = occurrence count and the packed keep-first
+    * owner position ([[packedPos]]'s doc_id·2²¹+start encoding — a
+    * plain long, parquet-storable like everything else). This is
+    * [[markInstances]]'s group side made persistent: build once per
+    * corpus, write to parquet (bucket by `h` to make the daily fold a
+    * co-partitioned merge), and every daily batch pays only its own
+    * window chain + increment-bounded joins — the q86/q88 index seam
+    * carried to substring granularity, closing the one dedup family
+    * that still re-paid the corpus's window hashes per batch. */
+  def buildWindowIndex(docs: DataFrame, k: Int,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       md5Keys: Boolean = false): DataFrame =
+    windowHashes(docs, k, textCol, idCol, md5Keys)
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_inst"), min(packedPos).as("own"))
+
+  /** Fold an increment's windows INTO a stored window index: per-hash
+    * counts add, owners take the packed min. The merge re-aggregates
+    * on `h` — O(index distinct windows) — which is the fold's
+    * amortized daily cost; on a bucketed stored table both sides
+    * co-partition and the exchange disappears (the screen itself never
+    * pays this: it reads the pre-aggregated index map-side). ALL of
+    * the day's windows fold, matching the batch semantics in which a
+    * shadowed (removed) instance still shadows later occurrences —
+    * same non-transitivity argument as [[graft.operators.Approx
+    * .advanceIndex]], at window rather than document granularity. */
+  def advanceWindowIndex(index: DataFrame, increment: DataFrame, k: Int,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         md5Keys: Boolean = false): DataFrame =
+    index.unionByName(buildWindowIndex(increment, k, textCol, idCol, md5Keys))
+      .groupBy("h")
+      .agg(sum("n_inst").as("n_inst"), min("own").as("own"))
+
+  /** Per-increment-document duplication profile against a stored
+    * [[buildWindowIndex]] — [[windowStats]]'s columns, increment rows
+    * only, with "the corpus" = index ∪ increment:
+    *   - n_shadowed is EXACT replay semantics: a window with an
+    *     earlier (packed-position) occurrence in index ∪ increment is
+    *     shadowed, so under id-monotone day feeding an N-day replay's
+    *     n_shadowed equals the single-batch [[windowStats]] run's,
+    *     row for row (SubstringDedupSpec pins it) — and n_shadowed is
+    *     what a scrub removes, so the SCREEN is replay-exact.
+    *   - n_dup_windows is horizon-relative BY CONSTRUCTION: the batch
+    *     form counts duplicate content anywhere in the corpus
+    *     INCLUDING days that haven't arrived yet, which no incremental
+    *     screen can know — day-k dup counts cover index ∪ days(1..k),
+    *     a lower bound that converges to the batch value as days fold
+    *     (the spec pins ≤ and the final-day equality).
+    *
+    * Scale shape: the index never crosses an exchange — the
+    * increment's distinct window hashes broadcast, the index streams
+    * map-side through one semi-join scan, and every later join is
+    * increment-bounded (matched index rows ≤ increment windows). */
+  def incrementalWindowStats(index: DataFrame, increment: DataFrame, k: Int,
+                             textCol: String = "text", idCol: String = "doc_id",
+                             md5Keys: Boolean = false): DataFrame = {
+    val wins = windowHashes(increment, k, textCol, idCol, md5Keys)
+    val incGrp = wins.groupBy("h")
+      .agg(count(lit(1)).as("n_inc"), min(packedPos).as("own_inc"))
+    // One map-side pass over the stored index: increment hashes
+    // broadcast, matched rows (≤ increment's distinct windows) come
+    // back small enough to broadcast everywhere downstream.
+    val matched = index.join(broadcast(incGrp.select(col("h"))), Seq("h"), "left_semi")
+    val combined = incGrp
+      .join(broadcast(matched), Seq("h"), "left")
+      .select(col("h"),
+        (col("n_inc") + coalesce(col("n_inst"), lit(0L))).as("n_inst"),
+        least(col("own_inc"), coalesce(col("own"), lit(Long.MaxValue))).as("own"))
+    val inst = wins.join(broadcast(combined), Seq("h"))
+      .select(col("doc_id"), col("start"),
+        (col("n_inst") > 1L).as("dup"),
+        (packedPos =!= col("own")).as("shad"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_windows"),
+        sum(when(col("shad"), 1L).otherwise(0L)).as("n_shadowed"))
+    increment.select(col(idCol).as("doc_id")).join(inst, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_shadowed"), lit(0L)).as("n_shadowed"))
+      .withColumn("dup_window_frac",
+        graft.ops.Determinism.dround(
+          col("n_dup_windows").cast("double") /
+            greatest(col("n_windows"), lit(1L)).cast("double"), 4))
+  }
+
   /** Remove duplicated substrings, keep-first: every shadowed window's
     * k tokens are cut from the document (overlapping shadowed windows
     * union into one covered region), the kept tokens re-join with

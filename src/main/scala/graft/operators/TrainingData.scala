@@ -14,6 +14,9 @@ import org.apache.spark.sql.functions._
   *  3. near-dup dedup   — MinHash pairs via the mass-routed
   *                        [[Approx.nearDupAuto]], components via
   *                        [[Approx.dedupClusters]], keepers survive
+  *  3b. substring scrub — optional (`substrK`): duplicated ≥ k-token
+  *                        runs cut keep-first across the survivors
+  *                        ([[SubstringDedup.scrub]])
   *  4. decontamination  — 8-gram containment vs a broadcast benchmark
   *                        set (q57's shape); contaminated docs drop
   *  5. mixture sampling — per-group token budgets in deterministic
@@ -37,6 +40,13 @@ import org.apache.spark.sql.functions._
   * adds a shuffle beyond what the stages themselves declare.
   */
 object TrainingData {
+
+  /** Hard ceiling on the DEFAULT IVF fit-sample size (rows). 2M
+    * points × the testdata's 64-float embeddings ≈ 512 MB of fit
+    * input — comfortably distributed-KMeans-sized — while keeping the
+    * default fit cost linear in the corpus once 64·nlist would exceed
+    * it (see the stage 4c sizing comment). */
+  private val FitSampleCap: Double = 2000000.0
 
   /** `selected`: the surviving documents — (doc_id, lang, n_tokens,
     * cum_before, pick_pos) per [[Sampling.quotaSampleBudgets]], plus an
@@ -76,13 +86,22 @@ object TrainingData {
     * (below), so a regenerated set's sequences cut differently from an
     * archived pre-round-11 one by design.
     *
+    * `substrK` activates the optional SUBSTRING scrub as stage 3b
+    * (between near-dup dedup and decontamination — see the stage
+    * comment): duplicated runs of ≥ substrK tokens are cut keep-first
+    * across the surviving corpus, token counts re-derive from the
+    * scrubbed text, and docs scrubbed to nothing drop. Default None
+    * keeps the stage off and the selected set bit-identical to
+    * rounds ≤ 13.
+    *
     * `embeddings` (doc_id, embedding) activates the optional SEMANTIC
     * stages 4b/4c between lexical decontam and the mixture (see the
     * stage comment below); `benchmarkEmbeddings` (embedding) is the
     * eval set for stage 4b, `minCosine` the similarity threshold both
     * stages share. The IVF quantizer defaults derive from the measured
     * scale laws — `semNlist` = survivors/625 (constant cell size),
-    * `semFitFraction` = a fixed-size fit sample — and `semTreeAssign`
+    * `semFitFraction` = a 64-points-per-centroid sample capped at
+    * [[FitSampleCap]] rows — and `semTreeAssign`
     * flips the flat O(N·nlist) cell assign to the coarse-quantizer
     * tree; override any of the three for a tuned quantizer.
     *
@@ -106,7 +125,8 @@ object TrainingData {
                        minCosine: Double = 0.35,
                        semNlist: Option[Int] = None,
                        semFitFraction: Option[Double] = None,
-                       semTreeAssign: Boolean = false): TrainingSet = {
+                       semTreeAssign: Boolean = false,
+                       substrK: Option[Int] = None): TrainingSet = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.TextFunctions
 
@@ -135,6 +155,38 @@ object TrainingData {
       .filter(col("ckeeper").isNull || col("ckeeper") === col("doc_id"))
       .select(exactDeduped.columns.toIndexedSeq.map(col): _*)
 
+    // 3b. SUBSTRING scrub (round 14, optional — active when `substrK`
+    // is set): rewrite each surviving document with its duplicated
+    // ≥ k-token runs removed, keep-first across the whole surviving
+    // corpus ([[SubstringDedup.scrub]] — Lee et al. 2022's ExactSubstr
+    // rationale: document-level dedup cannot see a boilerplate
+    // paragraph shared by otherwise-distinct docs). Placed AFTER
+    // near-dup dedup (the cheaper document-level stages shrink the
+    // window-hash mass first; a near-dup cluster contributes ONE
+    // keeper's windows instead of the whole clique's) and BEFORE
+    // decontamination (a scrubbed-away passage is no longer trained
+    // on, so it should no longer count as contamination). n_tokens is
+    // recomputed from the scrubbed text so the budgeting stages count
+    // what is actually trained on — same whitespace rule as stage 1's
+    // counter. The OPERATOR never drops a doc (q74's convention); the
+    // PIPELINE drops docs scrubbed to nothing — a fully-covered doc
+    // is pure repetition and carries zero trainable tokens. Default
+    // None keeps the stage off and every existing pin bit-identical.
+    val afterSubstr = substrK match {
+      case None => nearDeduped
+      case Some(k) =>
+        val scrubbed = SubstringDedup
+          .scrub(nearDeduped.select(col("doc_id"), col("text")), k)
+          .filter(col("kept_text") =!= "")
+          .select(col("doc_id"), col("kept_text"))
+        nearDeduped.drop("text", "n_tokens")
+          .join(scrubbed, Seq("doc_id"))
+          .withColumn("text", col("kept_text")).drop("kept_text")
+          .withColumn("n_tokens",
+            graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+          .select(nearDeduped.columns.toIndexedSeq.map(col): _*)
+    }
+
     // 4. Decontamination via the library's own containment operator
     // (robust \s+ tokenization with empty-token filtering and the
     // full-shingle guard — a benchmark passage split across a newline
@@ -145,10 +197,10 @@ object TrainingData {
     val benchIds = benchmark.select(col("text")).distinct()
       .select(xxhash64(col("text")).as("doc_id"), col("text"))
     val contaminated = Approx.ngramContamination(spark,
-        nearDeduped.select(col("doc_id"), col("text")), benchIds,
+        afterSubstr.select(col("doc_id"), col("text")), benchIds,
         n = 8, minContainment = minBenchContainment)
       .select(col("doc_id")).distinct()
-    val lexClean = nearDeduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val lexClean = afterSubstr.join(contaminated, Seq("doc_id"), "left_anti")
 
     // 4b+4c. SEMANTIC stages (round 13, optional — active only when an
     // `embeddings` frame (doc_id, embedding) is supplied): first
@@ -204,12 +256,19 @@ object TrainingData {
         // stage sat in exactly that join. The standalone smoke's
         // measured laws apply verbatim: constant ~625-vector cells
         // (nlist = N/625, the O(N) pair mass the 10×→300× decade
-        // held), and a FIXED-size fit sample (the full-corpus Lloyd's
+        // held), and a BOUNDED fit sample (the full-corpus Lloyd's
         // fit is the other superlinear term — O(N·nlist) with
-        // nlist ∝ N). The fit sample grows only when nlist outpaces
-        // 64 points/centroid; the count is a cached-block scan of the
-        // checkpoint just taken. Callers with a tuned quantizer
-        // override both via semNlist/semFitFraction.
+        // nlist ∝ N). The sample targets 64 points/centroid (floor
+        // 50k) but is CAPPED at FitSampleCap: under the nlist ∝ N law,
+        // 64·nlist alone is ~10.24% of N — a proportional sample whose
+        // fit cost stays O(N²·0.1024/625) forever; the cap makes the
+        // default fit O(FitSampleCap·nlist) = linear in N past ~20M
+        // survivors, at the price of fewer points per centroid on
+        // enormous corpora (acceptable for a dedup quantizer — the
+        // cells only partition space, recall rides the within-cell
+        // pairing). The count is a cached-block scan of the checkpoint
+        // just taken. Callers with a tuned quantizer override both
+        // via semNlist/semFitFraction.
         val nVec = semWorkingSet.count()
         val keepers =
           if (nVec == 0L) semWorkingSet.select(col("doc_id"))
@@ -217,7 +276,8 @@ object TrainingData {
             val nlist = semNlist.getOrElse(
               math.min(1 << 20, math.max(8L, nVec / 625L)).toInt)
             val fitFrac = semFitFraction.getOrElse(
-              math.min(1.0, math.max(50000.0, 64.0 * nlist) / nVec))
+              math.min(1.0,
+                math.min(FitSampleCap, math.max(50000.0, 64.0 * nlist)) / nVec))
             // semTreeAssign flips the remaining superlinear term — the
             // flat O(N·nlist) cell assignment (≡ O(N²) under the
             // constant-cell-size law; the 100×→300× pipeline smoke

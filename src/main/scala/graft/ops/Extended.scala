@@ -1154,18 +1154,32 @@ object Extended {
     * pair-level 4dp rounding, and float-literal threshold are q45's
     * proven parity conventions verbatim; aggregation happens on the
     * ROUNDED pair values so both engines aggregate identical inputs.
-    * Scale shape: benchmark broadcasts (eval suites are tiny), the
-    * corpus streams scan-side through codegen'd dot products — no
-    * corpus-side exchange at all until the per-vector aggregate. */
+    * Zero-norm vectors are excluded on BOTH sides before any division
+    * (the family's "zero-norm vectors never pair" convention — q88 /
+    * incrementalSemanticDedup / the pipeline's stage 4b all guard the
+    * same way; without it a zero vector's 0/0 = NaN compares TRUE
+    * against the threshold under NaN-greatest ordering and flags
+    * spurious contamination). Scale shape: benchmark broadcasts (eval
+    * suites are tiny), the corpus streams scan-side through codegen'd
+    * dot products, and the only corpus-side exchanges are (a) the
+    * BENCH-LOCAL `repartition(≤8)` below — this testdata's embeddings
+    * are one small parquet file, so without it the broadcast pair loop
+    * would run single-threaded (the q35/q45/q64 single-file-scan
+    * idiom); the production pipeline stage 4b reads a many-filed
+    * corpus and carries NO such cap (TrainingData stage 4b streams
+    * scan-side) — and (b) the per-vector aggregate of
+    * already-thresholded (vec_id, sim) pairs. */
   def q87SemanticDecontam(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val dot = (a: String, b: String) => graft.expressions.GraftFunctions.floatDot(s, a, b)
     val bench = emb.filter(pmod(col("vec_id"), lit(40)) === 0)
       .select(col("vec_id").as("bid"), col("embedding").as("be"),
         sqrt(dot("embedding", "embedding")).cast("float").as("bnorm"))
+      .filter(col("bnorm") > 0)
     val corpus = emb.filter(pmod(col("vec_id"), lit(40)) =!= 0)
       .select(col("vec_id"), col("embedding").as("ce"),
         sqrt(dot("embedding", "embedding")).cast("float").as("cnorm"))
+      .filter(col("cnorm") > 0)
       .repartition(math.min(s.sparkContext.defaultParallelism, 8))
     val sim = (dot("be", "ce") / (col("bnorm") * col("cnorm"))).cast("float")
     broadcast(bench).crossJoin(corpus)
@@ -1193,5 +1207,64 @@ object Extended {
     graft.operators.Approx.incrementalDedup(s,
         docs.filter(!isNew), docs.filter(isNew))
       .orderBy("doc_id")
+  }
+
+  /** q90: the index-advance REPLAY — q86's increment re-screened as a
+    * 3-day ingest: day k screens against index ∪ folded(days 1..k−1)
+    * ([[graft.operators.Approx.incrementalDedup]]), then folds
+    * ([[graft.operators.Approx.advanceIndex]]). Day boundaries are
+    * ntile(3) in doc_id order — MONOTONE in id, the replay's ordering
+    * contract — so the unioned verdicts are provably the single-batch
+    * q86 output, and the ORACLE IS q86's: DuckDB re-derives the
+    * verdicts from the symmetric pair set with no notion of days,
+    * which checks the whole loop (fold provenance flags, per-day
+    * keep-first, index growth) against an independent engine. The
+    * ntile window is a global sort of the INCREMENT's (doc_id, text)
+    * — declared-harness-only; a production ingest's days arrive as
+    * physical batches and never need it (the replay spec and the
+    * streaming twins take that path). */
+  def q90IndexAdvance(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val isNew = pmod(col("doc_id"), lit(10)) >= 7
+    val inc = docs.filter(isNew)
+      .withColumn("day", ntile(3).over(Window.orderBy("doc_id")))
+      .localCheckpoint(true)
+    var idx = graft.operators.Approx.buildMinHashIndex(s, docs.filter(!isNew))
+    val perDay = (1 to 3).map { k =>
+      val dayDf = inc.filter(col("day") === k).select("doc_id", "text")
+      val verdicts = graft.operators.Approx.incrementalDedup(s, idx, dayDf)
+      idx = graft.operators.Approx.advanceIndex(s, idx, dayDf)
+      verdicts
+    }
+    perDay.reduce(_ unionByName _).orderBy("doc_id")
+  }
+
+  /** q91: the SEMANTIC index-advance replay — q88's increment
+    * re-screened as a 3-day ingest under q84's literal quantizer:
+    * screen ([[graft.operators.Approx.incrementalSemanticDedup]]),
+    * fold ([[graft.operators.Approx.advanceSemanticIndex]]), repeat,
+    * with ntile(3) day boundaries monotone in vec_id. The oracle is
+    * q88's verbatim (replay ≡ single batch — same argument as q90),
+    * so DuckDB value-checks the semantic advance loop end to end:
+    * fixed-quantizer cell assignment of folded days, `inc` provenance
+    * in the verdict CASE, and the float32 cosine chain across all
+    * three screens. */
+  def q91SemanticAdvance(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val isNew = pmod(col("vec_id"), lit(10)) >= 7
+    val cents = Q84Centroids.map(_.map(_.toDouble))
+    val inc = emb.filter(isNew)
+      .withColumn("day", ntile(3).over(Window.orderBy("vec_id")))
+      .localCheckpoint(true)
+    var idx = graft.operators.Approx.buildSemanticIndex(emb.filter(!isNew), cents)
+    val perDay = (1 to 3).map { k =>
+      val dayDf = inc.filter(col("day") === k).select("vec_id", "embedding")
+      val verdicts = graft.operators.Approx.incrementalSemanticDedup(idx, dayDf)
+      idx = graft.operators.Approx.advanceSemanticIndex(idx, dayDf)
+      verdicts
+    }
+    perDay.reduce(_ unionByName _).orderBy("vec_id")
   }
 }

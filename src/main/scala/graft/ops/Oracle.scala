@@ -133,7 +133,7 @@ object Oracle {
     (scoreCols, caseSql)
   }
 
-  val sql: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, round(l_extendedprice * (1 - l_discount), 2) AS net
         |FROM lineitem
@@ -1510,12 +1510,19 @@ object Oracle {
     // list_cosine_similarity ≡ float_dot parity chain (FLOAT
     // accumulation, pair-level round to 4dp BEFORE the threshold and
     // the aggregates, so both engines aggregate identical values).
+    // The norm > 0 guards mirror the Spark side's zero-norm exclusion
+    // (cosine undefined — a 0/0 NaN would compare TRUE under
+    // NaN-greatest ordering); this testdata has no zero vectors, so
+    // the guard is behavior-preserving here and load-bearing only on
+    // corpora that do.
     "q87_semantic_decontam" ->
       """SELECT b.vec_id,
         |  CAST(count(*) AS BIGINT) AS n_hits,
         |  max(round(list_cosine_similarity(a.embedding, b.embedding), 4)) AS max_sim
         |FROM embeddings a JOIN embeddings b ON b.vec_id % 40 <> 0
         |WHERE a.vec_id % 40 = 0
+        |  AND list_dot_product(a.embedding, a.embedding) > 0
+        |  AND list_dot_product(b.embedding, b.embedding) > 0
         |  AND round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.35
         |GROUP BY b.vec_id
         |ORDER BY b.vec_id""".stripMargin,
@@ -1544,4 +1551,16 @@ object Oracle {
         |ORDER BY lang, cell""".stripMargin
     }
   )
+
+  /** q90/q91 (round 14): the index-advance REPLAYS. Their oracles are
+    * q86's/q88's VERBATIM — the replay's defining property is that a
+    * 3-day screen-fold loop over id-monotone days reproduces the
+    * single-batch screen, so the independent engine re-derives the
+    * same verdicts with no notion of days, and any fold defect
+    * (provenance flag, per-day keep-first, index growth) surfaces as
+    * a hash mismatch. Defined as a lookup, not a copy, so the twin
+    * strings cannot drift apart. */
+  val sql: Map[String, String] = base ++ Map(
+    "q90_index_advance" -> base("q86_incremental_dedup"),
+    "q91_semantic_advance" -> base("q88_incremental_semantic"))
 }

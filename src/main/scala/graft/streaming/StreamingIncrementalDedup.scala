@@ -1,46 +1,99 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
 import org.apache.spark.sql.Row
+
+import graft.operators.Approx
+import graft.operators.Approx.MinHashIndex
 
 /** Streaming incremental dedup — the ingest-time twin of the batch
   * screen ([[graft.operators.Approx.incrementalDedup]] / declared q86).
   * Incremental dedup is INHERENTLY micro-batch shaped: an "increment"
   * is a batch of newly crawled documents, so the streaming form is the
-  * batch operator driven by foreachBatch with one piece of state — the
-  * increment documents already seen on this stream. Each microbatch is
-  * screened against (static index, seen-so-far ∪ batch) and only the
-  * batch's own verdicts are emitted; a batch doc pairing a PREVIOUS
+  * batch operator driven by foreachBatch around the index-advance loop
+  * ([[graft.operators.Approx.advanceIndex]]): each microbatch's
+  * signatures FOLD into the advanced index (flagged `inc = true` —
+  * crawl provenance), and the batch is screened against
+  * (static index ∪ all folded batches). A batch doc pairing a PREVIOUS
   * batch's doc is therefore `dup_new` (both are increment docs), never
-  * `dup_old` — the distinction a fold-into-the-index shortcut would
-  * get wrong.
+  * `dup_old` — the provenance flag is exactly what keeps the fold from
+  * getting that wrong. Folding happens BEFORE the screen: the verdicts
+  * are invariant to the batch's own signatures already being in the
+  * index (a doc never pairs itself — `doc_id` inequality — and a
+  * batch-mate pair found through the folded copy is the same pair the
+  * increment side emits), which is what makes a foreachBatch RETRY of
+  * the same batch id a no-op rather than a double-count
+  * (StreamingSpec pins both properties).
   *
-  * Ordering contract (same as [[StreamingCap]] / [[StreamingQuota]]):
-  * feed batches in doc_id order and the emitted verdicts equal the
-  * single-shot batch run row-for-row (proven across three microbatches
-  * in StreamingSpec, cross-batch dup_new pair included). On an
-  * unordered stream the keep-first convention becomes first-to-arrive
-  * (batch id, then doc_id within a batch).
+  * Durability: with `stateDir` set, each batch's (sets, bands) append
+  * to parquet under one `batch_id=` partition via DYNAMIC partition
+  * overwrite — a retried batch REPLACES its own partition instead of
+  * duplicating it, and a RESTARTED stream (same checkpoint + same
+  * stateDir) reads every previously folded batch back before its
+  * first trigger, so post-restart near-dups of pre-restart docs still
+  * screen correctly. Without `stateDir` the folded state is held in
+  * memory only: a restart forgets it — use a fresh checkpoint dir and
+  * re-feed the stream, or pass `stateDir`. The state grows with the
+  * STREAM (one partition per batch, signatures only — never text) and
+  * is independent of the static index; compaction of a long-running
+  * stream's many small partitions is the caller's retention policy.
   *
-  * Scale shape: the state this twin accumulates is the seen-increment
-  * document set — linear in the STREAM, independent of the index. The
-  * per-batch recompute of seen signatures is the self-contained form;
-  * a production deployment persists the banded signature index through
-  * the `md5SetsAndBands` seam and appends each batch's signatures to
-  * it, making per-trigger work O(batch × collisions). Verdicts are
-  * delivered through `onBatch` (batch id, verdict frame) — the frame
-  * is already materialized (collect-safe) when the callback runs.
+  * Ordering contract (same as the batch [[Approx.advanceIndex]]
+  * replay): feed batches MONOTONE in doc_id and the emitted verdicts
+  * equal the single-shot batch run row-for-row (proven across three
+  * microbatches in StreamingSpec, cross-batch dup_new pair included).
+  * On an unordered feed the verdicts are still deterministic per
+  * arrival order, but they match NEITHER keep-first-by-id nor
+  * first-to-arrive: a later-arriving smaller-id near-dup of an
+  * already-emitted doc gets `keep` (the `y.doc_id < x.doc_id`
+  * keep-first condition looks backward by ID, and the earlier-emitted
+  * larger-id doc was screened before its smaller-id twin existed), so
+  * BOTH members of such a cross-batch pair survive.
+  *
+  * Scale shape: per-trigger work is the batch's own signature chain
+  * (O(batch)) plus the asymmetric band join in which the advanced
+  * index streams map-side — the measured q86 stored-index shape
+  * (6.8 s / 405 MB for a 1% batch against a 1.485M-doc index at the
+  * 300× smoke). The previous cut of this twin re-derived the seen
+  * increments' signatures from text EVERY trigger — O(stream²)
+  * signature work over a stream's lifetime; the fold writes them
+  * once. Verdicts are delivered through `onBatch` (batch id, verdict
+  * frame) — the frame is already materialized (collect-safe) when the
+  * callback runs.
   */
 object StreamingIncrementalDedup {
 
   /** Configure (not start) the stream: call `.start()` on the result.
     * `increments` must be a STREAMING DataFrame with (doc_id, text);
-    * `index` is the static ingested corpus. */
-  def writer(spark: SparkSession, index: DataFrame, increments: DataFrame)
+    * `index` is the static ingested corpus (its signatures are built
+    * once and pinned at writer construction — pass a prebuilt
+    * [[MinHashIndex]] via the other overload to reuse stored parquet
+    * frames instead). */
+  def writer(spark: SparkSession, index: DataFrame, increments: DataFrame,
+             stateDir: Option[String] = None)
             (onBatch: (Long, DataFrame) => Unit): DataStreamWriter[Row] = {
-    var seen: Option[DataFrame] = None
+    val built = Approx.buildMinHashIndex(spark, index.select("doc_id", "text"))
+    // Pin the static index's signatures once — the stream would
+    // otherwise re-run the index's full chain every trigger.
+    val pinned = MinHashIndex(
+      built.sets.localCheckpoint(true), built.bands.localCheckpoint(true))
+    writer(spark, pinned, increments, stateDir)(onBatch)
+  }
+
+  /** Prebuilt-index form: `index` frames are used as-is (typically
+    * parquet-backed — no per-trigger recompute beyond the scan). */
+  def writer(spark: SparkSession, index: MinHashIndex,
+             increments: DataFrame, stateDir: Option[String])
+            (onBatch: (Long, DataFrame) => Unit): DataStreamWriter[Row] = {
     graft.expressions.GraftFunctions.register(spark)
+    // In-memory fold state (stateDir == None): accumulated signature
+    // frames (each batch's chain localCheckpointed once — lineage per
+    // batch stays bounded) plus the batch ids already folded, so a
+    // foreachBatch retry screens without re-folding.
+    var extra: Option[(DataFrame, DataFrame)] = None
+    val folded = scala.collection.mutable.Set.empty[Long]
     increments.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -51,18 +104,66 @@ object StreamingIncrementalDedup {
         // plan analyzes where band_match_before lives.
         val cp = batch.select("doc_id", "text").localCheckpoint()
         val b = spark.createDataFrame(cp.rdd, cp.schema)
-        val inc = seen.map(_.unionByName(b)).getOrElse(b)
-        val verdicts = graft.operators.Approx
-          .incrementalDedup(spark, index, inc)
-          .join(b.select("doc_id"), Seq("doc_id"), "left_semi")
-          .localCheckpoint()
-        seen = Some(inc)
-        onBatch(id, verdicts)
+        val verdicts = stateDir match {
+          case Some(dir) => foldAndScreen(spark, index, dir, b, id)
+          case None =>
+            val (setsB, bandsB) = Approx.md5SetsAndBands(spark, b)
+            if (!folded.contains(id)) {
+              val sb = setsB.localCheckpoint(true)
+              val bb = bandsB.localCheckpoint(true)
+              extra = Some(extra match {
+                case Some((es, eb)) => (es.unionByName(sb), eb.unionByName(bb))
+                case None => (sb, bb)
+              })
+              folded += id
+            }
+            Approx.incrementalDedup(spark, advanced(index, extra), b)
+        }
+        onBatch(id, verdicts.localCheckpoint())
       }
   }
 
+  /** The static index with the folded-batch frames attached
+    * (`inc = true` — crawl provenance for the verdict CASE). */
+  private def advanced(index: MinHashIndex,
+                       extra: Option[(DataFrame, DataFrame)]): MinHashIndex =
+    extra match {
+      case None => index
+      case Some((es, eb)) =>
+        val idxBands =
+          if (index.bands.columns.contains("inc")) index.bands
+          else index.bands.withColumn("inc", lit(false))
+        MinHashIndex(index.sets.unionByName(es),
+          idxBands.unionByName(eb.withColumn("inc", lit(true))))
+    }
+
+  /** Durable fold-then-screen for one batch: write the batch's
+    * signatures as the `batch_id = id` partition of `stateDir`'s two
+    * parquet tables (dynamic overwrite — a retry REPLACES the
+    * partition), then screen the batch against
+    * index ∪ everything-in-stateDir. Exposed so restart/retry
+    * scenarios are testable without driving a real stream. */
+  private[graft] def foldAndScreen(spark: SparkSession, index: MinHashIndex,
+                                   stateDir: String, batch: DataFrame,
+                                   id: Long): DataFrame = {
+    val (setsB, bandsB) = Approx.md5SetsAndBands(spark, batch)
+    writePartition(setsB, s"$stateDir/sets", id)
+    writePartition(bandsB, s"$stateDir/bands", id)
+    val extra = (spark.read.parquet(s"$stateDir/sets").drop("batch_id"),
+      spark.read.parquet(s"$stateDir/bands").drop("batch_id"))
+    Approx.incrementalDedup(spark, advanced(index, Some(extra)), batch)
+  }
+
+  private[graft] def writePartition(df: DataFrame, path: String,
+                                    id: Long): Unit =
+    df.withColumn("batch_id", lit(id))
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(path)
+
   /** Start the stream and return the query (test convenience). */
-  def start(spark: SparkSession, index: DataFrame, increments: DataFrame)
+  def start(spark: SparkSession, index: DataFrame, increments: DataFrame,
+            stateDir: Option[String] = None)
            (onBatch: (Long, DataFrame) => Unit): StreamingQuery =
-    writer(spark, index, increments)(onBatch).start()
+    writer(spark, index, increments, stateDir)(onBatch).start()
 }

@@ -161,7 +161,12 @@ class GoldenCountsSpec extends SparkSpec {
     // q89 (round 13): one row per (lang, cell) — 5 languages × the 4
     // q84 cells, every combination populated at this corpus size;
     // counts and shares oracle-matched value for value.
-    "q89_cell_balance" -> 20
+    "q89_cell_balance" -> 20,
+    // q90/q91 (round 14): the index-advance replays — one row per
+    // increment doc/vector, same cardinality (and same oracle) as the
+    // single-batch q86/q88 they must reproduce.
+    "q90_index_advance" -> 150,
+    "q91_semantic_advance" -> 150
   )
 
   test("queries/oracleSql keys line up") {
@@ -328,7 +333,13 @@ class GoldenCountsSpec extends SparkSpec {
     // grow with the corpus (5 × 4 at every SF); only the counts inside
     // it do. Parity-checked against DuckDB at all three SFs when
     // declared (round 13; no recursive closure, runs at sf0.1).
-    "q89_cell_balance" -> 20L
+    "q89_cell_balance" -> 20L,
+    // q90/q91 (round 14): replay ≡ single batch, so the cardinality
+    // laws are q86's/q88's verbatim; the replay-specific values are
+    // guarded by the ≡-q86/q88 equality spec (IncrementalDedupSpec)
+    // and by the shared oracle at sf0.01.
+    "q90_index_advance" -> 1500L,
+    "q91_semantic_advance" -> 600L
   )
 
   sf01Pins.toSeq.sortBy(_._1).foreach { case (name, rows) =>

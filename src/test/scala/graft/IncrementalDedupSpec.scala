@@ -181,4 +181,184 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(hist.getOrElse("dup_old", 0) > 0, s"no dup_old in $hist")
     assert(hist.getOrElse("keep", 0) > 0, s"no keep in $hist")
   }
+
+  // ----- index-advance loop (round 14): advanceIndex / advanceSemanticIndex -----
+
+  /** Split a sorted id list into `n` contiguous ranges — day partitions
+    * MONOTONE in id, the replay ordering contract. */
+  private def days[T](sorted: Seq[T], n: Int): Seq[Seq[T]] =
+    sorted.grouped(math.max(1, (sorted.length + n - 1) / n)).toSeq
+
+  test("N-day replay with advanceIndex == single-batch q86 (sf0.001)") {
+    // The seam between "per-batch cost measured" and "a production
+    // ingest works": screen day k against index ∪ folded(days 1..k−1),
+    // fold day k, repeat — the unioned per-day verdicts must equal the
+    // single-batch screen over the whole increment row for row. The
+    // advanced index additionally round-trips through parquet between
+    // day 1 and day 2 (including the `inc` provenance column), so the
+    // replay exercises exactly what a nightly job would read back.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val isNew = pmod(col("doc_id"), lit(10)) >= 7
+    val incDocs = docs.filter(isNew).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    import spark.implicits._
+    var idx = graft.operators.Approx.buildMinHashIndex(spark, docs.filter(!isNew))
+    val dir = java.nio.file.Files.createTempDirectory("graft_advance").toString
+    val replayed = days(incDocs, 3).zipWithIndex.flatMap { case (day, k) =>
+      val dayDf = day.toDF("doc_id", "text")
+      val verdicts = graft.operators.Approx.incrementalDedup(spark, idx, dayDf)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      idx = graft.operators.Approx.advanceIndex(spark, idx, dayDf)
+      if (k == 0) {
+        idx.sets.write.mode("overwrite").parquet(s"$dir/sets")
+        idx.bands.write.mode("overwrite").parquet(s"$dir/bands")
+        idx = graft.operators.Approx.MinHashIndex(
+          spark.read.parquet(s"$dir/sets"), spark.read.parquet(s"$dir/bands"))
+        assert(idx.bands.columns.contains("inc"),
+          "advanced index lost its provenance column in parquet")
+      }
+      verdicts
+    }.sortBy(_._1)
+    val batch = SparkEntry.queries("q86_incremental_dedup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(replayed.length === batch.length)
+    assert(replayed.toSeq === batch.toSeq,
+      "replayed per-day verdicts diverged from the single-batch screen")
+  }
+
+  test("advanceIndex folds ALL docs: a dropped day-1 dup still shadows day 2") {
+    // Near-dup at a Jaccard threshold is not transitive, so folding
+    // only KEPT docs breaks this chain: index A; day-1 B ≈ A (dup_old,
+    // dropped); day-2 C ≈ B but C ≉ A. The single-batch run calls C
+    // dup_new (it pairs the earlier increment doc B, kept or not —
+    // q33's shadowed-by-any-earlier convention); a kept-only fold
+    // would never see B again and call C keep. advanceIndex folds all,
+    // so the replay must say dup_new — and a pair with folded B must
+    // NOT say dup_old (B entered as crawl, not as ingested corpus).
+    import spark.implicits._
+    // 30 tokens, 2 swapped per hop: J(a,b) = J(b,c) = 28/32 = 0.875
+    // (≥ 0.8, and verified banded — the md5 banding is deterministic,
+    // so acceptance was PROBED, not assumed), J(a,c) = 26/34 ≈ 0.765
+    // (< 0.8 — the chain's broken transitivity).
+    val base = (1 to 30).map(i => s"tok$i")
+    val a = base.mkString(" ")
+    val b = base.updated(5, "X0").updated(17, "Y0").mkString(" ")
+    val c = base.updated(5, "X0").updated(17, "Y0")
+      .updated(9, "Z0").updated(23, "W0").mkString(" ")
+    val index = Seq((1L, a)).toDF("doc_id", "text")
+    val day1 = Seq((11L, b)).toDF("doc_id", "text")
+    val day2 = Seq((21L, c)).toDF("doc_id", "text")
+    var idx = graft.operators.Approx.buildMinHashIndex(spark, index)
+    val v1 = graft.operators.Approx.incrementalDedup(spark, idx, day1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v1 === Map(11L -> "dup_old"), s"day-1 chain head: $v1")
+    idx = graft.operators.Approx.advanceIndex(spark, idx, day1)
+    val v2 = graft.operators.Approx.incrementalDedup(spark, idx, day2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v2 === Map(21L -> "dup_new"),
+      s"day-2 must see the dropped day-1 doc as an earlier INCREMENT: $v2")
+    // Same chain, single batch — the replay's target semantics.
+    val batch = graft.operators.Approx.incrementalDedup(spark,
+        graft.operators.Approx.buildMinHashIndex(spark, index),
+        Seq((11L, b), (21L, c)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(batch === Map(11L -> "dup_old", 21L -> "dup_new"))
+  }
+
+  test("semantic N-day replay with advanceSemanticIndex == single-batch q88 (sf0.001)") {
+    // The embedding-space half of the replay proof, under q84's
+    // literal quantizer so the target is the declared, DuckDB-checked
+    // q88. The advanced index round-trips through parquet (vectors +
+    // centroid table + `inc` column) between day 1 and day 2.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val isNew = pmod(col("vec_id"), lit(10)) >= 7
+    val cents = graft.ops.Extended.Q84Centroids.map(_.map(_.toDouble))
+    val incVecs = emb.filter(isNew).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    import spark.implicits._
+    var idx = graft.operators.Approx.buildSemanticIndex(emb.filter(!isNew), cents)
+    val dir = java.nio.file.Files.createTempDirectory("graft_semadvance").toString
+    val replayed = days(incVecs, 3).zipWithIndex.flatMap { case (day, k) =>
+      val dayDf = day.toDF("vec_id", "embedding")
+      val verdicts = graft.operators.Approx
+        .incrementalSemanticDedup(idx, dayDf)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      idx = graft.operators.Approx.advanceSemanticIndex(idx, dayDf)
+      if (k == 0) {
+        idx.vectors.write.mode("overwrite").parquet(s"$dir/vectors")
+        graft.operators.Approx.semanticCentroidsDF(spark, idx.centroids)
+          .write.mode("overwrite").parquet(s"$dir/centroids")
+        idx = graft.operators.Approx.SemanticIndex(
+          spark.read.parquet(s"$dir/vectors"),
+          graft.operators.Approx.semanticCentroidsFromDF(
+            spark.read.parquet(s"$dir/centroids")))
+        assert(idx.vectors.columns.contains("inc"),
+          "advanced semantic index lost its provenance column in parquet")
+      }
+      verdicts
+    }.sortBy(_._1)
+    val batch = SparkEntry.queries("q88_incremental_semantic")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(replayed.length === batch.length)
+    assert(replayed.toSeq === batch.toSeq,
+      "replayed per-day semantic verdicts diverged from the single-batch screen")
+  }
+
+  test("durable fold: batch retry is verdict-invariant and replaces, not duplicates") {
+    // foreachBatch's delivery contract is at-least-once: the same
+    // batch id can re-run after a partial failure. The durable fold
+    // writes each batch as ONE batch_id= partition under dynamic
+    // overwrite (retry replaces) and folds BEFORE screening (verdicts
+    // are invariant to the batch already being in the index), so a
+    // retry emits identical verdicts and leaves identical state.
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val isNew = pmod(col("doc_id"), lit(10)) >= 7
+    val idx = graft.operators.Approx.buildMinHashIndex(spark, docs.filter(!isNew))
+    val incDocs = docs.filter(isNew).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val Seq(day1, day2) = days(incDocs, 2).map(_.toDF("doc_id", "text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_retry").toString
+    graft.streaming.StreamingIncrementalDedup
+      .foldAndScreen(spark, idx, dir, day1, 0L).collect()
+    val first = graft.streaming.StreamingIncrementalDedup
+      .foldAndScreen(spark, idx, dir, day2, 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val stateRows = spark.read.parquet(s"$dir/bands").count()
+    val retried = graft.streaming.StreamingIncrementalDedup
+      .foldAndScreen(spark, idx, dir, day2, 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(retried.toSeq === first.toSeq, "retry changed verdicts")
+    assert(spark.read.parquet(s"$dir/bands").count() === stateRows,
+      "retry duplicated the batch's folded state")
+    // A LATE retry of day 1 — after day 2 was folded — is also
+    // verdict-invariant: folded day-2 docs carry larger ids, so the
+    // keep-first `y.doc_id < x.doc_id` condition filters them out of
+    // day 1's candidate set entirely. The two-day durable screen
+    // therefore equals the single-batch run even replayed from state.
+    val day1Late = graft.streaming.StreamingIncrementalDedup
+      .foldAndScreen(spark, idx, dir, day1, 0L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val batch = SparkEntry.queries("q86_incremental_dedup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert((day1Late ++ first).sortBy(_._1).toSeq === batch.toSeq)
+  }
+
+  test("declared replays: q90 ≡ q86 and q91 ≡ q88 (sf0.001)") {
+    // The declared q90/q91 run the ntile-day replay loop; their
+    // oracles are q86's/q88's SQL verbatim, which is only honest if
+    // the Spark outputs coincide too — pin it directly (the driver
+    // then re-proves it against DuckDB at sf0.01).
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(rows("q90_index_advance") === rows("q86_incremental_dedup"))
+    assert(rows("q91_semantic_advance") === rows("q88_incremental_semantic"))
+    assert(SparkEntry.oracleSql("q90_index_advance") ===
+      SparkEntry.oracleSql("q86_incremental_dedup"))
+    assert(SparkEntry.oracleSql("q91_semantic_advance") ===
+      SparkEntry.oracleSql("q88_incremental_semantic"))
+  }
 }

@@ -103,4 +103,91 @@ class SubstringDedupSpec extends SparkSpec {
     assert(scrubbed(0L) === ((0L, "")) && scrubbed(3L) === ((0L, "solo"))
       && scrubbed(4L) === ((1L, "")))
   }
+
+  // ----- incremental window screen (round 14): the q86 index seam at
+  // substring granularity -----
+
+  private def statRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+
+  test("incremental window stats vs stored index == batch windowStats restricted") {
+    // One batch against a prebuilt (and parquet round-tripped) index
+    // must reproduce the batch run over index ∪ increment exactly —
+    // including n_dup_windows, because a single increment IS the full
+    // remaining corpus (no unseen later days).
+    val docs = graft.ops.Tables.documents(spark, sf0001)
+      .select("doc_id", "text")
+    val isNew = pmod(col("doc_id"), lit(10)) >= 7
+    val dir = java.nio.file.Files.createTempDirectory("graft_widx").toString
+    SubstringDedup.buildWindowIndex(docs.filter(!isNew), k = 8)
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val inc = statRows(SubstringDedup.incrementalWindowStats(
+      stored, docs.filter(isNew), k = 8))
+    val batch = statRows(SubstringDedup.windowStats(docs, k = 8)
+      .join(docs.filter(isNew).select("doc_id"), Seq("doc_id"), "left_semi"))
+    assert(inc === batch,
+      "stored-index screen diverged from the batch run's increment rows")
+  }
+
+  test("advanceWindowIndex == buildWindowIndex over the unioned corpus") {
+    val docs = graft.ops.Tables.documents(spark, sf0001)
+      .select("doc_id", "text")
+    val isNew = pmod(col("doc_id"), lit(10)) >= 7
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("h").collect()
+        .map(r => (r.get(0), r.getLong(1), r.getLong(2))).toSeq
+    val advanced = SubstringDedup.advanceWindowIndex(
+      SubstringDedup.buildWindowIndex(docs.filter(!isNew), k = 8),
+      docs.filter(isNew), k = 8)
+    assert(dump(advanced) === dump(SubstringDedup.buildWindowIndex(docs, k = 8)),
+      "folded index diverged from a from-scratch build")
+  }
+
+  test("3-day window replay: n_shadowed exact, n_dup_windows converges") {
+    // The replay contract the operator documents: shadow counts (what
+    // a scrub removes) are replay-exact under id-monotone days; dup
+    // counts are horizon-relative — day k sees index ∪ days(1..k), a
+    // lower bound on the batch value, with equality on the final day
+    // (whose horizon IS the full corpus).
+    val docs = graft.ops.Tables.documents(spark, sf0001)
+      .select("doc_id", "text")
+    val isNew = pmod(col("doc_id"), lit(10)) >= 7
+    import spark.implicits._
+    val incDocs = docs.filter(isNew).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val dayList = incDocs.grouped(math.max(1, (incDocs.length + 2) / 3)).toSeq
+    var idx = SubstringDedup.buildWindowIndex(docs.filter(!isNew), k = 8)
+    val perDay = dayList.zipWithIndex.map { case (day, i) =>
+      val dayDf = day.toDF("doc_id", "text")
+      val stats = statRows(SubstringDedup.incrementalWindowStats(idx, dayDf, k = 8))
+      idx = SubstringDedup.advanceWindowIndex(idx, dayDf, k = 8).localCheckpoint(true)
+      (i, day.map(_._1).toSet, stats)
+    }
+    val batch = statRows(SubstringDedup.windowStats(docs, k = 8)
+      .join(docs.filter(isNew).select("doc_id"), Seq("doc_id"), "left_semi"))
+      .map(t => t._1 -> t).toMap
+    var sawUndercount = false
+    perDay.foreach { case (dayI, ids, stats) =>
+      assert(stats.map(_._1).toSet === ids)
+      stats.foreach { case (id, nw, ndup, nshad) =>
+        val (_, bnw, bdup, bshad) = batch(id)
+        assert(nw === bnw, s"doc $id day $dayI: window count drifted")
+        assert(nshad === bshad,
+          s"doc $id day $dayI: replay n_shadowed $nshad != batch $bshad")
+        assert(ndup <= bdup,
+          s"doc $id day $dayI: horizon dup count $ndup exceeds batch $bdup")
+        if (dayI == dayList.length - 1)
+          assert(ndup === bdup,
+            s"doc $id final day: horizon is the full corpus, dup must match")
+        if (ndup < bdup) sawUndercount = true
+      }
+    }
+    // The ≤ pin is only meaningful if the corpus actually plants a
+    // future-day duplicate; this testdata does.
+    assert(sawUndercount,
+      "no early-day dup undercount found — the convergence pin is vacuous")
+  }
 }

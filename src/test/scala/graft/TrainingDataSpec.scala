@@ -117,6 +117,67 @@ class TrainingDataSpec extends SparkSpec {
     assert(again === rows.map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq)
   }
 
+  test("substring stage 3b: scrub composes, budgets hold, run reproduces") {
+    // The optional ExactSubstr stage: duplicated >= 8-token runs are
+    // cut keep-first across the survivors BEFORE decontam/mixture, and
+    // n_tokens re-derives from the scrubbed text. This corpus's own
+    // verbatim repeats all live inside near-dup clusters that stage 3
+    // collapses first (measured: zero selected docs shrink), so the
+    // stage's arithmetic is pinned on two PLANTED docs: both reuse
+    // quality-proven selected texts, both get the same 12-nonsense-
+    // token tail (tail-internal 8-windows duplicate EXACTLY — but the
+    // overall Jaccard stays far below 0.8, so stage 3 cannot collapse
+    // them), and their sources leave the corpus so nothing near-dups.
+    // Keep-first: the smaller-id plant OWNS the tail; the larger-id
+    // plant must lose exactly the 12 covered tail positions. A
+    // dedicated lang + budget guarantees both reach `selected`.
+    import spark.implicits._
+    val tail = (1 to 12).map(i => s"plantedtail$i").mkString(" ")
+    def ws(t: String): Long = t.trim.split("\\s+").count(_.nonEmpty).toLong
+    val srcIds = selected.map(_.getLong(0)).sorted.take(2)
+    val srcText = docs.filter(col("doc_id").isin(srcIds: _*))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val planted = Seq(
+      (maxId + 1, s"${srcText(srcIds(0))} $tail", "xx"),
+      (maxId + 2, s"${srcText(srcIds(1))} $tail", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val augmented = docs.filter(!col("doc_id").isin(srcIds: _*))
+      .unionByName(planted)
+    val budgets2 = budgets + ("xx" -> 100000L)
+    def run() = TrainingData.buildTrainingSet(
+      spark, augmented, benchmark, budgets2, seqLen = 256L, substrK = Some(8))
+    val tsSub = run()
+    val sub = tsSub.selected.collect()
+    assert(sub.length > 50)
+    val subTok = sub.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(subTok.contains(maxId + 1) && subTok.contains(maxId + 2),
+      s"planted docs missing from the selected set — quality or dedup ate them")
+    assert(subTok(maxId + 1) === ws(srcText(srcIds(0))) + 12,
+      "the tail's OWNER must keep every token")
+    assert(subTok(maxId + 2) === ws(srcText(srcIds(1))),
+      "the shadowed plant must lose exactly its 12 tail tokens")
+    // Scrub can only shrink: every selected count <= its input count.
+    val inTok = augmented.select(col("doc_id"),
+        size(filter(split(trim(col("text")), "\\s+"), w => w =!= ""))
+          .cast("long").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sub.forall(r => subTok(r.getLong(0)) <= inTok(r.getLong(0))),
+      "scrub grew a document's token count")
+    sub.groupBy(_.getString(1)).foreach { case (lang, rows) =>
+      val mass = rows.map(_.getLong(2)).sum
+      val last = rows.maxBy(_.getLong(4)).getLong(2)
+      assert(mass - last < budgets2(lang),
+        s"$lang kept $mass scrubbed tokens against budget ${budgets2(lang)}")
+    }
+    val packTokens = tsSub.packed.agg(sum(col("slice_len"))).head().getLong(0)
+    assert(packTokens === sub.map(_.getLong(2)).sum,
+      "packing no longer conserves the scrubbed token stream")
+    val again = run().selected.collect().map(_.toSeq).sortBy(_.toString)
+    assert(again === sub.map(_.toSeq).sortBy(_.toString),
+      "substring-staged pipeline is not reproducible")
+  }
+
   test("semantic stages: decontam + dedup compose into the pipeline correctly") {
     // Wiring test for the round-13 optional stages 4b/4c — the PIECES
     // (q87's broadcast-cosine decontam, semanticDedup's IVF keepers)
