@@ -429,6 +429,29 @@ object ScaleSmoke {
               treeAssign = tree))
           }
         }
+        // Decomposition: the ASSIGN stage alone, both implementations,
+        // so the end-to-end parity above is attributable — if the flat
+        // and tree assigns differ here while the operator totals
+        // match, the assign is a minor term at this scale and the
+        // superlinear growth lives in the shared stages (the sampled
+        // fit's O(sample·nlist) and the clustering tail).
+        val cents = graft.operators.Approx.fitSemanticCentroids(
+          vecs, nlist = nlist, fitFraction = frac)
+        run(f"sem_assign_${n}_flat") {
+          hashed(graft.operators.Approx.buildSemanticIndex(
+            vecs.select(col("vec_id"), col("embedding")), cents)
+            .vectors.select(col("vec_id"), col("cell"), col("nrm")))
+        }
+        val k = math.max(1, math.round(math.sqrt(cents.length.toDouble)).toInt)
+        val centsArr = cents.map(_.toArray).toArray
+        val topOf = graft.expressions.IvfTreeAssign.groupCentroids(centsArr, k)
+        run(f"sem_assign_${n}_tree") {
+          graft.expressions.GraftFunctions.register(spark)
+          hashed(vecs.select(col("vec_id"),
+            call_function("ivf_tree_assign", col("embedding"),
+              typedLit(centsArr.map(_.toSeq).toSeq), typedLit(topOf.toSeq),
+              lit(2)).as("cell")))
+        }
       }
     }
 
@@ -910,7 +933,7 @@ object ScaleSmoke {
         budgets = Map("en" -> 100000L * copies), seqLen = 2048,
         minQuality = 0.0, maxRepetition = 1.0, minTokens = 1,
         embeddings = Some(embAll), benchmarkEmbeddings = Some(benchEmb),
-        minCosine = 0.9, semTreeAssign = true)
+        minCosine = 0.9, semTreeAssign = Some(true))
       graft.operators.Materialized.free(ts.packed)
       lastSemT = ts.selected
       ts.selected

@@ -114,7 +114,8 @@ object SparkEntry {
     "q88_incremental_semantic" -> Extended.q88IncrementalSemantic _,
     "q89_cell_balance"        -> Extended.q89CellBalance _,
     "q90_index_advance"       -> Extended.q90IndexAdvance _,
-    "q91_semantic_advance"    -> Extended.q91SemanticAdvance _
+    "q91_semantic_advance"    -> Extended.q91SemanticAdvance _,
+    "q92_incremental_window"  -> Extended.q92IncrementalWindow _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

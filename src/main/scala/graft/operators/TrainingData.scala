@@ -48,6 +48,25 @@ object TrainingData {
     * it (see the stage 4c sizing comment). */
   private val FitSampleCap: Double = 2000000.0
 
+  /** nlist above which the AUTO tree-assign default engages — the edge
+    * of the MEASURED flat-vs-tree envelope (round-14 sem_xover smoke):
+    * end-to-end semanticDedup walls are at parity through 3M vectors /
+    * nlist 4800 (1M: flat 61.7 s vs tree 60.0 s; 3M: 288.1 vs 285.0 —
+    * Spark ML's norm-pruned flat transform beats the naive O(N·nlist)
+    * model the r13 extrapolation assumed; the NAIVE exact assign does
+    * follow that law — mip_assign 10.8 → 97.2 s for 3× data — but the
+    * operator's flat path doesn't pay it). Within the envelope flat is
+    * EXACT and free, so auto keeps it; beyond it the flat path's
+    * pruning effectiveness is unmeasured while the tree's O(N·√nlist)
+    * is bounded and its recall trade is pinned (CapabilitySpec), so
+    * auto bounds the asymptote. Manual Some(_) always wins. */
+  private[operators] val SemTreeAssignNlistThreshold: Int = 4800
+
+  /** The auto rule behind `semTreeAssign = None` — exposed for the
+    * plumbing pin in TrainingDataSpec. */
+  private[graft] def semTreeAuto(nlist: Int): Boolean =
+    nlist > SemTreeAssignNlistThreshold
+
   /** `selected`: the surviving documents — (doc_id, lang, n_tokens,
     * cum_before, pick_pos) per [[Sampling.quotaSampleBudgets]], plus an
     * `epoch` column (one row per doc × epoch) when the build ran
@@ -101,9 +120,11 @@ object TrainingData {
     * stages share. The IVF quantizer defaults derive from the measured
     * scale laws — `semNlist` = survivors/625 (constant cell size),
     * `semFitFraction` = a 64-points-per-centroid sample capped at
-    * [[FitSampleCap]] rows — and `semTreeAssign`
-    * flips the flat O(N·nlist) cell assign to the coarse-quantizer
-    * tree; override any of the three for a tuned quantizer.
+    * [[FitSampleCap]] rows — and `semTreeAssign` picks the cell-assign
+    * implementation: None (default) applies the measured auto rule
+    * ([[semTreeAuto]] — exact flat within the proven-parity envelope,
+    * the coarse-quantizer tree beyond it), Some(_) forces one arm.
+    * Override any of the three for a tuned quantizer.
     *
     * The scored+deduped working set is materialized ONCE (five
     * downstream consumers — the near-dup mass probe, the pair build,
@@ -125,7 +146,7 @@ object TrainingData {
                        minCosine: Double = 0.35,
                        semNlist: Option[Int] = None,
                        semFitFraction: Option[Double] = None,
-                       semTreeAssign: Boolean = false,
+                       semTreeAssign: Option[Boolean] = None,
                        substrK: Option[Int] = None): TrainingSet = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.TextFunctions
@@ -278,16 +299,17 @@ object TrainingData {
             val fitFrac = semFitFraction.getOrElse(
               math.min(1.0,
                 math.min(FitSampleCap, math.max(50000.0, 64.0 * nlist)) / nVec))
-            // semTreeAssign flips the remaining superlinear term — the
-            // flat O(N·nlist) cell assignment (≡ O(N²) under the
-            // constant-cell-size law; the 100×→300× pipeline smoke
-            // measured wall 3.40× for 3× data with it flat) — to the
-            // coarse-quantizer tree's O(N·√nlist), at the standalone
-            // smoke's measured recall trade (boundary pairs only).
+            // semTreeAssign: None = the MEASURED auto rule — exact
+            // flat assign inside the envelope where flat and tree
+            // walls are proven tied (nlist <= 4800 / ~3M survivors,
+            // the round-14 sem_xover smoke), the coarse-quantizer
+            // tree's bounded O(N·√nlist) beyond it (at the pinned
+            // boundary-pair recall trade). Some(_) overrides either
+            // way (see SemTreeAssignNlistThreshold's derivation).
             Approx.semanticDedup(
                 semWorkingSet.select(col("doc_id").as("vec_id"), col("embedding")),
                 minSim = minCosine, nlist = nlist, fitFraction = fitFrac,
-                treeAssign = semTreeAssign)
+                treeAssign = semTreeAssign.getOrElse(semTreeAuto(nlist)))
               .filter(col("is_keeper"))
               .select(col("vec_id").as("doc_id"))
           }

@@ -1267,4 +1267,27 @@ object Extended {
     }
     perDay.reduce(_ unionByName _).orderBy("vec_id")
   }
+
+  /** q92: the incremental SUBSTRING screen against a stored window
+    * index — q76's duplication profile for the q86 increment split
+    * (doc_id % 10 >= 7), computed by
+    * [[graft.operators.SubstringDedup.incrementalWindowStats]] against
+    * a [[graft.operators.SubstringDedup.buildWindowIndex]] over the
+    * ingested 70%. A SINGLE increment's horizon is the full corpus
+    * (index ∪ increment, no unseen later days), so the output equals
+    * the batch q76 rows restricted to increment docs — the oracle IS
+    * q76's SQL plus that restriction, which value-checks the stored-
+    * index join path (per-hash count/owner merge, packed keep-first
+    * ownership, LEFT-JOIN zero rows) against an independent engine.
+    * md5 window keys, the declared-twin convention (production uses
+    * xxhash64; SubstringDedupSpec proves the variants output-equal). */
+  def q92IncrementalWindow(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val isNew = pmod(col("doc_id"), lit(10)) >= 7
+    graft.operators.SubstringDedup.incrementalWindowStats(
+        graft.operators.SubstringDedup.buildWindowIndex(
+          docs.filter(!isNew), Q76WindowK, md5Keys = true),
+        docs.filter(isNew), Q76WindowK, md5Keys = true)
+      .orderBy("doc_id")
+  }
 }

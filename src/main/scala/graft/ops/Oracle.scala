@@ -1562,5 +1562,15 @@ object Oracle {
     * strings cannot drift apart. */
   val sql: Map[String, String] = base ++ Map(
     "q90_index_advance" -> base("q86_incremental_dedup"),
-    "q91_semantic_advance" -> base("q88_incremental_semantic"))
+    "q91_semantic_advance" -> base("q88_incremental_semantic"),
+    // q92: a single increment's horizon is the whole corpus, so the
+    // stored-index screen equals batch q76 restricted to increment
+    // docs — q76's SQL with exactly that WHERE, derived by anchored
+    // rewrite so the shared chain cannot drift.
+    "q92_incremental_window" -> {
+      val anchor = "ORDER BY d.doc_id"
+      val q76 = base("q76_window_stats")
+      require(q76.contains(anchor), "q76 oracle lost its final ORDER BY anchor")
+      q76.replace(anchor, "WHERE d.doc_id % 10 >= 7\n" + anchor)
+    })
 }

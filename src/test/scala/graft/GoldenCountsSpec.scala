@@ -166,7 +166,11 @@ class GoldenCountsSpec extends SparkSpec {
     // increment doc/vector, same cardinality (and same oracle) as the
     // single-batch q86/q88 they must reproduce.
     "q90_index_advance" -> 150,
-    "q91_semantic_advance" -> 150
+    "q91_semantic_advance" -> 150,
+    // q92 (round 14): one row per increment doc — the stored-index
+    // substring screen, oracle-matched (q76 restricted) value for
+    // value.
+    "q92_incremental_window" -> 150
   )
 
   test("queries/oracleSql keys line up") {
@@ -339,7 +343,11 @@ class GoldenCountsSpec extends SparkSpec {
     // guarded by the ≡-q86/q88 equality spec (IncrementalDedupSpec)
     // and by the shared oracle at sf0.01.
     "q90_index_advance" -> 1500L,
-    "q91_semantic_advance" -> 600L
+    "q91_semantic_advance" -> 600L,
+    // q92: one row per increment doc, q76's cardinality law restricted
+    // to the 30% increment; oracle parity at all three SFs (the q76
+    // window chain is linear — no recursive closure).
+    "q92_incremental_window" -> 1500L
   )
 
   sf01Pins.toSeq.sortBy(_._1).foreach { case (name, rows) =>

@@ -360,5 +360,14 @@ class IncrementalDedupSpec extends SparkSpec {
       SparkEntry.oracleSql("q86_incremental_dedup"))
     assert(SparkEntry.oracleSql("q91_semantic_advance") ===
       SparkEntry.oracleSql("q88_incremental_semantic"))
+    // q92's single increment sees the whole corpus as its horizon, so
+    // the declared stored-index screen must equal batch q76 restricted
+    // to the increment rows (its oracle is exactly that restriction).
+    val q92 = SparkEntry.queries("q92_incremental_window")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val q76 = SparkEntry.queries("q76_window_stats")(spark, sf0001)
+      .filter(pmod(col("doc_id"), lit(10)) >= 7)
+      .collect().map(_.toSeq).toSeq
+    assert(q92 === q76)
   }
 }

@@ -117,6 +117,21 @@ class TrainingDataSpec extends SparkSpec {
     assert(again === rows.map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq)
   }
 
+  test("semTreeAssign auto rule: flat inside the measured envelope, tree beyond") {
+    // The switch point is the EDGE of the measured flat-vs-tree parity
+    // envelope (round-14 sem_xover smoke: walls tied through nlist
+    // 4800 / ~3M survivors, so exact flat is free there; beyond it the
+    // tree bounds the unmeasured asymptote). Pin the rule and the
+    // threshold so a drive-by change to either shows up here, next to
+    // the derivation in TrainingData.scala.
+    assert(!TrainingData.semTreeAuto(8))
+    assert(!TrainingData.semTreeAuto(4800))
+    assert(TrainingData.semTreeAuto(4801))
+    // nlist = survivors/625 ⇒ the auto default flips at 3M survivors.
+    assert(!TrainingData.semTreeAuto((3000000L / 625L).toInt))
+    assert(TrainingData.semTreeAuto((3001000L / 625L).toInt + 1))
+  }
+
   test("substring stage 3b: scrub composes, budgets hold, run reproduces") {
     // The optional ExactSubstr stage: duplicated >= 8-token runs are
     // cut keep-first across the survivors BEFORE decontam/mixture, and
@@ -252,7 +267,7 @@ class TrainingDataSpec extends SparkSpec {
     def build() = TrainingData.buildTrainingSet(
         spark, docs, benchmark, big, seqLen = 256L,
         embeddings = Some(emb250), benchmarkEmbeddings = Some(benchEmb),
-        semTreeAssign = true)
+        semTreeAssign = Some(true))
       .selected.collect().map(_.getLong(0)).toSet
     val base = TrainingData.buildTrainingSet(
         spark, docs, benchmark, big, seqLen = 256L)
