@@ -867,6 +867,67 @@ object ScaleSmoke {
       ts.selected
     }
     if (lastSelected != null) { graft.operators.Materialized.free(lastSelected); lastSelected = null }
+    // Substring-staged pipeline (round 14): the SAME build with the
+    // optional stage 3b (ExactSubstr scrub, k = 8) active — the one
+    // measured pipeline stage that was previously parked outside the
+    // composition. The planted near-dup families mostly die at stage 3
+    // first, so the scrub's duplicated-window mass here is the
+    // family-survivor residue plus chance 8-token repeats from the 5k
+    // vocabulary; the cost that matters is the window chain + ownership
+    // pass over the whole surviving corpus (linear in tokens) plus the
+    // rebuild join, and wall should stay a modest constant factor over
+    // training_pipeline at every scale.
+    run("training_substr") {
+      if (lastSelected != null) graft.operators.Materialized.free(lastSelected)
+      val docsAll = spark.read.parquet(s"$out/documents.parquet")
+        .select("doc_id", "text", "lang")
+      val bench = docsAll.filter(col("doc_id") < 500).select("text")
+      val ts = graft.operators.TrainingData.buildTrainingSet(spark, docsAll, bench,
+        budgets = Map("en" -> 100000L * copies), seqLen = 2048,
+        minQuality = 0.0, maxRepetition = 1.0, minTokens = 1,
+        substrK = Some(8))
+      graft.operators.Materialized.free(ts.packed)
+      lastSelected = ts.selected
+      ts.selected
+    }
+    // Sized variant of the substring-staged build: the unsized 300× run
+    // spills ~3.6 GB in stage 3b's window-instance SMJ (the q76/q77
+    // documented class — the grp side is distinct-window-sized, so SMJ
+    // sorts the full window stream), and the q76/q77 sizing dials are
+    // the named fix; this arm proves they transfer to the composed
+    // pipeline run.
+    locally {
+      val pAdv = spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      val pInit = spark.conf.getOption("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+      val pScan = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+      try {
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", 512)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+        run("training_substr_sized") {
+          if (lastSelected != null) graft.operators.Materialized.free(lastSelected)
+          val docsAll = spark.read.parquet(s"$out/documents.parquet")
+            .select("doc_id", "text", "lang")
+          val bench = docsAll.filter(col("doc_id") < 500).select("text")
+          val ts = graft.operators.TrainingData.buildTrainingSet(spark, docsAll, bench,
+            budgets = Map("en" -> 100000L * copies), seqLen = 2048,
+            minQuality = 0.0, maxRepetition = 1.0, minTokens = 1,
+            substrK = Some(8))
+          graft.operators.Materialized.free(ts.packed)
+          lastSelected = ts.selected
+          ts.selected
+        }
+      } finally {
+        def restore(key: String, prior: Option[String]): Unit = prior match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+        restore("spark.sql.adaptive.advisoryPartitionSizeInBytes", pAdv)
+        restore("spark.sql.adaptive.coalescePartitions.initialPartitionNum", pInit)
+        restore("spark.sql.files.maxPartitionBytes", pScan)
+      }
+    }
+    if (lastSelected != null) { graft.operators.Materialized.free(lastSelected); lastSelected = null }
     // Semantic-staged pipeline (round 13): the SAME build but with the
     // optional 4b/4c stages active — semantic decontam against the
     // 1-in-40 embedding slice, then the q66 sampled-fit IVF dedup —

@@ -272,6 +272,18 @@ object SubstringDedup {
     val starts = markInstances(wins).filter(col("shad"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("start"))).as("starts"))
+    rebuildFromShadowStarts(docs, starts, k, textCol, idCol)
+  }
+
+  /** The scrub's rebuild tail, shared with [[incrementalWindowScrub]]:
+    * given per-doc sorted shadowed-start arrays, cut the covered
+    * positions and re-join the kept tokens (see [[scrub]]'s scaladoc
+    * for the array-arithmetic argument). `starts` joins back to the
+    * full `docs` domain with a LEFT join — docs with no shadowed
+    * window pass through untouched. */
+  private def rebuildFromShadowStarts(docs: DataFrame, starts: DataFrame,
+                                      k: Int, textCol: String,
+                                      idCol: String): DataFrame = {
     val covered = array_distinct(flatten(transform(col("starts"), s =>
       sequence(s, s + lit(k - 1)))))
     val allPos = when(size(col("ws")) > 0,
@@ -286,5 +298,41 @@ object SubstringDedup {
         (size(col("ws")) - size(col("kept_pos"))).cast("long").as("n_removed"),
         array_join(transform(col("kept_pos"), i =>
           element_at(col("ws"), i + 1)), " ").as("kept_text"))
+  }
+
+  /** Rewrite an INCREMENT's documents against a stored
+    * [[buildWindowIndex]] — [[scrub]]'s keep-first removal at daily-
+    * batch cost: an increment window is cut iff a strictly earlier
+    * (packed-position) occurrence of its content exists in
+    * index ∪ increment. Because shadowing is replay-exact (an earlier
+    * occurrence never un-happens as later days arrive), the rebuilt
+    * text of an increment doc equals what the batch [[scrub]] over the
+    * whole corpus produces for that doc — for ANY id interleaving, not
+    * just monotone days: the doc's kept positions depend only on the
+    * global owner of each of ITS windows, which the merged
+    * (index, increment) owner computes exactly
+    * (SubstringDedupSpec pins the restriction equality). Only
+    * increment docs are rewritten — the index side is already-ingested
+    * immutable text by the family's contract (and under monotone-id
+    * ingest its windows all precede the increment's, so the batch form
+    * would not rewrite them either). Join shapes are
+    * [[incrementalWindowStats]]'s: one map-side semi-join scan of the
+    * stored index, everything else increment-bounded. */
+  def incrementalWindowScrub(index: DataFrame, increment: DataFrame, k: Int,
+                             textCol: String = "text", idCol: String = "doc_id",
+                             md5Keys: Boolean = false): DataFrame = {
+    val wins = windowHashes(increment, k, textCol, idCol, md5Keys)
+    val incGrp = wins.groupBy("h")
+      .agg(count(lit(1)).as("n_inc"), min(packedPos).as("own_inc"))
+    val matched = index.join(broadcast(incGrp.select(col("h"))), Seq("h"), "left_semi")
+    val combined = incGrp
+      .join(broadcast(matched), Seq("h"), "left")
+      .select(col("h"),
+        least(col("own_inc"), coalesce(col("own"), lit(Long.MaxValue))).as("own"))
+    val starts = wins.join(broadcast(combined), Seq("h"))
+      .filter(packedPos =!= col("own"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("start"))).as("starts"))
+    rebuildFromShadowStarts(increment, starts, k, textCol, idCol)
   }
 }

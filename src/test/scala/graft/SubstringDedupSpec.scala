@@ -146,6 +146,37 @@ class SubstringDedupSpec extends SparkSpec {
       "folded index diverged from a from-scratch build")
   }
 
+  test("incremental window scrub vs stored index == batch scrub restricted") {
+    // Shadowing is replay-exact, so an increment doc's REBUILT TEXT
+    // must equal the batch scrub's output for that doc — and unlike
+    // the dup counts this holds for any id interleaving (the %10 split
+    // interleaves increment ids below index ids on purpose): a doc's
+    // kept positions depend only on the global owner of its own
+    // windows, which the merged (index, increment) owner computes
+    // exactly.
+    val docs = graft.ops.Tables.documents(spark, sf0001)
+      .select("doc_id", "text")
+    val isNew = pmod(col("doc_id"), lit(10)) >= 7
+    val idx = SubstringDedup.buildWindowIndex(docs.filter(!isNew), k = 8)
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val inc = dump(SubstringDedup.incrementalWindowScrub(
+      idx, docs.filter(isNew), k = 8))
+    val batch = dump(SubstringDedup.scrub(docs, k = 8)
+      .join(docs.filter(isNew).select("doc_id"), Seq("doc_id"), "left_semi"))
+    assert(inc === batch,
+      "stored-index scrub diverged from the batch rewrite's increment rows")
+    // Consistency with the screen: a doc's removed-token mass is
+    // positive iff the stats form says it has shadowed windows.
+    val shad = SubstringDedup.incrementalWindowStats(idx, docs.filter(isNew), k = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    inc.foreach { case (id, nRemoved, _) =>
+      assert((nRemoved > 0) === (shad(id) > 0),
+        s"doc $id: scrub removed $nRemoved but stats n_shadowed=${shad(id)}")
+    }
+  }
+
   test("3-day window replay: n_shadowed exact, n_dup_windows converges") {
     // The replay contract the operator documents: shadow counts (what
     // a scrub removes) are replay-exact under id-monotone days; dup
