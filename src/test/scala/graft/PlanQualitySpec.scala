@@ -417,6 +417,41 @@ class PlanQualitySpec extends SparkSpec {
       s"q81 lost the group-limit rewrite:\n${p.take(600)}")
   }
 
+  test("incremental window screen broadcasts increment hashes — the index never shuffles") {
+    // The q92/incrementalWindowStats scale contract: the stored window
+    // index is touched by exactly ONE map-side pass (a broadcast
+    // left-semi against the increment's distinct hashes), and every
+    // other join is increment-bounded broadcast — no index-sized
+    // exchange, no SMJ over the index, no nested loop. Pinned on the
+    // production operator (xxhash64 keys) against a parquet-backed
+    // index, the deployment shape.
+    val docs = graft.ops.Tables.documents(spark, sf0001).select("doc_id", "text")
+    val isNew = pmod(col("doc_id"), lit(10)) >= 7
+    val dir = java.nio.file.Files.createTempDirectory("graft_widxplan").toString
+    graft.operators.SubstringDedup.buildWindowIndex(docs.filter(!isNew), k = 8)
+      .write.mode("overwrite").parquet(dir)
+    Seq(
+      graft.operators.SubstringDedup.incrementalWindowStats(
+        spark.read.parquet(dir), docs.filter(isNew), k = 8),
+      graft.operators.SubstringDedup.incrementalWindowScrub(
+        spark.read.parquet(dir), docs.filter(isNew), k = 8)
+    ).foreach { df =>
+      val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"window screen degraded to a nested loop:\n${p.take(600)}")
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+        s"expected the index's one pass to be a broadcast left-semi scan:\n${p.take(600)}")
+      // Every hash-keyed join must be broadcast (the index's semi pass
+      // and the increment-bounded combined/instance joins); the one
+      // permitted sort-merge is the final doc_id-keyed LEFT join back
+      // to the increment's doc list — increment-sized by construction.
+      val smjKeys = """\(\d+\) SortMergeJoin[\s\S]*?Left keys \[\d+\]: \[(\w+)""".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(smjKeys.forall(_.startsWith("doc_id")),
+        s"a sort-merge join on a non-doc key (index-sized side?) appeared: $smjKeys")
+    }
+  }
+
   test("whole-stage codegen is active in the scan-heavy queries") {
     // the AQE-final simple plan marks fused codegen stages with "*(n)"
     Seq("q01_scan_filter_project", "q03_agg_pricing", "q38_star_denorm").foreach { n =>
