@@ -391,6 +391,42 @@ object ScaleSmoke {
       }
     }
 
+    // ---- window-index day replay (round 14, completes the advance
+    // family's measurement symmetry) ----
+    // The substring seam's per-day cost, screen and fold timed apart:
+    // the SCREEN is increment-bounded (broadcast hashes, one map-side
+    // index scan — should stay flat); the FOLD re-aggregates the
+    // merged index (O(index distinct windows) — the amortized daily
+    // rewrite the operator documents; bucketed storage is the named
+    // dial that removes its exchange).
+    if (enabled("window_days")) {
+      val docs = spark.read.parquet(s"$out/documents.parquet")
+        .select("doc_id", "text")
+      val isInc = pmod(col("doc_id"), lit(100)) === 0
+      val dayOf = least(lit(4), floor(col("doc_id") / lit(nDocs / 5))).cast("int")
+      graft.operators.SubstringDedup
+        .buildWindowIndex(docs.filter(!isInc), k = 8)
+        .write.mode("overwrite").parquet(s"$out/widx0")
+      (0 until 5).foreach { k =>
+        val stored = spark.read.parquet(s"$out/widx$k")
+        val dayDf = docs.filter(isInc && dayOf === k).localCheckpoint(true)
+        shuffleWrite.set(0); spilled.set(0)
+        val t0 = System.nanoTime()
+        val n = hashed(graft.operators.SubstringDedup
+          .incrementalWindowStats(stored, dayDf, k = 8)).count()
+        val screenSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        graft.operators.SubstringDedup
+          .advanceWindowIndex(stored, dayDf, k = 8)
+          .write.mode("overwrite").parquet(s"$out/widx${k + 1}")
+        val foldSec = (System.nanoTime() - t1) / 1e9
+        Thread.sleep(300)
+        println(f"SMOKE q92_advance_day$k%-9s rows=$n%-9d sec=$screenSec%.2f " +
+          f"foldSec=$foldSec%.2f shuffleWriteMB=${shuffleWrite.get / 1e6}%.1f " +
+          f"spillMB=${spilled.get / 1e6}%.1f")
+      }
+    }
+
     // ---- flat-vs-tree assign crossover (round 14, VERDICT r13 #2) ----
     // The one measured superlinear term left in the semantic family:
     // the flat O(N·nlist) cell assign (≡ O(N²) under nlist = N/625).
