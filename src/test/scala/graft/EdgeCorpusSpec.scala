@@ -246,4 +246,51 @@ class EdgeCorpusSpec extends SparkSpec {
     assert(firstDay === Map(10L -> "keep", 20L -> "dup_new", 30L -> "keep"),
       "an empty index must reduce the screen to within-batch keep-first dedup")
   }
+
+  test("incrementalDedup + window screen: empty increment, empty index, empty-day fold") {
+    // The lexical and substring twins of the semantic edge test above,
+    // plus the fold: a quiet day folded into an index must change
+    // NOTHING about later screens (the idle-microbatch path of the
+    // durable streaming twin).
+    import spark.implicits._
+    val a = (1 to 12).map(i => s"e$i").mkString(" ")
+    val docs = Seq((10L, a), (20L, a), (30L, "totally different words entirely")) // 20 dups 10
+      .toDF("doc_id", "text")
+    val empty = docs.filter(lit(false))
+    // empty increment → zero verdicts; empty index → first-day self-dedup
+    assert(graft.operators.Approx.incrementalDedup(spark, docs, empty)
+      .collect().isEmpty)
+    val firstDay = graft.operators.Approx.incrementalDedup(spark, empty, docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(firstDay === Map(10L -> "keep", 20L -> "dup_new", 30L -> "keep"))
+    // folding an empty day is a no-op for later screens
+    val idx = graft.operators.Approx.buildMinHashIndex(spark, Seq((1L, a)).toDF("doc_id", "text"))
+    val folded = graft.operators.Approx.advanceIndex(spark, idx, empty)
+    val after = graft.operators.Approx.incrementalDedup(spark, folded, docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after === Map(10L -> "dup_old", 20L -> "dup_old", 30L -> "keep"))
+    // window seam: empty increment → zero stats rows / zero scrub rows;
+    // degenerate (empty/whitespace/short) increment docs keep their
+    // rows with zero windows and pass through the scrub untouched.
+    val widx = graft.operators.SubstringDedup.buildWindowIndex(docs, k = 8)
+    assert(graft.operators.SubstringDedup
+      .incrementalWindowStats(widx, empty, k = 8).collect().isEmpty)
+    assert(graft.operators.SubstringDedup
+      .incrementalWindowScrub(widx, empty, k = 8).collect().isEmpty)
+    val weird = Seq((100L, ""), (200L, "   "), (300L, "short text"),
+      (400L, a)).toDF("doc_id", "text") // 400 duplicates the index's 12-token run
+    val stats = graft.operators.SubstringDedup
+      .incrementalWindowStats(widx, weird, k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(stats(100L) === ((0L, 0L)) && stats(200L) === ((0L, 0L)) &&
+      stats(300L) === ((0L, 0L)), s"degenerate docs must carry zeros: $stats")
+    assert(stats(400L) === ((5L, 5L)),
+      s"the 12-token dup run has 5 8-windows, all shadowed by the index: $stats")
+    val scrubbed = graft.operators.SubstringDedup
+      .incrementalWindowScrub(widx, weird, k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(scrubbed(100L) === ((0L, "")) && scrubbed(300L) === ((0L, "short text")))
+    assert(scrubbed(400L) === ((12L, "")),
+      "a fully index-shadowed doc scrubs to empty, never drops")
+  }
 }
