@@ -391,24 +391,26 @@ object ScaleSmoke {
       }
     }
 
-    // ---- window-index day replay (round 14, completes the advance
-    // family's measurement symmetry) ----
+    // ---- window-index day replay (round 14; round 15 re-measured on
+    // the LOG-STRUCTURED store) ----
     // The substring seam's per-day cost, screen and fold timed apart:
     // the SCREEN is increment-bounded (broadcast hashes, one map-side
-    // index scan — should stay flat); the FOLD re-aggregates the
-    // merged index (O(index distinct windows) — the amortized daily
-    // rewrite the operator documents; bucketed storage is the named
-    // dial that removes its exchange).
+    // index scan with merge-on-read over matched hashes — should stay
+    // flat); the FOLD is now appendWindowIndexDay — one O(day)
+    // `batch_id=` partition append, never the r14 full-index
+    // re-aggregation (which was O(index)/day: ~2.5 s/day at 100×, and
+    // O(D·index) over D days). A final compactWindowIndex is timed
+    // once, apart — the periodic consolidation the caller schedules.
     if (enabled("window_days")) {
       val docs = spark.read.parquet(s"$out/documents.parquet")
         .select("doc_id", "text")
       val isInc = pmod(col("doc_id"), lit(100)) === 0
       val dayOf = least(lit(4), floor(col("doc_id") / lit(nDocs / 5))).cast("int")
+      val wdir = s"$out/widx_log"
       graft.operators.SubstringDedup
-        .buildWindowIndex(docs.filter(!isInc), k = 8)
-        .write.mode("overwrite").parquet(s"$out/widx0")
+        .appendWindowIndexDay(docs.filter(!isInc), k = 8, wdir, batchId = -1L)
       (0 until 5).foreach { k =>
-        val stored = spark.read.parquet(s"$out/widx$k")
+        val stored = graft.operators.SubstringDedup.readWindowIndex(spark, wdir)
         val dayDf = docs.filter(isInc && dayOf === k).localCheckpoint(true)
         shuffleWrite.set(0); spilled.set(0)
         val t0 = System.nanoTime()
@@ -417,12 +419,22 @@ object ScaleSmoke {
         val screenSec = (System.nanoTime() - t0) / 1e9
         val t1 = System.nanoTime()
         graft.operators.SubstringDedup
-          .advanceWindowIndex(stored, dayDf, k = 8)
-          .write.mode("overwrite").parquet(s"$out/widx${k + 1}")
+          .appendWindowIndexDay(dayDf, k = 8, wdir, batchId = k.toLong)
         val foldSec = (System.nanoTime() - t1) / 1e9
         Thread.sleep(300)
         println(f"SMOKE q92_advance_day$k%-9s rows=$n%-9d sec=$screenSec%.2f " +
           f"foldSec=$foldSec%.2f shuffleWriteMB=${shuffleWrite.get / 1e6}%.1f " +
+          f"spillMB=${spilled.get / 1e6}%.1f")
+      }
+      locally {
+        shuffleWrite.set(0); spilled.set(0)
+        val t0 = System.nanoTime()
+        graft.operators.SubstringDedup.compactWindowIndex(
+            graft.operators.SubstringDedup.readWindowIndex(spark, wdir))
+          .write.mode("overwrite").parquet(s"$out/widx_compacted")
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"SMOKE q92_compact      sec=$sec%.2f " +
+          f"shuffleWriteMB=${shuffleWrite.get / 1e6}%.1f " +
           f"spillMB=${spilled.get / 1e6}%.1f")
       }
     }

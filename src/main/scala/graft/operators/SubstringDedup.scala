@@ -160,38 +160,128 @@ object SubstringDedup {
 
   /** Storable window-hash index for the INCREMENTAL screen — one row
     * per DISTINCT window content in the ingested corpus:
-    * `(h, n_inst, own)` = occurrence count and the packed keep-first
+    * `(h, n_inst, own, k)` = occurrence count, the packed keep-first
     * owner position ([[packedPos]]'s doc_id·2²¹+start encoding — a
-    * plain long, parquet-storable like everything else). This is
-    * [[markInstances]]'s group side made persistent: build once per
-    * corpus, write to parquet (bucket by `h` to make the daily fold a
-    * co-partitioned merge), and every daily batch pays only its own
-    * window chain + increment-bounded joins — the q86/q88 index seam
-    * carried to substring granularity, closing the one dedup family
-    * that still re-paid the corpus's window hashes per batch. */
+    * plain long, parquet-storable like everything else), and the
+    * window length the index was built with. `k` is METADATA, not a
+    * key: an index screened or folded with a different k would produce
+    * plausible-looking but silently wrong stats/rewrites (different-
+    * length windows simply never hash-match), so every consumer rides
+    * a scan-side assert on it ([[checkedIndex]] — the packedPos guard
+    * idiom: zero extra jobs, fails loudly on the first scanned row;
+    * the md5-vs-xxhash64 key variant is checked statically from `h`'s
+    * type). This is [[markInstances]]'s group side made persistent:
+    * build once per corpus, then either [[compactWindowIndex]] after
+    * in-memory folds or — the scale path — store LOG-STRUCTURED, one
+    * `batch_id=` parquet partition per folded day
+    * ([[appendWindowIndexDay]]): the screens merge-on-read, so a fold
+    * is an O(day) append, never an O(index) rewrite. */
   def buildWindowIndex(docs: DataFrame, k: Int,
                        textCol: String = "text", idCol: String = "doc_id",
                        md5Keys: Boolean = false): DataFrame =
     windowHashes(docs, k, textCol, idCol, md5Keys)
       .groupBy("h")
       .agg(count(lit(1)).as("n_inst"), min(packedPos).as("own"))
+      .withColumn("k", lit(k))
 
-  /** Fold an increment's windows INTO a stored window index: per-hash
-    * counts add, owners take the packed min. The merge re-aggregates
-    * on `h` — O(index distinct windows) — which is the fold's
-    * amortized daily cost; on a bucketed stored table both sides
-    * co-partition and the exchange disappears (the screen itself never
-    * pays this: it reads the pre-aggregated index map-side). ALL of
-    * the day's windows fold, matching the batch semantics in which a
-    * shadowed (removed) instance still shadows later occurrences —
-    * same non-transitivity argument as [[graft.operators.Approx
-    * .advanceIndex]], at window rather than document granularity. */
+  /** The index projected to its data columns with the k-metadata
+    * contract enforced: `h`'s type must match the caller's key variant
+    * (md5 → string, xxhash64 → long — a static check), and every
+    * scanned row asserts `k` equals the caller's k. The assert rides
+    * the `h` column itself — the one column EVERY consumer reads for
+    * every index row (the screens' semi-join scans the whole index
+    * side by design) — so column pruning cannot drop it and a
+    * mismatched-k index fails loudly even when zero windows match
+    * (the exact case that is otherwise silent: no matches looks like
+    * "no duplication"). Indexes stored before the k column existed
+    * pass unchecked, documented as the caller's contract. */
+  private def checkedIndex(index: DataFrame, k: Int,
+                           md5Keys: Boolean): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val ht = index.schema("h").dataType
+    val expect = if (md5Keys) StringType else LongType
+    require(ht == expect,
+      s"window index key variant mismatch: index h is $ht but md5Keys=$md5Keys " +
+        s"expects $expect — stats/rewrites against the wrong key family would " +
+        "silently never match")
+    if (!index.columns.contains("k"))
+      index.select(col("h"), col("n_inst"), col("own"))
+    else {
+      val guard = assert_true(col("k") === lit(k),
+        lit(s"window index k mismatch: caller passed k=$k but the stored index " +
+          "was built with a different window length — different-length windows " +
+          "never hash-match, so the results would be silently wrong"))
+      val checkedH =
+        if (md5Keys) concat(coalesce(guard.cast("string"), lit("")), col("h"))
+        else coalesce(guard.cast("long"), lit(0L)) + col("h")
+      index.select(checkedH.as("h"), col("n_inst"), col("own"))
+    }
+  }
+
+  /** Fold an increment's windows INTO a stored window index — O(day):
+    * the day's windows aggregate to their own per-hash (count, owner)
+    * rows and APPEND; the same hash may then appear once per folded
+    * day, and every consumer resolves count-sum/owner-min at read time
+    * (the screens' merge is increment-bounded — they only aggregate
+    * hashes the increment matched). Run [[compactWindowIndex]] on the
+    * operator's own schedule to consolidate — periodic O(index), not
+    * per-day (the r14 form re-aggregated the FULL index every fold:
+    * flat at the smoke scales only because a day was ≤1% of the index,
+    * O(D·index) over D days). On stored parquet the fold is
+    * [[appendWindowIndexDay]] — one new `batch_id=` partition, no
+    * rewrite. ALL of the day's windows fold, matching the batch
+    * semantics in which a shadowed (removed) instance still shadows
+    * later occurrences — same non-transitivity argument as
+    * [[graft.operators.Approx.advanceIndex]], at window rather than
+    * document granularity. The index's k and key variant must match
+    * (checked — see [[buildWindowIndex]]; the k assert rides the data
+    * columns, so it fires on any consumption that reads them — screen,
+    * compact, store — while a bare count() prunes every column and
+    * sees nothing). */
   def advanceWindowIndex(index: DataFrame, increment: DataFrame, k: Int,
                          textCol: String = "text", idCol: String = "doc_id",
                          md5Keys: Boolean = false): DataFrame =
-    index.unionByName(buildWindowIndex(increment, k, textCol, idCol, md5Keys))
-      .groupBy("h")
-      .agg(sum("n_inst").as("n_inst"), min("own").as("own"))
+    checkedIndex(index, k, md5Keys).withColumn("k", lit(k))
+      .unionByName(buildWindowIndex(increment, k, textCol, idCol, md5Keys))
+
+  /** Consolidate a log-structured window index (one row per hash PER
+    * FOLDED DAY) back to one row per hash: counts sum, owners take the
+    * packed min — the merge the screens otherwise do per-read,
+    * amortized on the caller's schedule (after N folds, or when the
+    * partition count hurts scan cost). O(index) by nature; the point
+    * of the log-structured form is that correctness never requires
+    * running it. */
+  def compactWindowIndex(index: DataFrame): DataFrame = {
+    val aggs = Seq(sum("n_inst").as("n_inst"), min("own").as("own")) ++
+      (if (index.columns.contains("k")) Seq(min("k").as("k")) else Nil)
+    index.groupBy("h").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The stored-parquet fold: write one day's window aggregate as the
+    * `batch_id = id` partition of `dir`'s log-structured index table
+    * (dynamic overwrite — a retried day REPLACES its partition; the
+    * library-wide [[graft.sources.StateStore]] convention). O(day)
+    * write, no rewrite of prior days. Read the whole index back with
+    * [[readWindowIndex]]; compact by writing
+    * [[compactWindowIndex]]'s output as a fresh single partition. */
+  def appendWindowIndexDay(increment: DataFrame, k: Int, dir: String,
+                           batchId: Long, textCol: String = "text",
+                           idCol: String = "doc_id",
+                           md5Keys: Boolean = false): Unit =
+    graft.sources.StateStore.writePartition(
+      buildWindowIndex(increment, k, textCol, idCol, md5Keys), dir, batchId)
+
+  /** Read a log-structured stored window index back ([[appendWindowIndexDay]]'s
+    * partitions, batch_id dropped) — the screens take it as-is,
+    * merge-on-read. */
+  def readWindowIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      md5Keys: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types._
+    val hType: DataType = if (md5Keys) StringType else LongType
+    graft.sources.StateStore.readFolded(spark, dir, StructType(Seq(
+      StructField("h", hType), StructField("n_inst", LongType),
+      StructField("own", LongType), StructField("k", IntegerType))))
+  }
 
   /** Per-increment-document duplication profile against a stored
     * [[buildWindowIndex]] — [[windowStats]]'s columns, increment rows
@@ -220,9 +310,17 @@ object SubstringDedup {
     val incGrp = wins.groupBy("h")
       .agg(count(lit(1)).as("n_inc"), min(packedPos).as("own_inc"))
     // One map-side pass over the stored index: increment hashes
-    // broadcast, matched rows (≤ increment's distinct windows) come
-    // back small enough to broadcast everywhere downstream.
-    val matched = index.join(broadcast(incGrp.select(col("h"))), Seq("h"), "left_semi")
+    // broadcast, matched rows come back small enough to broadcast
+    // everywhere downstream. The post-semi groupBy is the
+    // merge-on-read of the log-structured form — a hash folded over
+    // several days carries one row per day, and this resolves
+    // count-sum/owner-min over INCREMENT-MATCHED hashes only (≤
+    // increment windows × folded partitions, never O(index)); on a
+    // compacted index it is a no-op pass over the same bounded rows.
+    val matched = checkedIndex(index, k, md5Keys)
+      .join(broadcast(incGrp.select(col("h"))), Seq("h"), "left_semi")
+      .groupBy("h")
+      .agg(sum("n_inst").as("n_inst"), min("own").as("own"))
     val combined = incGrp
       .join(broadcast(matched), Seq("h"), "left")
       .select(col("h"),
@@ -324,7 +422,13 @@ object SubstringDedup {
     val wins = windowHashes(increment, k, textCol, idCol, md5Keys)
     val incGrp = wins.groupBy("h")
       .agg(count(lit(1)).as("n_inc"), min(packedPos).as("own_inc"))
-    val matched = index.join(broadcast(incGrp.select(col("h"))), Seq("h"), "left_semi")
+    // Merge-on-read over increment-matched hashes, as in
+    // [[incrementalWindowStats]] — the scrub only needs the global
+    // owner, so only `own` resolves here.
+    val matched = checkedIndex(index, k, md5Keys)
+      .join(broadcast(incGrp.select(col("h"))), Seq("h"), "left_semi")
+      .groupBy("h")
+      .agg(min("own").as("own"))
     val combined = incGrp
       .join(broadcast(matched), Seq("h"), "left")
       .select(col("h"),

@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** The `batch_id=`-partitioned parquet convention every incremental
+  * index in the library persists through — one partition per folded
+  * batch, written with DYNAMIC partition overwrite so a retried batch
+  * REPLACES its own partition instead of duplicating it, and a
+  * restarted ingest reads every previously folded batch back with one
+  * scan. Used by the streaming twins (MinHash signatures, semantic
+  * vectors), the log-structured window index, and the composed
+  * incremental pipeline's state — one implementation of the seam the
+  * round-14 durability work proved.
+  *
+  * Reads take an EXPLICIT data schema: a state directory that exists
+  * but holds no data files yet (a crash between directory creation and
+  * the first commit, or an external listing tool touching the path)
+  * must read as an empty frame, not crash parquet schema inference —
+  * the caller always knows the schema (it is the frame it folds).
+  */
+object StateStore {
+
+  /** Append/replace one batch's rows as the `batch_id = id` partition
+    * of `path`'s parquet table. O(batch) — never rewrites the other
+    * partitions. */
+  def writePartition(df: DataFrame, path: String, id: Long): Unit =
+    df.withColumn("batch_id", lit(id))
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(path)
+
+  /** True iff the state path exists at all (no batch has ever
+    * committed → the caller screens against the static index alone). */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Read every folded partition back, `batch_id` dropped. `dataSchema`
+    * is the schema of the frames [[writePartition]] was given (without
+    * batch_id) — passed explicitly so a data-less directory yields an
+    * empty frame instead of an inference error. A path that does not
+    * exist yet also yields an empty frame: "nothing folded" is a
+    * normal state, not an error. */
+  def readFolded(spark: SparkSession, path: String,
+                 dataSchema: StructType): DataFrame =
+    if (!exists(spark, path))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        dataSchema)
+    else
+      spark.read.schema(dataSchema.add("batch_id", LongType))
+        .parquet(path).drop("batch_id")
+}

@@ -91,7 +91,13 @@ object StreamingIncrementalDedup {
     // In-memory fold state (stateDir == None): accumulated signature
     // frames (each batch's chain localCheckpointed once — lineage per
     // batch stays bounded) plus the batch ids already folded, so a
-    // foreachBatch retry screens without re-folding.
+    // foreachBatch retry screens without re-folding. The accumulated
+    // UNION is itself re-checkpointed every CollapseEvery folds:
+    // without that, the driver-side plan grows one union level per
+    // batch for the stream's lifetime (linear analysis cost, eventual
+    // StackOverflow in analysis on a long-lived stream) — the collapse
+    // bounds plan depth at CollapseEvery for an amortized
+    // O(state / CollapseEvery) extra materialization per batch.
     var extra: Option[(DataFrame, DataFrame)] = None
     val folded = scala.collection.mutable.Set.empty[Long]
     increments.writeStream
@@ -108,7 +114,10 @@ object StreamingIncrementalDedup {
           case Some(dir) => foldAndScreen(spark, index, dir, b, id)
           case None =>
             val (setsB, bandsB) = Approx.md5SetsAndBands(spark, b)
-            if (!folded.contains(id)) {
+            // An empty batch folds nothing (and never enters `folded`:
+            // there is no state to retry-protect) — unioning empty
+            // frames would only deepen the plan chain.
+            if (!folded.contains(id) && !b.isEmpty) {
               val sb = setsB.localCheckpoint(true)
               val bb = bandsB.localCheckpoint(true)
               extra = Some(extra match {
@@ -116,12 +125,19 @@ object StreamingIncrementalDedup {
                 case None => (sb, bb)
               })
               folded += id
+              if (folded.size % CollapseEvery == 0)
+                extra = extra.map { case (es, eb) =>
+                  (es.localCheckpoint(true), eb.localCheckpoint(true)) }
             }
             Approx.incrementalDedup(spark, advanced(index, extra), b)
         }
         onBatch(id, verdicts.localCheckpoint())
       }
   }
+
+  /** Collapse the in-memory fold's union chain every N batches (see
+    * the comment in [[writer]]). Shared by the semantic twin. */
+  private[streaming] val CollapseEvery = 32
 
   /** The static index with the folded-batch frames attached
     * (`inc = true` — crawl provenance for the verdict CASE). */
@@ -141,25 +157,28 @@ object StreamingIncrementalDedup {
     * signatures as the `batch_id = id` partition of `stateDir`'s two
     * parquet tables (dynamic overwrite — a retry REPLACES the
     * partition), then screen the batch against
-    * index ∪ everything-in-stateDir. Exposed so restart/retry
-    * scenarios are testable without driving a real stream. */
+    * index ∪ everything-in-stateDir. An EMPTY batch writes nothing
+    * (partitionBy on zero rows leaves a data-less directory whose
+    * schema-inference read then crashes the stream) and screens
+    * against whatever state already exists; the state read takes the
+    * batch chain's explicit schema, so even a data-less directory
+    * reads as an empty fold ([[graft.sources.StateStore]]). Exposed so
+    * restart/retry scenarios are testable without driving a real
+    * stream. */
   private[graft] def foldAndScreen(spark: SparkSession, index: MinHashIndex,
                                    stateDir: String, batch: DataFrame,
                                    id: Long): DataFrame = {
+    import graft.sources.StateStore
     val (setsB, bandsB) = Approx.md5SetsAndBands(spark, batch)
-    writePartition(setsB, s"$stateDir/sets", id)
-    writePartition(bandsB, s"$stateDir/bands", id)
-    val extra = (spark.read.parquet(s"$stateDir/sets").drop("batch_id"),
-      spark.read.parquet(s"$stateDir/bands").drop("batch_id"))
+    if (!batch.isEmpty) {
+      StateStore.writePartition(setsB, s"$stateDir/sets", id)
+      StateStore.writePartition(bandsB, s"$stateDir/bands", id)
+    }
+    val extra = (
+      StateStore.readFolded(spark, s"$stateDir/sets", setsB.schema),
+      StateStore.readFolded(spark, s"$stateDir/bands", bandsB.schema))
     Approx.incrementalDedup(spark, advanced(index, Some(extra)), batch)
   }
-
-  private[graft] def writePartition(df: DataFrame, path: String,
-                                    id: Long): Unit =
-    df.withColumn("batch_id", lit(id))
-      .write.partitionBy("batch_id")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(path)
 
   /** Start the stream and return the query (test convenience). */
   def start(spark: SparkSession, index: DataFrame, increments: DataFrame,

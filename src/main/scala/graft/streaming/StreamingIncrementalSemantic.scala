@@ -66,7 +66,9 @@ object StreamingIncrementalSemantic {
     // In-memory fold state (stateDir == None): accumulated assigned-
     // vector frames (each batch assigned + localCheckpointed once)
     // plus the batch ids already folded, so a retry screens without
-    // re-folding.
+    // re-folding. The accumulated union re-checkpoints every
+    // CollapseEvery folds — bounded driver-side plan depth on a
+    // long-lived stream (see the lexical twin's comment).
     var extra: Option[DataFrame] = None
     val folded = scala.collection.mutable.Set.empty[Long]
     increments.writeStream
@@ -82,11 +84,15 @@ object StreamingIncrementalSemantic {
         val verdicts = stateDir match {
           case Some(dir) => foldAndScreen(spark, index, dir, b, id, minSim)
           case None =>
-            if (!folded.contains(id)) {
+            // Empty batches fold nothing — no state to retry-protect,
+            // and the union chain shouldn't deepen for zero rows.
+            if (!folded.contains(id) && !b.isEmpty) {
               val vb = Approx.buildSemanticIndex(b, index.centroids)
                 .vectors.localCheckpoint(true)
               extra = Some(extra.map(_.unionByName(vb)).getOrElse(vb))
               folded += id
+              if (folded.size % StreamingIncrementalDedup.CollapseEvery == 0)
+                extra = extra.map(_.localCheckpoint(true))
             }
             Approx.incrementalSemanticDedup(advanced(index, extra), b, minSim)
         }
@@ -112,14 +118,20 @@ object StreamingIncrementalSemantic {
     * assigned vectors as the `batch_id = id` partition of `stateDir`'s
     * parquet table (dynamic overwrite — a retry REPLACES the
     * partition), then screen the batch against
-    * index ∪ everything-in-stateDir. Exposed so restart/retry
+    * index ∪ everything-in-stateDir. An EMPTY batch writes nothing and
+    * screens against existing state; the read takes the batch chain's
+    * explicit schema so a data-less state directory reads as an empty
+    * fold instead of crashing schema inference (the lexical twin's
+    * contract, [[graft.sources.StateStore]]). Exposed so restart/retry
     * scenarios are testable without driving a real stream. */
   private[graft] def foldAndScreen(spark: SparkSession, index: SemanticIndex,
                                    stateDir: String, batch: DataFrame,
                                    id: Long, minSim: Double): DataFrame = {
+    import graft.sources.StateStore
     val vb = Approx.buildSemanticIndex(batch, index.centroids).vectors
-    StreamingIncrementalDedup.writePartition(vb, s"$stateDir/vectors", id)
-    val extra = spark.read.parquet(s"$stateDir/vectors").drop("batch_id")
+    if (!batch.isEmpty)
+      StateStore.writePartition(vb, s"$stateDir/vectors", id)
+    val extra = StateStore.readFolded(spark, s"$stateDir/vectors", vb.schema)
     Approx.incrementalSemanticDedup(advanced(index, Some(extra)), batch, minSim)
   }
 

@@ -786,6 +786,64 @@ class StreamingSpec extends SparkSpec {
       s"expected one state partition per day, got $parts")
   }
 
+  test("durable twins: empty microbatches at every seam position are harmless") {
+    import spark.implicits._
+    // The r14 ADVICE defect: an empty batch arriving BEFORE any
+    // non-empty one used to write a data-less partitionBy directory,
+    // whose immediate schema-inference read then crashed the stream
+    // ('Unable to infer schema for Parquet'). The fix skips the write
+    // on empty batches and reads state with the batch chain's explicit
+    // schema — so empty-first, empty-between, and empty-when-no-state
+    // all screen cleanly and leave later verdicts untouched.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val isNew = pmod(col("doc_id"), lit(10)) >= 7
+    val idx = graft.operators.Approx.buildMinHashIndex(spark, docs.filter(!isNew))
+    val incDocs = docs.filter(isNew).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val halves = incDocs.grouped((incDocs.length + 1) / 2).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    val emptyBatch = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    def screen(b: org.apache.spark.sql.DataFrame, id: Long) =
+      graft.streaming.StreamingIncrementalDedup
+        .foldAndScreen(spark, idx, dir, b, id)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+    // Empty FIRST: no state directory exists yet — must not create a
+    // broken one, must return a well-formed zero-row verdict frame.
+    assert(screen(emptyBatch, 0L).isEmpty)
+    assert(!new java.io.File(s"$dir/sets").exists(),
+      "an empty batch must not create a data-less state directory")
+    val v1 = screen(halves.head.toSeq.toDF("doc_id", "text"), 1L)
+    // Empty BETWEEN: state exists, screen returns zero rows, folded
+    // state is untouched.
+    assert(screen(emptyBatch, 2L).isEmpty)
+    val v2 = screen(halves(1).toSeq.toDF("doc_id", "text"), 3L)
+    val batch = SparkEntry.queries("q86_incremental_dedup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert((v1 ++ v2).sortBy(_._1).toSeq === batch.toSeq,
+      "verdicts around the empty batches diverged from the single-shot screen")
+    // Same seam on the semantic twin, empty-first included.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val isNewV = pmod(col("vec_id"), lit(10)) >= 7
+    val sIdx = graft.operators.Approx.buildSemanticIndex(
+      emb.filter(!isNewV),
+      graft.ops.Extended.Q84Centroids.map(_.map(_.toDouble)))
+    val sDir = java.nio.file.Files.createTempDirectory("graft_sempty").toString
+    val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    def sScreen(b: org.apache.spark.sql.DataFrame, id: Long) =
+      graft.streaming.StreamingIncrementalSemantic
+        .foldAndScreen(spark, sIdx, sDir, b, id, 0.35)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(sScreen(emptyVecs, 0L).isEmpty)
+    val sv = sScreen(emb.filter(isNewV), 1L)
+    val sBatch = graft.operators.Approx
+      .incrementalSemanticDedup(sIdx, emb.filter(isNewV))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(sv.sortBy(_._1).toSeq === sBatch.toSeq,
+      "semantic verdicts after an empty-first batch diverged")
+  }
+
   test("Graft facade: registerTables + SQL + named operator") {
     Graft.registerTables(spark, sf0001)
     val viaSql = spark.sql(

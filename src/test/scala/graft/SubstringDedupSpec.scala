@@ -132,7 +132,11 @@ class SubstringDedupSpec extends SparkSpec {
       "stored-index screen diverged from the batch run's increment rows")
   }
 
-  test("advanceWindowIndex == buildWindowIndex over the unioned corpus") {
+  test("compacted advanceWindowIndex == buildWindowIndex over the unioned corpus") {
+    // The fold is O(day) — an APPEND of the day's per-hash aggregate,
+    // one row per (hash, folded day) — and compaction is the separate,
+    // caller-scheduled consolidation. Compacted fold ≡ from-scratch
+    // build is the pair's correctness contract.
     val docs = graft.ops.Tables.documents(spark, sf0001)
       .select("doc_id", "text")
     val isNew = pmod(col("doc_id"), lit(10)) >= 7
@@ -142,8 +146,96 @@ class SubstringDedupSpec extends SparkSpec {
     val advanced = SubstringDedup.advanceWindowIndex(
       SubstringDedup.buildWindowIndex(docs.filter(!isNew), k = 8),
       docs.filter(isNew), k = 8)
-    assert(dump(advanced) === dump(SubstringDedup.buildWindowIndex(docs, k = 8)),
-      "folded index diverged from a from-scratch build")
+    assert(dump(SubstringDedup.compactWindowIndex(advanced)) ===
+      dump(SubstringDedup.buildWindowIndex(docs, k = 8)),
+      "compacted folded index diverged from a from-scratch build")
+  }
+
+  test("log-structured stored index: screen over day partitions == over compacted") {
+    // The scale contract behind the O(day) fold: the screens resolve
+    // count-sum/owner-min at read time over increment-matched hashes,
+    // so a day-partitioned stored index (appendWindowIndexDay — one
+    // batch_id= partition per fold, no rewrite) screens identically to
+    // a compacted one. Three folded days, stats AND scrub.
+    val docs = graft.ops.Tables.documents(spark, sf0001)
+      .select("doc_id", "text")
+    val isNew = pmod(col("doc_id"), lit(10)) >= 7
+    import spark.implicits._
+    val ingested = docs.filter(!isNew).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_wlog").toString
+    ingested.grouped(math.max(1, (ingested.length + 2) / 3)).zipWithIndex
+      .foreach { case (day, i) =>
+        SubstringDedup.appendWindowIndexDay(day.toDF("doc_id", "text"),
+          k = 8, dir, batchId = i.toLong)
+      }
+    val logIdx = SubstringDedup.readWindowIndex(spark, dir)
+    // One row per (hash, day) in the log form; compaction collapses it.
+    assert(logIdx.count() > SubstringDedup.compactWindowIndex(logIdx).count(),
+      "log-structured index carries no per-day rows — the O(day) fold is vacuous")
+    val compacted = SubstringDedup.compactWindowIndex(logIdx).localCheckpoint(true)
+    val inc = docs.filter(isNew)
+    assert(statRows(SubstringDedup.incrementalWindowStats(logIdx, inc, k = 8)) ===
+      statRows(SubstringDedup.incrementalWindowStats(compacted, inc, k = 8)),
+      "stats over the log-structured index diverged from the compacted one")
+    def scrubDump(idx: org.apache.spark.sql.DataFrame) =
+      SubstringDedup.incrementalWindowScrub(idx, inc, k = 8)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(scrubDump(logIdx) === scrubDump(compacted),
+      "scrub over the log-structured index diverged from the compacted one")
+    // And a retried day REPLACES its partition (the StateStore
+    // convention): re-append day 0 and nothing changes.
+    SubstringDedup.appendWindowIndexDay(
+      ingested.grouped(math.max(1, (ingested.length + 2) / 3)).next()
+        .toDF("doc_id", "text"), k = 8, dir, batchId = 0L)
+    assert(statRows(SubstringDedup.incrementalWindowStats(
+      SubstringDedup.readWindowIndex(spark, dir), inc, k = 8)) ===
+      statRows(SubstringDedup.incrementalWindowStats(compacted, inc, k = 8)),
+      "a retried day partition changed the screen")
+  }
+
+  test("k metadata: mismatched window length fails loudly, even with zero matches") {
+    // The silent failure class the metadata exists to kill: an index
+    // built at k=8 screened at k=5 would simply never hash-match and
+    // report plausible all-zero duplication. The stored k rides a
+    // scan-side assert on the hash column, so the mismatch throws on
+    // the first scanned index row — including when NO window matches.
+    val docs = graft.ops.Tables.documents(spark, sf0001)
+      .select("doc_id", "text")
+    val isNew = pmod(col("doc_id"), lit(10)) >= 7
+    val dir = java.nio.file.Files.createTempDirectory("graft_wk").toString
+    SubstringDedup.buildWindowIndex(docs.filter(!isNew), k = 8)
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val ex = intercept[Exception] {
+      SubstringDedup.incrementalWindowStats(stored, docs.filter(isNew), k = 5)
+        .collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+    assert(rootMessages(ex).exists(_.contains("window index k mismatch")),
+      s"expected the k-mismatch assert, got: ${ex.getMessage}")
+    // The fold checks too — on any consumption that reads the data
+    // columns (compact, screen, parquet write; a bare count() prunes
+    // every column and is the one action the rider cannot see).
+    val ex2 = intercept[Exception] {
+      SubstringDedup.compactWindowIndex(
+        SubstringDedup.advanceWindowIndex(stored, docs.filter(isNew), k = 5))
+        .collect()
+    }
+    assert(rootMessages(ex2).exists(_.contains("window index k mismatch")))
+    // Key-variant mismatch (md5 index, xxhash64 screen) is a static
+    // type check — no job even starts.
+    val md5Dir = java.nio.file.Files.createTempDirectory("graft_wm").toString
+    SubstringDedup.buildWindowIndex(docs.filter(!isNew), k = 8, md5Keys = true)
+      .write.mode("overwrite").parquet(md5Dir)
+    val exV = intercept[IllegalArgumentException] {
+      SubstringDedup.incrementalWindowStats(
+        spark.read.parquet(md5Dir), docs.filter(isNew), k = 8)
+    }
+    assert(exV.getMessage.contains("key variant mismatch"))
   }
 
   test("incremental window scrub vs stored index == batch scrub restricted") {
