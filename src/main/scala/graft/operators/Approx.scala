@@ -376,9 +376,36 @@ object Approx {
   /** The stored-index form: screen `increment` against a prebuilt
     * [[MinHashIndex]] (freshly built or read back from parquet — the
     * frames are plain tables). Semantics identical to the two-corpus
-    * form; only where the index's signatures come from differs. */
+    * form; only where the index's signatures come from differs.
+    *
+    * `minJaccard` (default 0.8 — the family's banded design point) is
+    * the exact acceptance threshold; the 16-hash/4-band family's
+    * banded RECALL is sized for ≥ 0.8, so lower thresholds accept
+    * every banded candidate that clears them but find proportionally
+    * fewer of the true lower-similarity pairs — the same trade the
+    * batch family documents.
+    *
+    * `arrivalOrder` selects the keep-first convention for pairs among
+    * increment docs (`dup_old` vs the ingested index is unaffected):
+    *  - false (default): keeper = SMALLEST doc_id — replay ≡
+    *    single-batch under id-monotone day boundaries
+    *    ([[advanceIndex]]'s contract); on a shuffled feed a
+    *    later-arriving smaller-id near-dup of an already-screened doc
+    *    gets `keep` and BOTH members of the pair survive.
+    *  - true: keeper = FIRST ARRIVAL — a doc is `dup_new` if it pairs
+    *    ANY previously folded increment doc (regardless of id), or an
+    *    earlier-id doc of its own batch (within one batch "arrival" is
+    *    undefined, so id order is the tiebreak in both modes). The
+    *    equivalence guarantee becomes: an N-day replay equals the
+    *    id-mode single-batch run on the corpus with ids renumbered by
+    *    (arrival day, within-day id) — time-monotone feeds get exactly
+    *    the guarantee id-monotone feeds get in id mode, which is what
+    *    a production crawl (time-ordered, not id-ordered) needs.
+    *    IncrementalDedupSpec pins both the renumbering equivalence and
+    *    the shuffled-feed divergence between the modes. */
   def incrementalDedup(spark: SparkSession, index: MinHashIndex,
-                       increment: DataFrame): DataFrame = {
+                       increment: DataFrame, minJaccard: Double = 0.8,
+                       arrivalOrder: Boolean = false): DataFrame = {
     // The signature chain is per-doc (a pure function of text), so it
     // runs once PER SIDE and the old/new distinction rides each band
     // row as a LITERAL — never a corpus-wide flag join. (The first cut
@@ -395,14 +422,21 @@ object Approx {
     // `inc = true` — THOSE stay "new" for verdict purposes (a doc
     // pairing a previously-folded increment doc is dup_new, never
     // dup_old: the ingested-corpus/crawl distinction is provenance,
-    // not index membership), and the `y.doc_id < x.doc_id` keep-first
-    // condition applies to them exactly as to same-batch docs.
-    val all = flaggedBands(bandsIdx)
-      .unionByName(bandsInc.withColumn("y_new", lit(true)))
+    // not index membership). `y_same` additionally marks the CURRENT
+    // batch's rows — the per-branch literal that lets arrival-order
+    // mode distinguish "folded earlier" (shadows unconditionally) from
+    // "same batch" (id-order tiebreak) without any join.
+    val all = flaggedBands(bandsIdx).withColumn("y_same", lit(false))
+      .unionByName(bandsInc.withColumn("y_new", lit(true))
+        .withColumn("y_same", lit(true)))
+    val keepFirst =
+      if (arrivalOrder)
+        !col("y.y_new") || !col("y.y_same") || col("y.doc_id") < col("x.doc_id")
+      else
+        !col("y.y_new") || col("y.doc_id") < col("x.doc_id")
     val cand = bandsInc.as("x").join(all.as("y"),
         col("x.g") === col("y.g") && col("x.v") === col("y.v") &&
-        col("x.doc_id") =!= col("y.doc_id") &&
-        (!col("y.y_new") || col("y.doc_id") < col("x.doc_id")) &&
+        col("x.doc_id") =!= col("y.doc_id") && keepFirst &&
         !expr("band_match_before(x.sig, y.sig, 4, x.g)"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("y.y_new").as("b_new"))
@@ -410,10 +444,21 @@ object Approx {
     // literal on each union branch), so no join recovers it — the
     // previous form re-derived it by joining pairs with the
     // increment's id set, one join the plan no longer needs.
-    val pairs = rescoredPairs(spark, cand, setsIdx.unionByName(setsInc),
-        col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
+    // The size-ratio prune: at the 0.8 design point the exact integer
+    // form (na·5 ≥ nb·4) is kept verbatim — q86/q90's audited
+    // arithmetic; the parametric form is the q35 slackened bound
+    // (conservative: borderline candidates fall through to the exact
+    // acceptance below, which alone decides).
+    val prune =
+      if (minJaccard == 0.8)
+        col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4
+      else
+        least(col("na"), col("nb")).cast("double") >=
+          lit(minJaccard) * greatest(col("na"), col("nb")).cast("double") -
+            lit(1e-9) * greatest(col("na"), col("nb")).cast("double")
+    val pairs = rescoredPairs(spark, cand, setsIdx.unionByName(setsInc), prune)
       .filter(col("i").cast("double") /
-        (col("na") + col("nb") - col("i")).cast("double") >= 0.8)
+        (col("na") + col("nb") - col("i")).cast("double") >= lit(minJaccard))
     val flags = pairs
       .groupBy(col("a").as("doc_id"))
       .agg(max(when(!col("b_new"), 1).otherwise(0)).as("has_old"),
@@ -472,6 +517,19 @@ object Approx {
   def advanceIndex(spark: SparkSession, index: MinHashIndex,
                    increment: DataFrame): MinHashIndex = {
     val (setsInc, bandsInc) = md5SetsAndBands(spark, increment.select("doc_id", "text"))
+    advanceIndexPrebuilt(index, setsInc, bandsInc)
+  }
+
+  /** [[advanceIndex]] with the increment's signature frames already
+    * built (and typically localCheckpointed): the seam a multi-day
+    * DRIVER loop needs — folding lazy frames would make every later
+    * screen re-run every prior day's signature chain (O(days²) over a
+    * replay, the exact lifetime term the durable streaming twins
+    * killed), while a checkpointed day folds as an O(1)-plan union
+    * over materialized blocks. Semantics identical to
+    * [[advanceIndex]]. */
+  def advanceIndexPrebuilt(index: MinHashIndex, setsInc: DataFrame,
+                           bandsInc: DataFrame): MinHashIndex = {
     val bandsIdx =
       if (index.bands.columns.contains("inc")) index.bands
       else index.bands.withColumn("inc", lit(false))
@@ -1542,14 +1600,23 @@ object Approx {
     * partition write on stored parquet). Vec ids must be disjoint from
     * everything already in the index. */
   def advanceSemanticIndex(index: SemanticIndex,
-                           increment: DataFrame): SemanticIndex = {
-    val incVecs = buildSemanticIndex(
-      increment.select(col("vec_id"), col("embedding")), index.centroids).vectors
+                           increment: DataFrame): SemanticIndex =
+    advanceSemanticIndexAssigned(index, buildSemanticIndex(
+      increment.select(col("vec_id"), col("embedding")), index.centroids).vectors)
+
+  /** [[advanceSemanticIndex]] with the increment's vectors already
+    * assigned (a [[buildSemanticIndex]] output under the SAME
+    * centroids, typically localCheckpointed) — the prebuilt seam for
+    * driver replay loops, same rationale as [[advanceIndexPrebuilt]]:
+    * a lazy fold would re-run every prior day's assignment pass inside
+    * every later screen. */
+  def advanceSemanticIndexAssigned(index: SemanticIndex,
+                                   assigned: DataFrame): SemanticIndex = {
     val idxVecs =
       if (index.vectors.columns.contains("inc")) index.vectors
       else index.vectors.withColumn("inc", lit(false))
     SemanticIndex(
-      idxVecs.unionByName(incVecs.withColumn("inc", lit(true))),
+      idxVecs.unionByName(assigned.withColumn("inc", lit(true))),
       index.centroids)
   }
 
@@ -1594,9 +1661,15 @@ object Approx {
     * rounding and a float-literal threshold is q45/q88's proven parity
     * arithmetic verbatim. Vec ids must be disjoint across the two
     * inputs (the caller's id space is global — same contract as the
-    * lexical [[incrementalDedup]]). */
+    * lexical [[incrementalDedup]]). `arrivalOrder` selects the
+    * keep-first convention among increment vectors — keeper = smallest
+    * id (default; replay ≡ batch under id-monotone days) or keeper =
+    * first arrival (replay ≡ batch on arrival-renumbered ids, the
+    * time-ordered-crawl contract) — with exactly [[incrementalDedup]]'s
+    * semantics and pins. */
   def incrementalSemanticDedup(index: SemanticIndex, increment: DataFrame,
-                               minSim: Double = 0.35): DataFrame = {
+                               minSim: Double = 0.35,
+                               arrivalOrder: Boolean = false): DataFrame = {
     graft.expressions.GraftFunctions.register(index.vectors.sparkSession)
     val inc = buildSemanticIndex(
       increment.select(col("vec_id"), col("embedding")), index.centroids).vectors
@@ -1605,21 +1678,29 @@ object Approx {
         col("cell").as("cella"), col("nrm").as("na"))
     // An `inc` column on the index marks vectors folded by
     // [[advanceSemanticIndex]] — crawl-increment provenance, so a pair
-    // with them reports dup_new (under the `b < a` keep-first
-    // condition), exactly as the lexical twin treats advanced bands.
+    // with them reports dup_new (under the keep-first condition),
+    // exactly as the lexical twin treats advanced bands. `b_same`
+    // marks the current batch's own vectors — the arrival-order mode's
+    // per-branch literal (see [[incrementalDedup]]'s contract: folded
+    // vectors arrived strictly earlier, so in arrival mode they shadow
+    // unconditionally; same-batch vectors tiebreak by id in both
+    // modes).
     val idxFlagged =
       if (index.vectors.columns.contains("inc"))
         index.vectors.withColumn("b_new", coalesce(col("inc"), lit(false))).drop("inc")
       else index.vectors.withColumn("b_new", lit(false))
-    val rhs = idxFlagged
-      .unionByName(inc.withColumn("b_new", lit(true)))
+    val rhs = idxFlagged.withColumn("b_same", lit(false))
+      .unionByName(inc.withColumn("b_new", lit(true))
+        .withColumn("b_same", lit(true)))
       .filter(col("nrm") > 0)
       .select(col("vec_id").as("b"), col("embedding").as("eb"),
-        col("cell").as("cellb"), col("nrm").as("nb"), col("b_new"))
+        col("cell").as("cellb"), col("nrm").as("nb"), col("b_new"), col("b_same"))
+    val keepFirst =
+      if (arrivalOrder) !col("b_new") || !col("b_same") || col("b") < col("a")
+      else !col("b_new") || col("b") < col("a")
     val sim = (expr("float_dot(ea, eb)") / (col("na") * col("nb"))).cast("float")
     val pairs = broadcast(lhs).join(rhs,
-        col("cella") === col("cellb") &&
-          (!col("b_new") || col("b") < col("a")))
+        col("cella") === col("cellb") && keepFirst)
       .select(col("a"), col("b_new"), round(sim, 4).as("sim"))
       .filter(col("sim") >= lit(minSim.toFloat))
     val flags = pairs.groupBy(col("a").as("vec_id"))

@@ -241,8 +241,19 @@ object SubstringDedup {
   def advanceWindowIndex(index: DataFrame, increment: DataFrame, k: Int,
                          textCol: String = "text", idCol: String = "doc_id",
                          md5Keys: Boolean = false): DataFrame =
+    advanceWindowIndexPrebuilt(index,
+      buildWindowIndex(increment, k, textCol, idCol, md5Keys), k, md5Keys)
+
+  /** [[advanceWindowIndex]] with the day's aggregate already built (a
+    * [[buildWindowIndex]] output, typically localCheckpointed) — the
+    * prebuilt seam for driver replay loops: a lazy fold would re-run
+    * every prior day's window aggregation inside every later screen
+    * (O(days²) over a replay), while a checkpointed day folds as an
+    * O(1)-plan union over materialized blocks. */
+  def advanceWindowIndexPrebuilt(index: DataFrame, dayIndex: DataFrame,
+                                 k: Int, md5Keys: Boolean = false): DataFrame =
     checkedIndex(index, k, md5Keys).withColumn("k", lit(k))
-      .unionByName(buildWindowIndex(increment, k, textCol, idCol, md5Keys))
+      .unionByName(checkedIndex(dayIndex, k, md5Keys).withColumn("k", lit(k)))
 
   /** Consolidate a log-structured window index (one row per hash PER
     * FOLDED DAY) back to one row per hash: counts sum, owners take the

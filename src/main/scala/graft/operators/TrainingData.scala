@@ -67,6 +67,40 @@ object TrainingData {
   private[graft] def semTreeAuto(nlist: Int): Boolean =
     nlist > SemTreeAssignNlistThreshold
 
+  /** Stage-scoped sizing for the substring stage (3b) — the r14 300×
+    * smoke's measured rule, applied to THIS stage only: the window
+    * ownership pass's exchanges size by
+    * initialPartitionNum/advisoryPartitionSizeInBytes (the q38/q76
+    * decomposition: 512 initial partitions over a ~4 GB exchange keep
+    * each task's sort in memory), and preferSortMergeJoin=false lets
+    * Spark pick shuffled-hash for the ownership and rebuild joins —
+    * eliminating both SMJ sorts, the stage's measured spill surface
+    * (q77_sized_shj, COVERAGE r13). Applied session-wide these dials
+    * cost +10% wall by re-sizing every OTHER stage (the r14 smoke's
+    * finding); scoping means set → materialize the stage → restore, so
+    * the rest of the pipeline plans under the caller's confs.
+    * files.maxPartitionBytes is deliberately NOT scoped here: stage
+    * 3b's input is an upstream localCheckpoint, not a file scan, so
+    * the dial cannot reach the map-side task size mid-pipeline. */
+  private val SubstrStageConfs: Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m",
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "512",
+    "spark.sql.join.preferSortMergeJoin" -> "false")
+
+  /** Set `confs`, run `body` (which must MATERIALIZE its result — a
+    * lazy frame would plan at first action, after the restore), then
+    * restore every key to its prior state. */
+  private def withScopedConfs[A](spark: SparkSession,
+                                 confs: Seq[(String, String)])(body: => A): A = {
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** `selected`: the surviving documents — (doc_id, lang, n_tokens,
     * cum_before, pick_pos) per [[Sampling.quotaSampleBudgets]], plus an
     * `epoch` column (one row per doc × epoch) when the build ran
@@ -111,7 +145,11 @@ object TrainingData {
     * across the surviving corpus, token counts re-derive from the
     * scrubbed text, and docs scrubbed to nothing drop. Default None
     * keeps the stage off and the selected set bit-identical to
-    * rounds ≤ 13.
+    * rounds ≤ 13. With the stage on, `substrStageSizing` (default
+    * true) runs it under the measured spill dials, scoped to the stage
+    * alone (see [[SubstrStageConfs]]); the outputs are bit-identical
+    * either way — partitioning never changes what the operators
+    * compute, only where they spill.
     *
     * `embeddings` (doc_id, embedding) activates the optional SEMANTIC
     * stages 4b/4c between lexical decontam and the mixture (see the
@@ -147,7 +185,8 @@ object TrainingData {
                        semNlist: Option[Int] = None,
                        semFitFraction: Option[Double] = None,
                        semTreeAssign: Option[Boolean] = None,
-                       substrK: Option[Int] = None): TrainingSet = {
+                       substrK: Option[Int] = None,
+                       substrStageSizing: Boolean = true): TrainingSet = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.TextFunctions
 
@@ -193,19 +232,32 @@ object TrainingData {
     // PIPELINE drops docs scrubbed to nothing — a fully-covered doc
     // is pure repetition and carries zero trainable tokens. Default
     // None keeps the stage off and every existing pin bit-identical.
+    // substrStageSizing (round 15, VERDICT r14 #3): the stage's
+    // exchanges run under [[SubstrStageConfs]] — the measured spill
+    // rule, scoped by materializing the stage output inside the
+    // set/restore window so downstream stages plan under the caller's
+    // confs (the r14 smoke showed session-wide dials cut the 3.6 GB
+    // spill 72% but cost +10% wall on the other stages). The
+    // checkpoint is also a plan win on its own: afterSubstr feeds two
+    // consumers (the contamination join and the survivor set).
     val afterSubstr = substrK match {
       case None => nearDeduped
       case Some(k) =>
-        val scrubbed = SubstringDedup
-          .scrub(nearDeduped.select(col("doc_id"), col("text")), k)
-          .filter(col("kept_text") =!= "")
-          .select(col("doc_id"), col("kept_text"))
-        nearDeduped.drop("text", "n_tokens")
-          .join(scrubbed, Seq("doc_id"))
-          .withColumn("text", col("kept_text")).drop("kept_text")
-          .withColumn("n_tokens",
-            graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
-          .select(nearDeduped.columns.toIndexedSeq.map(col): _*)
+        def stage: DataFrame = {
+          val scrubbed = SubstringDedup
+            .scrub(nearDeduped.select(col("doc_id"), col("text")), k)
+            .filter(col("kept_text") =!= "")
+            .select(col("doc_id"), col("kept_text"))
+          nearDeduped.drop("text", "n_tokens")
+            .join(scrubbed, Seq("doc_id"))
+            .withColumn("text", col("kept_text")).drop("kept_text")
+            .withColumn("n_tokens",
+              graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+            .select(nearDeduped.columns.toIndexedSeq.map(col): _*)
+        }
+        if (substrStageSizing)
+          withScopedConfs(spark, SubstrStageConfs) { stage.localCheckpoint(true) }
+        else stage
     }
 
     // 4. Decontamination via the library's own containment operator
@@ -238,26 +290,10 @@ object TrainingData {
     val clean = embeddings match {
       case None => lexClean
       case Some(embAll) =>
-        val dot = (a: String, b: String) =>
-          graft.expressions.GraftFunctions.floatDot(spark, a, b)
         val emb = embAll.select(col("doc_id"), col("embedding"))
           .join(lexClean.select(col("doc_id")), Seq("doc_id"))
-        val afterDecon = benchmarkEmbeddings match {
-          case None => emb
-          case Some(bench) =>
-            val b = broadcast(bench.select(col("embedding").as("be"))
-              .withColumn("bnorm", sqrt(dot("be", "be")).cast("float"))
-              .filter(col("bnorm") > 0))
-            val sim = (dot("be", "embedding") /
-              (col("bnorm") * col("cnorm"))).cast("float")
-            val hits = emb
-              .withColumn("cnorm", sqrt(dot("embedding", "embedding")).cast("float"))
-              .filter(col("cnorm") > 0)
-              .crossJoin(b)
-              .filter(round(sim, 4) >= lit(minCosine.toFloat))
-              .select(col("doc_id")).distinct()
-            emb.join(hits, Seq("doc_id"), "left_anti")
-        }
+        val afterDecon =
+          semDecontamSurvivors(spark, emb, benchmarkEmbeddings, minCosine)
         // Materialize the survivor set before the IVF fit: KMeans
         // persists its input, and computing those cache blocks through
         // this point's long join lineage (lexical stages → anti-joins)
@@ -365,6 +401,7 @@ object TrainingData {
     // Materialized.free exists to prevent).
     Materialized.free(labels)
     Materialized.free(exactDeduped)
+    if (substrK.isDefined && substrStageSizing) Materialized.free(afterSubstr)
     if (semWorkingSet != null) Materialized.free(semWorkingSet)
     TrainingSet(selected, packed)
   }
@@ -385,5 +422,372 @@ object TrainingData {
       packed.select(col("seq_id")).distinct(), nShards,
       idCol = "seq_id", salt = salt)
     packed.join(assignment, Seq("seq_id"))
+  }
+
+  /** Semantic decontamination, stage 4b's one definition (shared by
+    * the batch and incremental pipelines): survivors of `emb`
+    * (doc_id, embedding) not within `minCosine` of ANY benchmark
+    * vector. The benchmark broadcasts (eval sets are small by nature);
+    * the corpus streams scan-side through the codegen'd float32 dot —
+    * q87's audited shape. `None` benchmark = stage off. */
+  private def semDecontamSurvivors(spark: SparkSession, emb: DataFrame,
+                                   benchmarkEmbeddings: Option[DataFrame],
+                                   minCosine: Double): DataFrame =
+    benchmarkEmbeddings match {
+      case None => emb
+      case Some(bench) =>
+        val dot = (a: String, b: String) =>
+          graft.expressions.GraftFunctions.floatDot(spark, a, b)
+        val b = broadcast(bench.select(col("embedding").as("be"))
+          .withColumn("bnorm", sqrt(dot("be", "be")).cast("float"))
+          .filter(col("bnorm") > 0))
+        val sim = (dot("be", "embedding") /
+          (col("bnorm") * col("cnorm"))).cast("float")
+        val hits = emb
+          .withColumn("cnorm", sqrt(dot("embedding", "embedding")).cast("float"))
+          .filter(col("cnorm") > 0)
+          .crossJoin(b)
+          .filter(round(sim, 4) >= lit(minCosine.toFloat))
+          .select(col("doc_id")).distinct()
+        emb.join(hits, Seq("doc_id"), "left_anti")
+    }
+
+  // =====================================================================
+  // The INCREMENTAL pipeline (round 15): [[buildTrainingSet]]'s loop
+  // form. A daily increment flows through the same stages — quality →
+  // exact → lexical near-dup screen → substring screen → lexical
+  // decontam → semantic decontam + screen → budget-aware admission —
+  // against STORED state, and all the state advances: the fingerprint
+  // set, the MinHash index, the window index, the (frozen-quantizer)
+  // semantic index, and the mixture-budget ledger. Every screen and
+  // fold is the per-family incremental operator this repo already
+  // proves replay-exact; this composes them into the ingest loop they
+  // were built for.
+
+  /** Everything a daily ingest carries between [[advanceTrainingSet]]
+    * calls. All frames are plain tables — persist with
+    * [[savePipelineState]] / reload with [[loadPipelineState]]
+    * (checkpoint granularity; a per-day durable deployment appends
+    * each day's fold as `batch_id=` partitions through
+    * [[graft.sources.StateStore]], the streaming twins' proven seam).
+    *
+    *  - `fingerprints` — (clean_fp) of every quality-passing ingested
+    *    doc: the exact-dedup screen's index (fp equality IS transitive,
+    *    so unlike the near-dup indexes only distinct fps need folding).
+    *  - `minhash` — the lexical near-dup index ([[Approx.MinHashIndex]]).
+    *  - `window` — the substring window-hash index (present iff the
+    *    pipeline runs stage 3b; log-structured form welcome).
+    *  - `semantic` — the IVF semantic index with its FROZEN quantizer
+    *    (present iff the pipeline runs the semantic stages; re-fitting
+    *    mid-ingest would move cell boundaries —
+    *    [[Approx.fitSemanticCentroids]]'s contract).
+    *  - `ledger` — per-lang CANDIDATE tokens that have reached the
+    *    mixture stage so far (not admitted tokens: the budget rule is
+    *    a prefix cut — `tokens before this doc in fill order <
+    *    budget` — so the running total that defines "before" counts
+    *    every candidate, exactly as the batch cut does). Bounded by
+    *    the budget whitelist, driver-resident like any mixture
+    *    config. */
+  final case class PipelineState(
+      fingerprints: DataFrame,
+      minhash: Approx.MinHashIndex,
+      window: Option[DataFrame],
+      semantic: Option[Approx.SemanticIndex],
+      ledger: Map[String, Long])
+
+  /** One day's outcome: `admitted` — the docs that cleared every
+    * screen AND fit the remaining mixture budget, as (doc_id, lang,
+    * n_tokens, cum_before, pick_pos) with day-relative fill columns
+    * (global position = ledger + cum_before) — and the advanced
+    * `state`. Feed `admitted` to [[Packing.packSequences]] /
+    * [[shardTrainingSet]] on the training launcher's schedule; release
+    * its backing layout with [[Materialized.free]] when done. */
+  final case class DayAdmission(admitted: DataFrame, state: PipelineState)
+
+  /** Day-zero state: empty indexes (a first day screens against
+    * nothing and folds itself in — no seed corpus needed; to seed from
+    * an already-ingested corpus, replay it as day 0). `substrK` /
+    * `semCentroids` decide which OPTIONAL stages this pipeline runs —
+    * they must match every later [[advanceTrainingSet]] call (the
+    * window index pins k itself; centroids are frozen here for the
+    * pipeline's lifetime, fit via [[Approx.fitSemanticCentroids]] on a
+    * representative sample). */
+  def initPipelineState(spark: SparkSession, substrK: Option[Int] = None,
+                        semCentroids: Option[Seq[Seq[Double]]] = None): PipelineState = {
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    PipelineState(
+      fingerprints = Seq.empty[String].toDF("clean_fp"),
+      minhash = Approx.buildMinHashIndex(spark, emptyDocs),
+      window = substrK.map(k => SubstringDedup.buildWindowIndex(emptyDocs, k)),
+      semantic = semCentroids.map(c => Approx.buildSemanticIndex(emptyVecs, c)),
+      ledger = Map.empty)
+  }
+
+  /** Run ONE day of the ingest loop: screen `dayDocs` through every
+    * pipeline stage against `state`, admit survivors under the
+    * remaining mixture budgets, and advance all the indexes.
+    *
+    * Equivalences (TrainingDataSpec pins them):
+    *  - Screens are [[buildTrainingSet]]'s stages made incremental:
+    *    under id-monotone day boundaries an N-day replay's union of
+    *    screen survivors equals the single-call run's, per the
+    *    per-family replay proofs (IncrementalDedupSpec /
+    *    SubstringDedupSpec). Versus the BATCH pipeline, the one
+    *    semantic difference is keep-first vs connected-component
+    *    keepers in the near-dup stages: both drop every doc that
+    *    near-dups an earlier one; they differ only when a LATER doc
+    *    bridges two earlier mutually-dissimilar docs (batch CC then
+    *    also drops the bridged later-id member that keep-first keeps)
+    *    — the spec plants that shape and pins the divergence honestly.
+    *  - Admission: the union of day admissions equals
+    *    [[Sampling.quotaSampleBudgets]] over the corpus in
+    *    (arrival day, rk) order — the ledger carries each lang's
+    *    candidate-token prefix, so `ledger + day-relative cum_before <
+    *    budget` IS the global prefix cut. Versus the batch pipeline
+    *    (global rk order, no day structure) the admitted SET may
+    *    differ once a budget binds — budgets are inherently
+    *    per-horizon, q92's n_dup argument — while the per-lang token
+    *    accounting obeys the identical rule; with non-binding budgets
+    *    the selections coincide exactly.
+    *
+    * Cost shape: every stage is increment-bounded — the day's own
+    * scans and chains are O(day); each stored index is touched the way
+    * its per-family screen touches it (bands stream map-side through
+    * the asymmetric join, the window index through one semi-join scan,
+    * the semantic index through the broadcast-increment pair join; the
+    * fingerprint screen streams the fp set map-side through a
+    * broadcast-day semi-join and anti-joins the day against the
+    * increment-bounded hits). Folds are checkpointed-day unions —
+    * O(day) blocks each, so day cost stays flat as the corpus grows
+    * (the 100× multi-day smoke measures it). Doc ids must be globally
+    * unique across all days and monotone day boundaries give the
+    * replay guarantee above (the per-family contract).
+    *
+    * State lineage: the returned state's new branches are
+    * localCheckpointed day frames; the state frames accumulate one
+    * union level per day — bound a LONG-lived driver loop with
+    * [[savePipelineState]] / [[loadPipelineState]] (which also makes
+    * the loop restartable) on whatever cadence its plan-analysis cost
+    * warrants. */
+  def advanceTrainingSet(spark: SparkSession, state: PipelineState,
+                         dayDocs: DataFrame, benchmark: DataFrame,
+                         budgets: Map[String, Long],
+                         minJaccard: Double = 0.8,
+                         minBenchContainment: Double = 1e-9,
+                         minQuality: Double = 0.5, maxRepetition: Double = 0.2,
+                         minTokens: Int = 10, salt: Long = 0L,
+                         tokenCounter: Option[org.apache.spark.sql.Column] = None,
+                         dayEmbeddings: Option[DataFrame] = None,
+                         benchmarkEmbeddings: Option[DataFrame] = None,
+                         minCosine: Double = 0.35,
+                         substrK: Option[Int] = None,
+                         substrStageSizing: Boolean = true): DayAdmission = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions
+    require(substrK.isDefined == state.window.isDefined,
+      "substrK and the state's window index must agree: the substring stage " +
+        "is on iff the state carries its index (initPipelineState decides)")
+    require(dayEmbeddings.isEmpty || state.semantic.isDefined,
+      "dayEmbeddings supplied but the state carries no semantic index — " +
+        "init with semCentroids (the quantizer must be frozen, not re-fit per day)")
+
+    // 1+2. Quality scan-side, then the exact screen: a day doc drops if
+    // its post-redaction fingerprint was ever ingested (state set — it
+    // streams MAP-SIDE through a broadcast-day semi-join; the anti-join
+    // then runs against the increment-bounded hits, so the fp set never
+    // crosses an exchange) or appeared earlier in the day (keep-first
+    // by id, the batch window rule).
+    val scored = TextFunctions.curateColumns(dayDocs, minQuality,
+        maxRepetition, minTokens)
+      .filter(col("keep"))
+      .select(col("doc_id"), col("text"), col("lang"), col("n_tokens"),
+        col("clean_fp"))
+      .localCheckpoint(true)
+    val dayFps = scored.select(col("clean_fp")).distinct()
+    val hitFps = state.fingerprints
+      .join(broadcast(dayFps), Seq("clean_fp"), "left_semi").distinct()
+    val wFp = Window.partitionBy("clean_fp").orderBy("doc_id")
+    val exactKept = scored
+      .join(broadcast(hitFps), Seq("clean_fp"), "left_anti")
+      .withColumn("rn", row_number().over(wFp))
+      .filter(col("rn") === 1).drop("rn")
+      .localCheckpoint(true)
+    // Fold: fp equality is transitive, so (unlike the near-dup folds)
+    // only the KEPT fps need to enter — a day doc whose fp is already
+    // present adds nothing, and exactKept's fps are day-unique and
+    // state-disjoint by construction, so the set stays a set without
+    // any O(state) distinct.
+    val newFps = state.fingerprints.unionByName(exactKept.select(col("clean_fp")))
+
+    // 3. Lexical near-dup screen + fold. ALL exact survivors fold
+    // (near-dup is not transitive — a dropped dup still shadows later
+    // days: advanceIndex's planted-chain contract); the day's signature
+    // frames checkpoint once so later days' screens read blocks, not
+    // re-run chains.
+    val dayText = exactKept.select(col("doc_id"), col("text"))
+    val lexKeepIds = Approx.incrementalDedup(spark, state.minhash, dayText,
+        minJaccard)
+      .filter(col("verdict") === "keep").select(col("doc_id"))
+    val lexKept = exactKept.join(lexKeepIds, Seq("doc_id"), "left_semi")
+    val (daySets, dayBands) = Approx.md5SetsAndBands(spark, dayText)
+    val newMinhash = Approx.advanceIndexPrebuilt(state.minhash,
+      daySets.localCheckpoint(true), dayBands.localCheckpoint(true))
+
+    // 3b. Substring screen + fold (present iff the state carries the
+    // window index). The screen rewrites the day's survivors against
+    // index ∪ day (replay-exact shadowing); the fold appends the day's
+    // ORIGINAL windows (batch semantics: a scrubbed-away instance
+    // still shadows later occurrences) as one O(day) aggregate. Docs
+    // scrubbed to nothing drop, token counts re-derive — stage 3b's
+    // batch conventions verbatim, under the same stage-scoped sizing.
+    val afterSubstr = (substrK, state.window) match {
+      case (Some(k), Some(widx)) =>
+        def stage: DataFrame = {
+          val scrubbed = SubstringDedup
+            .incrementalWindowScrub(widx, lexKept.select(col("doc_id"), col("text")), k)
+            .filter(col("kept_text") =!= "")
+            .select(col("doc_id"), col("kept_text"))
+          lexKept.drop("text", "n_tokens")
+            .join(scrubbed, Seq("doc_id"))
+            .withColumn("text", col("kept_text")).drop("kept_text")
+            .withColumn("n_tokens",
+              TextFunctions.tokenCount(col("text")).cast("long"))
+            .select(lexKept.columns.toIndexedSeq.map(col): _*)
+        }
+        if (substrStageSizing)
+          withScopedConfs(spark, SubstrStageConfs) { stage.localCheckpoint(true) }
+        else stage
+      case _ => lexKept
+    }
+    val newWindow = (substrK, state.window) match {
+      case (Some(k), Some(widx)) =>
+        Some(SubstringDedup.advanceWindowIndexPrebuilt(widx,
+          SubstringDedup.buildWindowIndex(
+            lexKept.select(col("doc_id"), col("text")), k)
+            .localCheckpoint(true), k))
+      case _ => None
+    }
+
+    // 4. Lexical decontamination — stateless (the benchmark is a fixed
+    // eval set, not accumulated state), q57's containment shape.
+    val benchIds = benchmark.select(col("text")).distinct()
+      .select(xxhash64(col("text")).as("doc_id"), col("text"))
+    val contaminated = Approx.ngramContamination(spark,
+        afterSubstr.select(col("doc_id"), col("text")), benchIds,
+        n = 8, minContainment = minBenchContainment)
+      .select(col("doc_id")).distinct()
+    val lexClean = afterSubstr.join(contaminated, Seq("doc_id"), "left_anti")
+
+    // 4b+4c. Semantic decontam (stateless — shared stage definition
+    // with the batch pipeline) + the incremental semantic screen under
+    // the state's frozen quantizer; ALL post-decontam day vectors fold
+    // (cosine is not transitive). Docs without a vector pass unjudged,
+    // the batch convention.
+    var newSemantic = state.semantic
+    val clean = dayEmbeddings match {
+      case None => lexClean
+      case Some(embAll) =>
+        val semIdx = state.semantic.get
+        val emb = embAll.select(col("doc_id"), col("embedding"))
+          .join(lexClean.select(col("doc_id")), Seq("doc_id"))
+        val afterDecon =
+          semDecontamSurvivors(spark, emb, benchmarkEmbeddings, minCosine)
+        val dayAssigned = Approx.buildSemanticIndex(
+            afterDecon.select(col("doc_id").as("vec_id"), col("embedding")),
+            semIdx.centroids)
+          .vectors.localCheckpoint(true)
+        val keepers = Approx.incrementalSemanticDedup(semIdx,
+            dayAssigned.select(col("vec_id"), col("embedding")), minCosine)
+          .filter(col("verdict") === "keep")
+          .select(col("vec_id").as("doc_id"))
+        newSemantic = Some(Approx.advanceSemanticIndexAssigned(semIdx, dayAssigned))
+        lexClean.join(emb.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .unionByName(lexClean.join(keepers, Seq("doc_id"), "left_semi"))
+    }
+
+    // 5. Budget-aware admission: the day's candidates fill each lang's
+    // REMAINING budget in salted-hash order — `ledger + cum_before <
+    // budget` is the global prefix cut over (day, rk) order, so the
+    // union of day admissions IS one quotaSampleBudgets run over the
+    // arrival-ordered corpus. Langs whose budget is exhausted (or was
+    // never listed) admit nothing, the whitelist rule.
+    val counted = tokenCounter match {
+      case Some(c) => clean.withColumn("n_tokens", c.cast("long"))
+      case None => clean
+    }
+    val mixIn = counted.select(col("doc_id"), col("lang"), col("n_tokens"),
+        md5(concat_ws(":", lit(salt), col("doc_id").cast("string"))).as("rk"))
+      .localCheckpoint(true)
+    val remaining = budgets.flatMap { case (l, b) =>
+      val left = b - state.ledger.getOrElse(l, 0L)
+      if (left > 0) Some(l -> left) else None
+    }
+    val admitted =
+      if (remaining.isEmpty)
+        mixIn.select(col("doc_id"), col("lang"), col("n_tokens"),
+          lit(0L).as("cum_before"), lit(0L).as("pick_pos")).limit(0)
+      else Sampling.quotaSampleBudgets(mixIn, remaining)
+    // Ledger: add the day's CANDIDATE tokens per whitelisted lang (the
+    // prefix that defines later days' "tokens before"). Bounded
+    // collect — at most one row per budgeted lang.
+    val dayTokens = counted
+      .filter(col("lang").isInCollection(budgets.keys.toSeq))
+      .groupBy("lang").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val newLedger = state.ledger ++ budgets.keys.flatMap { l =>
+      dayTokens.get(l).map(t => l -> (state.ledger.getOrElse(l, 0L) + t))
+    }
+
+    Materialized.free(scored)
+    DayAdmission(admitted,
+      PipelineState(newFps, newMinhash, newWindow, newSemantic, newLedger))
+  }
+
+  /** Persist a [[PipelineState]] (full-rewrite, checkpoint
+    * granularity — for per-day O(day) durability append each day's
+    * fold frames as `batch_id=` partitions via
+    * [[graft.sources.StateStore]] instead, the streaming twins' seam).
+    * Empty frames write through one empty task so the read-back never
+    * hits a data-less directory. */
+  def savePipelineState(spark: SparkSession, state: PipelineState,
+                        dir: String): Unit = {
+    def writeTable(df: DataFrame, path: String): Unit = {
+      val out = if (df.isEmpty) df.repartition(1) else df
+      out.write.mode("overwrite").parquet(path)
+    }
+    writeTable(state.fingerprints, s"$dir/fingerprints")
+    writeTable(state.minhash.sets, s"$dir/sets")
+    writeTable(state.minhash.bands, s"$dir/bands")
+    state.window.foreach(w => writeTable(w, s"$dir/window"))
+    state.semantic.foreach { s =>
+      writeTable(s.vectors, s"$dir/vectors")
+      writeTable(Approx.semanticCentroidsDF(spark, s.centroids), s"$dir/centroids")
+    }
+    import spark.implicits._
+    writeTable(state.ledger.toSeq.toDF("lang", "used_tokens"), s"$dir/ledger")
+  }
+
+  /** Reload a [[savePipelineState]] directory. The optional stages'
+    * presence is the directory's (window/vectors exist or not), so the
+    * loop resumes with exactly the stages it was running. */
+  def loadPipelineState(spark: SparkSession, dir: String): PipelineState = {
+    def has(p: String) = graft.sources.StateStore.exists(spark, p)
+    PipelineState(
+      fingerprints = spark.read.parquet(s"$dir/fingerprints"),
+      minhash = Approx.MinHashIndex(
+        spark.read.parquet(s"$dir/sets"), spark.read.parquet(s"$dir/bands")),
+      window =
+        if (has(s"$dir/window")) Some(spark.read.parquet(s"$dir/window"))
+        else None,
+      semantic =
+        if (has(s"$dir/vectors"))
+          Some(Approx.SemanticIndex(spark.read.parquet(s"$dir/vectors"),
+            Approx.semanticCentroidsFromDF(
+              spark.read.parquet(s"$dir/centroids"))))
+        else None,
+      ledger = spark.read.parquet(s"$dir/ledger").collect()
+        .map(r => r.getAs[String]("lang") -> r.getAs[Long]("used_tokens")).toMap)
   }
 }

@@ -370,4 +370,138 @@ class IncrementalDedupSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(q92 === q76)
   }
+
+  // ----- arrival-order keep-first mode (round 15, VERDICT r14 #4) -----
+
+  test("arrival-order mode: first arrival shadows a later smaller id; id mode keeps both") {
+    // A production crawl is TIME-ordered, not id-ordered. Plant the
+    // exact divergence: doc 50 arrives day 1, its near-identical twin
+    // doc 10 arrives day 2 with a SMALLER id.
+    //  - id mode (keeper = smallest id): day-2's screen looks backward
+    //    by id, sees nothing smaller, and keeps 10 — BOTH survive (the
+    //    documented id-monotone-only loss on a shuffled feed).
+    //  - arrival mode (keeper = first folded): 50 was folded before 10
+    //    arrived, so 10 is dup_new.
+    // Same-batch docs tiebreak by id in BOTH modes (60 dups 55).
+    val index = Seq(
+      (1L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val sharedA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val sharedB = "red orange yellow green blue indigo violet black white grey"
+    val day1 = Seq((50L, sharedA)).toDF("doc_id", "text")
+    val day2 = Seq((10L, sharedA), (55L, sharedB), (60L, sharedB))
+      .toDF("doc_id", "text")
+    def replay(arrival: Boolean): Map[Long, String] = {
+      var idx = graft.operators.Approx.buildMinHashIndex(spark, index)
+      Seq(day1, day2).flatMap { d =>
+        val v = graft.operators.Approx
+          .incrementalDedup(spark, idx, d, arrivalOrder = arrival)
+          .collect().map(r => r.getLong(0) -> r.getString(1))
+        idx = graft.operators.Approx.advanceIndex(spark, idx, d)
+        v
+      }.toMap
+    }
+    assert(replay(arrival = false) === Map(
+      50L -> "keep", 10L -> "keep", 55L -> "keep", 60L -> "dup_new"))
+    assert(replay(arrival = true) === Map(
+      50L -> "keep", 10L -> "dup_new", 55L -> "keep", 60L -> "dup_new"))
+  }
+
+  test("arrival replay ≡ id-mode single batch on arrival-renumbered ids (sf0.001)") {
+    // Arrival mode's equivalence guarantee: an N-day replay over ANY
+    // day partitioning equals the id-mode single-batch screen on the
+    // corpus with ids renumbered by (arrival day, within-day id) —
+    // i.e. a time-monotone feed gets exactly what an id-monotone feed
+    // gets in id mode. Days here are deliberately id-INTERLEAVED
+    // (md5-shuffled), the case id mode provably cannot handle.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val isNew = pmod(col("doc_id"), lit(10)) >= 7
+    val incDocs = docs.filter(isNew).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // Deterministic shuffle into "arrival order", 3 days, each day
+    // internally sorted by original id (within-batch arrival is
+    // undefined; id is the tiebreak in both modes).
+    val arrival = incDocs.sortBy(d =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(d._1.toString.getBytes).map(b => f"$b%02x").mkString)
+    val days = arrival.grouped(math.max(1, (arrival.length + 2) / 3))
+      .map(_.sortBy(_._1).toSeq).toSeq
+    assert(days.length === 3 &&
+      days.sliding(2).exists { w => w(1).head._1 < w(0).last._1 },
+      "day split failed to interleave ids — the pin would be vacuous")
+    var idx = graft.operators.Approx.buildMinHashIndex(spark, docs.filter(!isNew))
+    val viaArrival = days.flatMap { day =>
+      val d = day.toDF("doc_id", "text")
+      val v = graft.operators.Approx
+        .incrementalDedup(spark, idx, d, arrivalOrder = true)
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+      idx = graft.operators.Approx.advanceIndex(spark, idx, d)
+      v
+    }.toMap
+    // Renumber: sequential ids in (day, within-day id) order, offset
+    // past every real id so the index stays disjoint.
+    val renum = days.flatten.zipWithIndex
+      .map { case ((orig, text), i) => (orig, 10000000L + i, text) }
+    val renumDf = renum.map { case (_, r, t) => (r, t) }.toDF("doc_id", "text")
+    val backMap = renum.map { case (orig, r, _) => r -> orig }.toMap
+    val viaRenum = graft.operators.Approx
+      .incrementalDedup(spark,
+        graft.operators.Approx.buildMinHashIndex(spark, docs.filter(!isNew)),
+        renumDf)
+      .collect().map(r => backMap(r.getLong(0)) -> r.getString(1)).toMap
+    assert(viaArrival === viaRenum,
+      "arrival-order replay diverged from the renumbered single-batch screen")
+    // And both modes coincide on an id-MONOTONE feed: re-split the
+    // increment into id-sorted days and compare against the declared
+    // (id-mode, single-batch) q86 verdicts.
+    val monoDays = incDocs.sortBy(_._1)
+      .grouped(math.max(1, (incDocs.length + 2) / 3)).map(_.toSeq).toSeq
+    var idx2 = graft.operators.Approx.buildMinHashIndex(spark, docs.filter(!isNew))
+    val monoArrival = monoDays.flatMap { day =>
+      val d = day.toDF("doc_id", "text")
+      val v = graft.operators.Approx
+        .incrementalDedup(spark, idx2, d, arrivalOrder = true)
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+      idx2 = graft.operators.Approx.advanceIndex(spark, idx2, d)
+      v
+    }.toMap
+    val q86 = SparkEntry.queries("q86_incremental_dedup")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(monoArrival === q86,
+      "arrival mode on an id-monotone feed must equal id mode")
+  }
+
+  test("semantic arrival replay ≡ id-mode single batch on renumbered ids (sf0.001)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val isNew = pmod(col("vec_id"), lit(10)) >= 7
+    val cents = graft.ops.Extended.Q84Centroids.map(_.map(_.toDouble))
+    val incVecs = emb.filter(isNew).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val arrival = incVecs.sortBy(d =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(d._1.toString.getBytes).map(b => f"$b%02x").mkString)
+    val days = arrival.grouped(math.max(1, (arrival.length + 2) / 3))
+      .map(_.sortBy(_._1).toSeq).toSeq
+    var idx = graft.operators.Approx.buildSemanticIndex(emb.filter(!isNew), cents)
+    val viaArrival = days.flatMap { day =>
+      val d = day.toDF("vec_id", "embedding")
+      val v = graft.operators.Approx
+        .incrementalSemanticDedup(idx, d, arrivalOrder = true)
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+      idx = graft.operators.Approx.advanceSemanticIndex(idx, d)
+      v
+    }.toMap
+    val renum = days.flatten.zipWithIndex
+      .map { case ((orig, e), i) => (orig, 10000000L + i, e) }
+    val backMap = renum.map { case (orig, r, _) => r -> orig }.toMap
+    val viaRenum = graft.operators.Approx
+      .incrementalSemanticDedup(
+        graft.operators.Approx.buildSemanticIndex(emb.filter(!isNew), cents),
+        renum.map { case (_, r, e) => (r, e) }.toDF("vec_id", "embedding"))
+      .collect().map(r => backMap(r.getLong(0)) -> r.getString(1)).toMap
+    assert(viaArrival === viaRenum,
+      "semantic arrival-order replay diverged from the renumbered single-batch screen")
+  }
 }

@@ -332,4 +332,172 @@ class TrainingDataSpec extends SparkSpec {
     assert(epoch1 !== rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
       "epoch salt did not change the shard order")
   }
+
+  // ===== the incremental pipeline (round 15, VERDICT r14 #1) =====
+
+  private def admittedTriples(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "lang", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+
+  test("incremental pipeline: 3-day replay == one-call run, every stage on, with a state round trip") {
+    // The product guarantee: a daily ingest that screens, admits, and
+    // advances all the indexes reproduces — under id-monotone day
+    // boundaries and non-binding budgets — exactly what one call over
+    // the whole increment produces, with a parquet save/load of the
+    // ENTIRE pipeline state (all three indexes + fingerprints +
+    // ledger) and an empty day planted mid-replay.
+    val docs = graft.ops.Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "lang")
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val benchmark = docs.filter(col("doc_id") < 3).select("text")
+    val benchEmb = emb.filter(col("doc_id") < 3).select("embedding")
+    val cents = graft.ops.Extended.Q84Centroids.map(_.map(_.toDouble))
+    val big = Map("en" -> 100000000L, "de" -> 100000000L, "es" -> 100000000L,
+      "fr" -> 100000000L, "zh" -> 100000000L)
+    def init() = TrainingData.initPipelineState(spark,
+      substrK = Some(8), semCentroids = Some(cents))
+    def day(st: TrainingData.PipelineState,
+            d: org.apache.spark.sql.DataFrame): TrainingData.DayAdmission =
+      TrainingData.advanceTrainingSet(spark, st, d, benchmark, big,
+        dayEmbeddings = Some(emb), benchmarkEmbeddings = Some(benchEmb),
+        substrK = Some(8))
+    // One call over everything.
+    val single = day(init(), docs)
+    val singleAdm = admittedTriples(single.admitted)
+    assert(singleAdm.nonEmpty)
+    // 3 id-monotone days (+ one EMPTY day in the middle), state saved
+    // and reloaded through parquet between days 2 and 3.
+    import spark.implicits._
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cuts = Seq(ids(ids.length / 3), ids(2 * ids.length / 3))
+    val emptyDay = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    var st = init()
+    val adm = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val d1 = day(st, docs.filter(col("doc_id") <= cuts(0))); st = d1.state
+    adm ++= admittedTriples(d1.admitted)
+    val dEmpty = day(st, emptyDay); st = dEmpty.state
+    assert(dEmpty.admitted.count() === 0L, "an empty day admitted rows")
+    val d2 = day(st,
+      docs.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)))
+    st = d2.state; adm ++= admittedTriples(d2.admitted)
+    val stDir = java.nio.file.Files.createTempDirectory("graft_pstate").toString
+    TrainingData.savePipelineState(spark, st, stDir)
+    st = TrainingData.loadPipelineState(spark, stDir)
+    val d3 = day(st, docs.filter(col("doc_id") > cuts(1)))
+    adm ++= admittedTriples(d3.admitted)
+    assert(adm.sortBy(_._1).toSeq === singleAdm,
+      "day-replay admission diverged from the one-call run")
+    // The reloaded state resumed with every stage (window + semantic
+    // present) and a consistent ledger.
+    assert(d3.state.window.isDefined && d3.state.semantic.isDefined)
+    assert(d3.state.ledger.values.sum > 0L)
+  }
+
+  test("incremental pipeline: ledger admission == one prefix cut over (day, rk) order") {
+    // Tight budgets that BIND mid-replay: the union of day admissions
+    // must equal the quota prefix over the (arrival day, salted rk)
+    // order — computed independently here with the same md5 — with ONE
+    // global overshoot doc per lang (not one per day), and nothing
+    // admitted after a lang's budget exhausts.
+    import spark.implicits._
+    val words = (0 until 400).map(i => s"w$i")
+    // 12 distinct-text docs, ~25 tokens each, one lang.
+    val all = (0 until 12).map { i =>
+      (100L + i, words.slice(i * 30, i * 30 + 25).mkString(" "), "en")
+    }
+    val days = all.grouped(4).map(_.toDF("doc_id", "text", "lang")).toSeq
+    val noBench = Seq.empty[String].toDF("text")
+    val budgets = Map("en" -> 60L) // binds during day 1 (25-token docs)
+    var st = TrainingData.initPipelineState(spark)
+    val adm = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    days.foreach { d =>
+      val out = TrainingData.advanceTrainingSet(spark, st, d, noBench, budgets,
+        minQuality = 0.0, maxRepetition = 1.0, minTokens = 1)
+      st = out.state
+      adm ++= out.admitted.select("doc_id", "n_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
+    // Independent reference: same md5 rk, (day, rk) order, prefix cut.
+    def rk(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"0:$id".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val ordered = all.zipWithIndex
+      .map { case ((id, text, _), i) =>
+        (i / 4, rk(id), id, text.split("\\s+").count(_.nonEmpty).toLong) }
+      .sortBy(t => (t._1, t._2))
+    var cum = 0L
+    val expected = ordered.flatMap { case (_, _, id, n) =>
+      val admit = cum < 60L; cum += n
+      if (admit) Some(id -> n) else None
+    }
+    assert(adm.sortBy(_._1).toSeq === expected.sortBy(_._1),
+      "ledger admission diverged from the single prefix cut")
+    // One global overshoot: admitted mass minus the straddling doc is
+    // under budget; and the ledger carries ALL candidate tokens (the
+    // prefix denominator), not just admitted ones.
+    val mass = adm.map(_._2).sum
+    assert(mass - adm.map(_._2).max < 60L && mass >= 60L,
+      s"admitted $mass tokens against a 60-token budget")
+    assert(st.ledger("en") === all.map(_._2.split("\\s+").count(_.nonEmpty).toLong).sum)
+    // A later day against the exhausted budget admits nothing.
+    val extra = Seq((900L, words.slice(380, 399).mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TrainingData.advanceTrainingSet(spark, st, extra, noBench, budgets,
+      minQuality = 0.0, maxRepetition = 1.0, minTokens = 1)
+    assert(out.admitted.count() === 0L, "an exhausted budget admitted rows")
+  }
+
+  test("incremental vs batch: keep-first vs connected-component keepers, pinned on a planted bridge") {
+    // The ONE semantic divergence between the pipelines' dedup stages:
+    // batch picks one keeper per connected component; the incremental
+    // screen drops a doc iff it near-dups an EARLIER one. Both drop C
+    // here (it pairs both A and B); they differ exactly on B — a
+    // later-id C bridges A and B (A !~ B), so batch's component
+    // {A,B,C} keeps only A while keep-first keeps B too (B pairs
+    // nothing earlier). 30-token docs, 2 swapped per hop: J(A,C) =
+    // J(B,C) = 28/32 = 0.875 (banded reliably), J(A,B) = 26/34 = 0.76
+    // < 0.8.
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"tok$i")
+    val cText = base.mkString(" ")
+    val aText = (base.dropRight(2) ++ Seq("ax", "ay")).mkString(" ")
+    val bText = (Seq("bx", "by") ++ base.drop(2)).mkString(" ")
+    val filler = (0 until 6).map(i =>
+      (10L + i, (1 to 25).map(j => s"f${i}_$j").mkString(" "), "en"))
+    val corpus = (Seq((1L, aText, "en"), (2L, bText, "en"), (3L, cText, "en"))
+      ++ filler).toDF("doc_id", "text", "lang")
+    val noBench = Seq.empty[String].toDF("text")
+    val big = Map("en" -> 100000000L)
+    val inc = TrainingData.advanceTrainingSet(spark,
+      TrainingData.initPipelineState(spark), corpus, noBench, big,
+      minQuality = 0.0, maxRepetition = 1.0, minTokens = 1)
+    val incIds = inc.admitted.select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = TrainingData.buildTrainingSet(spark, corpus, noBench, big,
+      minQuality = 0.0, maxRepetition = 1.0, minTokens = 1)
+    val batchIds = batch.selected.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!incIds.contains(3L) && !batchIds.contains(3L),
+      "the bridge doc pairs earlier docs in both conventions — it must drop")
+    assert(incIds.contains(1L) && batchIds.contains(1L))
+    assert(incIds.contains(2L), "keep-first: B pairs nothing earlier")
+    assert(!batchIds.contains(2L), "CC keeper: B is in A's component via C")
+    assert(incIds - 2L === batchIds,
+      "the divergence must be exactly the bridged doc")
+  }
+
+  test("substring stage 3b: stage-scoped sizing is bit-identical and restores the session confs") {
+    val keys = Seq("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      "spark.sql.join.preferSortMergeJoin")
+    val before = keys.map(k => spark.conf.getOption(k))
+    val sized = TrainingData.buildTrainingSet(
+      spark, docs, benchmark, budgets, seqLen = 256L, substrK = Some(8))
+    val unsized = TrainingData.buildTrainingSet(
+      spark, docs, benchmark, budgets, seqLen = 256L, substrK = Some(8),
+      substrStageSizing = false)
+    assert(admittedTriples(sized.selected.drop("cum_before", "pick_pos")) ===
+      admittedTriples(unsized.selected.drop("cum_before", "pick_pos")),
+      "sizing dials changed WHAT the pipeline selected")
+    assert(keys.map(k => spark.conf.getOption(k)) === before,
+      "stage-scoped confs leaked into the session")
+  }
 }
