@@ -462,7 +462,8 @@ object ScaleSmoke {
     // (same seed ⇒ same centroids); the wall DIFFERENCE is the
     // assign-stage term. Gate: SPARK_GRAFT_SMOKE_ONLY=sem_xover; sizes
     // via SPARK_GRAFT_XOVER_NS (comma-separated), default 1M and 3M.
-    if (only.exists(_.findFirstIn("sem_xover").isDefined)) {
+    if (only.exists(r => r.findFirstIn("sem_xover").isDefined ||
+        r.findFirstIn("sem_assign").isDefined)) {
       val ns = sys.env.get("SPARK_GRAFT_XOVER_NS")
         .map(_.split(",").toSeq.map(_.trim.toLong))
         .getOrElse(Seq(1000000L, 3000000L))
@@ -493,23 +494,29 @@ object ScaleSmoke {
         // and tree assigns differ here while the operator totals
         // match, the assign is a minor term at this scale and the
         // superlinear growth lives in the shared stages (the sampled
-        // fit's O(sample·nlist) and the clustering tail).
-        val cents = graft.operators.Approx.fitSemanticCentroids(
-          vecs, nlist = nlist, fitFraction = frac)
-        run(f"sem_assign_${n}_flat") {
-          hashed(graft.operators.Approx.buildSemanticIndex(
-            vecs.select(col("vec_id"), col("embedding")), cents)
-            .vectors.select(col("vec_id"), col("cell"), col("nrm")))
-        }
-        val k = math.max(1, math.round(math.sqrt(cents.length.toDouble)).toInt)
-        val centsArr = cents.map(_.toArray).toArray
-        val topOf = graft.expressions.IvfTreeAssign.groupCentroids(centsArr, k)
-        run(f"sem_assign_${n}_tree") {
-          graft.expressions.GraftFunctions.register(spark)
-          hashed(vecs.select(col("vec_id"),
-            call_function("ivf_tree_assign", col("embedding"),
-              typedLit(centsArr.map(_.toSeq).toSeq), typedLit(topOf.toSeq),
-              lit(2)).as("cell")))
+        // fit's O(sample·nlist) and the clustering tail). The shared
+        // fit is paid only when one of these arms is actually selected
+        // (at n = 10M / nlist = 16k the naive mip_assign arm alone is
+        // ~O(10¹³) mults — gate it separately from the end-to-end
+        // arms: SMOKE_ONLY 'sem_assign' vs 'sem_xover').
+        if (enabled("sem_assign")) {
+          val cents = graft.operators.Approx.fitSemanticCentroids(
+            vecs, nlist = nlist, fitFraction = frac)
+          run(f"sem_assign_${n}_flat") {
+            hashed(graft.operators.Approx.buildSemanticIndex(
+              vecs.select(col("vec_id"), col("embedding")), cents)
+              .vectors.select(col("vec_id"), col("cell"), col("nrm")))
+          }
+          val k = math.max(1, math.round(math.sqrt(cents.length.toDouble)).toInt)
+          val centsArr = cents.map(_.toArray).toArray
+          val topOf = graft.expressions.IvfTreeAssign.groupCentroids(centsArr, k)
+          run(f"sem_assign_${n}_tree") {
+            graft.expressions.GraftFunctions.register(spark)
+            hashed(vecs.select(col("vec_id"),
+              call_function("ivf_tree_assign", col("embedding"),
+                typedLit(centsArr.map(_.toSeq).toSeq), typedLit(topOf.toSeq),
+                lit(2)).as("cell")))
+          }
         }
       }
     }

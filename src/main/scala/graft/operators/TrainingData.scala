@@ -56,10 +56,14 @@ object TrainingData {
     * model the r13 extrapolation assumed; the NAIVE exact assign does
     * follow that law — mip_assign 10.8 → 97.2 s for 3× data — but the
     * operator's flat path doesn't pay it). Within the envelope flat is
-    * EXACT and free, so auto keeps it; beyond it the flat path's
-    * pruning effectiveness is unmeasured while the tree's O(N·√nlist)
-    * is bounded and its recall trade is pinned (CapabilitySpec), so
-    * auto bounds the asymptote. Manual Some(_) always wins. */
+    * EXACT and free, so auto keeps it; beyond it the tree WINS,
+    * measured (round-15 sem_xover arm, 10M vectors / nlist 16000:
+    * flat 2769 s vs tree 2041 s end-to-end — the crossover the r13
+    * extrapolation predicted does materialize once nlist outgrows the
+    * parity envelope, so the threshold is now measured on BOTH sides:
+    * tied at ≤4800, tree −26% at 16000; the exact crossover lies
+    * between, where switching early costs the measured ~1–3%).
+    * Manual Some(_) always wins. */
   private[operators] val SemTreeAssignNlistThreshold: Int = 4800
 
   /** The auto rule behind `semTreeAssign = None` — exposed for the
