@@ -569,6 +569,19 @@ object TrainingData {
     * unique across all days and monotone day boundaries give the
     * replay guarantee above (the per-family contract).
     *
+    * `arrivalOrder = true` switches the two document-level near-dup
+    * screens (MinHash and semantic) to keeper-is-first-folded — the
+    * time-ordered-crawl convention, with the per-family renumbering
+    * equivalence ([[Approx.incrementalDedup]]'s contract). The
+    * exact-fingerprint screen is arrival-first across days in EITHER
+    * mode (a folded fingerprint shadows every later arrival — fp
+    * equality is transitive, so the survivor SET is the same under
+    * both conventions and only the within-day tiebreak is by id); the
+    * substring scrub's ownership stays positional (packed
+    * (doc_id, start) order) in both modes — its keep-first is a
+    * per-window cut, not a doc drop, and the index side's text is
+    * already-ingested and immutable either way.
+    *
     * State lineage: the returned state's new branches are
     * localCheckpointed day frames; the state frames accumulate one
     * union level per day — bound a LONG-lived driver loop with
@@ -587,7 +600,8 @@ object TrainingData {
                          benchmarkEmbeddings: Option[DataFrame] = None,
                          minCosine: Double = 0.35,
                          substrK: Option[Int] = None,
-                         substrStageSizing: Boolean = true): DayAdmission = {
+                         substrStageSizing: Boolean = true,
+                         arrivalOrder: Boolean = false): DayAdmission = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.TextFunctions
     require(substrK.isDefined == state.window.isDefined,
@@ -632,7 +646,7 @@ object TrainingData {
     // re-run chains.
     val dayText = exactKept.select(col("doc_id"), col("text"))
     val lexKeepIds = Approx.incrementalDedup(spark, state.minhash, dayText,
-        minJaccard)
+        minJaccard, arrivalOrder)
       .filter(col("verdict") === "keep").select(col("doc_id"))
     val lexKept = exactKept.join(lexKeepIds, Seq("doc_id"), "left_semi")
     val (daySets, dayBands) = Approx.md5SetsAndBands(spark, dayText)
@@ -703,7 +717,8 @@ object TrainingData {
             semIdx.centroids)
           .vectors.localCheckpoint(true)
         val keepers = Approx.incrementalSemanticDedup(semIdx,
-            dayAssigned.select(col("vec_id"), col("embedding")), minCosine)
+            dayAssigned.select(col("vec_id"), col("embedding")), minCosine,
+            arrivalOrder)
           .filter(col("verdict") === "keep")
           .select(col("vec_id").as("doc_id"))
         newSemantic = Some(Approx.advanceSemanticIndexAssigned(semIdx, dayAssigned))

@@ -484,6 +484,64 @@ class TrainingDataSpec extends SparkSpec {
       "the divergence must be exactly the bridged doc")
   }
 
+  test("incremental pipeline: arrivalOrder threads to both near-dup screens") {
+    // The planted shuffled-feed shape at the COMPOSED level: doc 50's
+    // text arrives day 1, its smaller-id twin 10 arrives day 2; a
+    // vector pair with the same shape (60 day 1, 20 day 2). id mode
+    // keeps both members of both pairs (the documented loss); arrival
+    // mode drops the later arrivals through BOTH screens.
+    import spark.implicits._
+    val words = (0 until 200).map(i => s"a$i")
+    val tX = words.take(30).mkString(" ")
+    val tOther = words.slice(60, 90).mkString(" ")
+    val tThird = words.slice(120, 150).mkString(" ")
+    val e1 = (1 to 64).map(i => if (i == 1) 1f else 0f)
+    val e2 = (1 to 64).map(i => if (i == 2) 1f else 0f)
+    val day1 = Seq((50L, tX, "en"), (60L, tOther, "en")).toDF("doc_id", "text", "lang")
+    val day2 = Seq((10L, tX, "en"), (20L, tOther, "en"), (30L, tThird, "en"))
+      .toDF("doc_id", "text", "lang")
+    // Embeddings: make 60 and 20 LEXICALLY distinct but semantically
+    // identical (e2); everyone else orthogonal or absent.
+    val emb = Seq((50L, e1), (60L, e2), (20L, e2), (30L, e1.map(-_)))
+      .toDF("doc_id", "embedding")
+    // tOther/tX differ entirely, so the lexical screen judges the
+    // (50,10) pair; the (60,20) pair is lexically distinct and only
+    // the SEMANTIC screen can catch it.
+    // 10 is a NEAR-dup of 50 (28/30 shared tokens, J = 0.875), not an
+    // exact one — the fingerprint screen is arrival-first in BOTH
+    // modes (a folded fp shadows every later arrival), so an exact
+    // twin would never reach the MinHash screen this test targets.
+    val tXNear = (words.take(28) ++ Seq("zz1", "zz2")).mkString(" ")
+    val day2LexTwin = Seq((10L, tXNear, "en"),
+      (20L, words.slice(90, 120).mkString(" "), "en"),
+      (30L, tThird, "en")).toDF("doc_id", "text", "lang")
+    val noBench = Seq.empty[String].toDF("text")
+    val big = Map("en" -> 100000000L)
+    val cents = Seq((1 to 64).map(i => if (i == 1) 1.0 else 0.0),
+      (1 to 64).map(i => if (i == 2) 1.0 else 0.0))
+    def replay(arrival: Boolean): Set[Long] = {
+      var st = TrainingData.initPipelineState(spark, semCentroids = Some(cents))
+      val admitted = Seq(day1, day2LexTwin).flatMap { d =>
+        val out = TrainingData.advanceTrainingSet(spark, st, d, noBench, big,
+          minQuality = 0.0, maxRepetition = 1.0, minTokens = 1,
+          dayEmbeddings = Some(emb), minCosine = 0.9,
+          arrivalOrder = arrival)
+        st = out.state
+        out.admitted.select("doc_id").collect().map(_.getLong(0))
+      }
+      admitted.toSet
+    }
+    val idMode = replay(arrival = false)
+    val arrMode = replay(arrival = true)
+    // id mode: 10 keeps (smaller id, looks backward by id and sees
+    // nothing), 20 keeps (its semantic twin 60 has a larger id).
+    assert(idMode === Set(50L, 60L, 10L, 20L, 30L))
+    // arrival mode: both later arrivals drop — 10 through the MinHash
+    // screen, 20 through the semantic screen.
+    assert(arrMode === Set(50L, 60L, 30L),
+      s"arrival mode kept $arrMode — a screen missed the fold-order shadow")
+  }
+
   test("substring stage 3b: stage-scoped sizing is bit-identical and restores the session confs") {
     val keys = Seq("spark.sql.adaptive.advisoryPartitionSizeInBytes",
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
