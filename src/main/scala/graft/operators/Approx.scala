@@ -406,6 +406,24 @@ object Approx {
   def incrementalDedup(spark: SparkSession, index: MinHashIndex,
                        increment: DataFrame, minJaccard: Double = 0.8,
                        arrivalOrder: Boolean = false): DataFrame = {
+    val (setsInc, bandsInc) = md5SetsAndBands(spark, increment.select("doc_id", "text"))
+    incrementalDedupPrebuilt(spark, index, increment.select(col("doc_id")),
+      setsInc, bandsInc, minJaccard, arrivalOrder)
+  }
+
+  /** [[incrementalDedup]] with the increment's signature frames already
+    * built (a [[md5SetsAndBands]] output, typically localCheckpointed) —
+    * the seam a screen-then-fold day shares with
+    * [[advanceIndexPrebuilt]]: the signature chain (shingle → minhash →
+    * band) is the day's dominant lexical cost, and a caller that both
+    * screens AND folds the same day would otherwise run it twice (and,
+    * lazy, re-run it inside every later consumer of the screen's
+    * output). `incrementIds` is the increment's (doc_id) frame — the
+    * verdict join's left side, one row per increment doc. */
+  def incrementalDedupPrebuilt(spark: SparkSession, index: MinHashIndex,
+                               incrementIds: DataFrame, setsInc: DataFrame,
+                               bandsInc: DataFrame, minJaccard: Double = 0.8,
+                               arrivalOrder: Boolean = false): DataFrame = {
     // The signature chain is per-doc (a pure function of text), so it
     // runs once PER SIDE and the old/new distinction rides each band
     // row as a LITERAL — never a corpus-wide flag join. (The first cut
@@ -416,7 +434,6 @@ object Approx {
     // is small by the operator's premise.)
     graft.expressions.GraftFunctions.register(spark)
     val (setsIdx, bandsIdx) = (index.sets, index.bands)
-    val (setsInc, bandsInc) = md5SetsAndBands(spark, increment.select("doc_id", "text"))
     // An index built by [[buildMinHashIndex]] is all-old; one advanced
     // by [[advanceIndex]] carries folded increment docs flagged
     // `inc = true` — THOSE stay "new" for verdict purposes (a doc
@@ -463,7 +480,7 @@ object Approx {
       .groupBy(col("a").as("doc_id"))
       .agg(max(when(!col("b_new"), 1).otherwise(0)).as("has_old"),
         max(when(col("b_new"), 1).otherwise(0)).as("has_new"))
-    increment.select(col("doc_id")).join(flags, Seq("doc_id"), "left")
+    incrementIds.select(col("doc_id")).join(flags, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("has_old") === 1, "dup_old")
           .when(col("has_new") === 1, "dup_new")

@@ -263,10 +263,47 @@ object SubstringDedup {
     * of the log-structured form is that correctness never requires
     * running it. */
   def compactWindowIndex(index: DataFrame): DataFrame = {
-    val aggs = Seq(sum("n_inst").as("n_inst"), min("own").as("own")) ++
-      (if (index.columns.contains("k")) Seq(min("k").as("k")) else Nil)
-    index.groupBy("h").agg(aggs.head, aggs.tail: _*)
+    val merged = index.groupBy("h")
+      .agg(sum("n_inst").as("n_inst"), min("own").as("own"))
+    if (!index.columns.contains("k")) merged
+    else {
+      // k must be UNIFORM across the whole store, not taken per-group:
+      // different-length windows almost never hash-collide, so a
+      // mixed-k store would compact cleanly per hash and come out
+      // consolidated under one misleading k — the guard rides the
+      // output's k column (a one-row global (min, max) broadcast), so
+      // any consumption of the compacted index fails loudly instead.
+      val kRange = index.agg(min("k").as("k_min"), max("k").as("k_max"))
+      val guard = assert_true(col("k_min") === col("k_max"),
+        lit("mixed-k log-structured window index: the store holds rows built " +
+          "with different window lengths — compacting them under one k would " +
+          "be silently wrong; split or rebuild the store"))
+      merged.crossJoin(broadcast(kRange))
+        .select(col("h"), col("n_inst"), col("own"),
+          (coalesce(guard.cast("int"), lit(0)) + col("k_min")).as("k"))
+    }
   }
+
+  /** Compact a STORED log-structured window index into a fresh
+    * single-generation store at `outDir` — [[compactWindowIndex]] over
+    * [[readWindowIndex]], executed under the substring stage's measured
+    * sizing dials ([[TrainingData.SubstrStageConfs]] — the q76/q77 sort
+    * class: 512 initial partitions / 16 MB advisory target keep each
+    * task's aggregate in memory; unsized, the 1000×-class compaction
+    * measured 66 s with 7.4 GB of spill) and restoring the caller's
+    * session confs afterwards. Writes to a NEW directory rather than
+    * rewriting in place: overwriting the store being read is both
+    * unsafe in Spark and non-atomic on a real filesystem — the caller
+    * swaps readers to the new generation (or renames) on its own
+    * schedule, and a crash mid-compaction leaves the source store
+    * untouched and re-compactable. */
+  def compactWindowIndexStore(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, outDir: String,
+                              md5Keys: Boolean = false): Unit =
+    TrainingData.withScopedConfs(spark, TrainingData.SubstrStageConfs) {
+      graft.sources.StateStore.writePartition(
+        compactWindowIndex(readWindowIndex(spark, dir, md5Keys)), outDir, 0L)
+    }
 
   /** The stored-parquet fold: write one day's window aggregate as the
     * `batch_id = id` partition of `dir`'s log-structured index table
@@ -278,9 +315,30 @@ object SubstringDedup {
   def appendWindowIndexDay(increment: DataFrame, k: Int, dir: String,
                            batchId: Long, textCol: String = "text",
                            idCol: String = "doc_id",
-                           md5Keys: Boolean = false): Unit =
+                           md5Keys: Boolean = false): Unit = {
+    val spark = increment.sparkSession
+    // Fail fast on a mismatched store BEFORE writing: without this, a
+    // misconfigured caller builds a mixed-k log-structured store that
+    // only fails later, at screen/compact time, far from the mistake.
+    // One stored row's k suffices (appends through this path are
+    // uniform by induction); reading it through readWindowIndex's
+    // explicit md5Keys-typed schema also surfaces a key-variant
+    // mismatch as a parquet conversion error at append time. A pre-k
+    // store (k reads back null) passes unchecked — the same caller's
+    // contract checkedIndex documents.
+    if (graft.sources.StateStore.exists(spark, dir)) {
+      readWindowIndex(spark, dir, md5Keys).select(col("k"), col("h"))
+        .head(1).headOption.filterNot(_.isNullAt(0)).foreach { r =>
+          require(r.getInt(0) == k,
+            s"window index k mismatch on append: $dir holds k=${r.getInt(0)} " +
+              s"rows but this day was built with k=$k — different-length " +
+              "windows never hash-match, so the mixed store would be " +
+              "silently wrong at screen time")
+        }
+    }
     graft.sources.StateStore.writePartition(
       buildWindowIndex(increment, k, textCol, idCol, md5Keys), dir, batchId)
+  }
 
   /** Read a log-structured stored window index back ([[appendWindowIndexDay]]'s
     * partitions, batch_id dropped) — the screens take it as-is,

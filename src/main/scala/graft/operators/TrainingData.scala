@@ -86,7 +86,7 @@ object TrainingData {
     * files.maxPartitionBytes is deliberately NOT scoped here: stage
     * 3b's input is an upstream localCheckpoint, not a file scan, so
     * the dial cannot reach the map-side task size mid-pipeline. */
-  private val SubstrStageConfs: Seq[(String, String)] = Seq(
+  private[operators] val SubstrStageConfs: Seq[(String, String)] = Seq(
     "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m",
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "512",
     "spark.sql.join.preferSortMergeJoin" -> "false")
@@ -94,8 +94,8 @@ object TrainingData {
   /** Set `confs`, run `body` (which must MATERIALIZE its result — a
     * lazy frame would plan at first action, after the restore), then
     * restore every key to its prior state. */
-  private def withScopedConfs[A](spark: SparkSession,
-                                 confs: Seq[(String, String)])(body: => A): A = {
+  private[operators] def withScopedConfs[A](spark: SparkSession,
+                                            confs: Seq[(String, String)])(body: => A): A = {
     val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try body
@@ -636,22 +636,34 @@ object TrainingData {
     // only the KEPT fps need to enter — a day doc whose fp is already
     // present adds nothing, and exactKept's fps are day-unique and
     // state-disjoint by construction, so the set stays a set without
-    // any O(state) distinct.
-    val newFps = state.fingerprints.unionByName(exactKept.select(col("clean_fp")))
+    // any O(state) distinct. The fold frame is its own SLIM checkpoint
+    // (fp column only): the returned state outlives the day, and a
+    // lineage reference into exactKept's full-width checkpoint would
+    // pin every day's surviving text in block storage for the state's
+    // lifetime — O(corpus text) retained where O(fp set) is meant.
+    val newFps = state.fingerprints.unionByName(
+      exactKept.select(col("clean_fp")).localCheckpoint(true))
 
     // 3. Lexical near-dup screen + fold. ALL exact survivors fold
     // (near-dup is not transitive — a dropped dup still shadows later
-    // days: advanceIndex's planted-chain contract); the day's signature
-    // frames checkpoint once so later days' screens read blocks, not
-    // re-run chains.
+    // days: advanceIndex's planted-chain contract). The day's signature
+    // frames checkpoint ONCE and feed both the screen (prebuilt seam)
+    // and the fold — the signature chain is the day's dominant lexical
+    // cost and must not run per consumer; lexKept checkpoints because
+    // the substring stage, the window fold, and the decontam chain
+    // each consume it (lazy, the banded screen join would re-execute
+    // once per consumer).
     val dayText = exactKept.select(col("doc_id"), col("text"))
-    val lexKeepIds = Approx.incrementalDedup(spark, state.minhash, dayText,
-        minJaccard, arrivalOrder)
+    val (daySetsRaw, dayBandsRaw) = Approx.md5SetsAndBands(spark, dayText)
+    val daySets = daySetsRaw.localCheckpoint(true)
+    val dayBands = dayBandsRaw.localCheckpoint(true)
+    val lexKeepIds = Approx.incrementalDedupPrebuilt(spark, state.minhash,
+        dayText.select(col("doc_id")), daySets, dayBands, minJaccard,
+        arrivalOrder)
       .filter(col("verdict") === "keep").select(col("doc_id"))
     val lexKept = exactKept.join(lexKeepIds, Seq("doc_id"), "left_semi")
-    val (daySets, dayBands) = Approx.md5SetsAndBands(spark, dayText)
-    val newMinhash = Approx.advanceIndexPrebuilt(state.minhash,
-      daySets.localCheckpoint(true), dayBands.localCheckpoint(true))
+      .localCheckpoint(true)
+    val newMinhash = Approx.advanceIndexPrebuilt(state.minhash, daySets, dayBands)
 
     // 3b. Substring screen + fold (present iff the state carries the
     // window index). The screen rewrites the day's survivors against
@@ -750,8 +762,10 @@ object TrainingData {
       else Sampling.quotaSampleBudgets(mixIn, remaining)
     // Ledger: add the day's CANDIDATE tokens per whitelisted lang (the
     // prefix that defines later days' "tokens before"). Bounded
-    // collect — at most one row per budgeted lang.
-    val dayTokens = counted
+    // collect — at most one row per budgeted lang — computed from the
+    // CHECKPOINTED mixIn (same rows as `counted`) so the decontam
+    // chain is not re-executed for a three-column aggregate.
+    val dayTokens = mixIn
       .filter(col("lang").isInCollection(budgets.keys.toSeq))
       .groupBy("lang").agg(sum("n_tokens").as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -759,7 +773,15 @@ object TrainingData {
       dayTokens.get(l).map(t => l -> (state.ledger.getOrElse(l, 0L) + t))
     }
 
+    // Every returned frame now reads its OWN materialized blocks (the
+    // slim fp checkpoint, the day signature frames, the day window/
+    // vector checkpoints, mixIn), so the day's transient full-width
+    // checkpoints can be released — a long-lived daily loop must not
+    // retain one O(day) text-bearing cache per day.
     Materialized.free(scored)
+    Materialized.free(exactKept)
+    Materialized.free(lexKept)
+    if (substrK.isDefined && substrStageSizing) Materialized.free(afterSubstr)
     DayAdmission(admitted,
       PipelineState(newFps, newMinhash, newWindow, newSemantic, newLedger))
   }
