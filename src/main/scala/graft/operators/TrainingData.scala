@@ -601,7 +601,8 @@ object TrainingData {
                          minCosine: Double = 0.35,
                          substrK: Option[Int] = None,
                          substrStageSizing: Boolean = true,
-                         arrivalOrder: Boolean = false): DayAdmission = {
+                         arrivalOrder: Boolean = false,
+                         md5Fps: Boolean = false): DayAdmission = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.TextFunctions
     require(substrK.isDefined == state.window.isDefined,
@@ -617,8 +618,20 @@ object TrainingData {
     // then runs against the increment-bounded hits, so the fp set never
     // crosses an exchange) or appeared earlier in the day (keep-first
     // by id, the batch window rule).
-    val scored = TextFunctions.curateColumns(dayDocs, minQuality,
+    // `md5Fps` swaps the fingerprint family for the declared-twin one —
+    // md5 over the RE2-portable scrub instead of the production
+    // xxhash64 over the full-lookaround scrub — the q58/q59/q92
+    // convention that lets an independent engine value-check the
+    // composed screen (q93); the screen logic is family-agnostic (an
+    // equality join on clean_fp), so only the key changes.
+    val curated = {
+      val c = TextFunctions.curateColumns(dayDocs, minQuality,
         maxRepetition, minTokens)
+      if (md5Fps)
+        c.withColumn("clean_fp", md5(TextFunctions.redactPiiPortable(col("text"))))
+      else c
+    }
+    val scored = curated
       .filter(col("keep"))
       .select(col("doc_id"), col("text"), col("lang"), col("n_tokens"),
         col("clean_fp"))

@@ -1290,4 +1290,46 @@ object Extended {
         docs.filter(isNew), Q76WindowK, md5Keys = true)
       .orderBy("doc_id")
   }
+
+  /** q93: ONE COMPOSED INGEST DAY through
+    * [[graft.operators.TrainingData.advanceTrainingSet]] — the
+    * pipeline's main operator as a declared, oracle-checked query. The
+    * q86 convention supplies the day: docs with `doc_id % 10 >= 7` are
+    * "today's crawl"; the 70% seed the state (fingerprint set + MinHash
+    * index — the replayed-day-0 equivalent: with the quality gate
+    * no-op'd, day 0's kept fps are exactly the seed's distinct fps, and
+    * exact dups never change near-dup VERDICTS, only pair multiplicity,
+    * so the corpus-verbatim index screens identically). The day runs
+    * fp-screen → lexical near-dup screen → budget admission (quality
+    * no-op'd via (0, 1, 0) thresholds; decontam skipped via an empty
+    * benchmark; substring/semantic stages off; ledger empty — the first
+    * admitting day), under `md5Fps` — the declared-twin fingerprint
+    * family (md5 over the RE2-portable scrub), so EVERY stage is
+    * engine-expressible: the oracle composes q78's scrub, q47's
+    * keep-first fp window, q86's verdict derivation over the q59 pair
+    * chain, and q69's budget-CASE fill — each proven separately; their
+    * composition here IS advanceTrainingSet's contract, so a regression
+    * in the fp-screen/screen-order/ledger plumbing is a driver HASH
+    * MISMATCH, not a spec-only failure. Output = the day's admissions,
+    * q68's columns. */
+  def q93PipelineDay(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions
+    import graft.operators.{Approx, TrainingData}
+    import s.implicits._
+    val docs = documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+    val isNew = pmod(col("doc_id"), lit(10)) >= 7
+    val seed = docs.filter(!isNew)
+    val state = TrainingData.PipelineState(
+      fingerprints = seed
+        .select(md5(TextFunctions.redactPiiPortable(col("text"))).as("clean_fp"))
+        .distinct(),
+      minhash = Approx.buildMinHashIndex(s, seed.select("doc_id", "text")),
+      window = None, semantic = None, ledger = Map.empty)
+    TrainingData.advanceTrainingSet(s, state, docs.filter(isNew),
+        benchmark = Seq.empty[String].toDF("text"),
+        budgets = Map("en" -> 3000L, "de" -> 800L, "es" -> 500L, "zh" -> 1200L),
+        minQuality = 0.0, maxRepetition = 1.0, minTokens = 0, salt = 0L,
+        md5Fps = true)
+      .admitted.orderBy("doc_id")
+  }
 }

@@ -1527,6 +1527,74 @@ object Oracle {
         |GROUP BY b.vec_id
         |ORDER BY b.vec_id""".stripMargin,
 
+    // q93: the COMPOSED ingest day — advanceTrainingSet's fp-screen →
+    // lexical near-dup screen → budget admission, re-derived stage by
+    // stage from the proven chains: q78's portable scrub (same spliced
+    // pattern constants) feeding md5 fingerprints, q47's keep-first fp
+    // window over the day against the seed's fp set, q86's verdict
+    // derivation over the shared q59 pair chain (restricted to
+    // exact-screen survivors — the docs the Spark side actually bands),
+    // and q68/q69's hash-order budget fill with the q93 salt ('0:' ||
+    // doc_id — advanceTrainingSet's concat_ws(":", salt, doc_id) at
+    // salt 0). The composition IS the operator's contract: any
+    // reordering or plumbing defect between the stages shows up as a
+    // value mismatch here.
+    "q93_pipeline_day" -> {
+      import graft.functions.TextFunctions.{PiiEmailPattern, PiiUrlPattern,
+        PiiIpv4Pattern, PiiPhonePortablePattern}
+      "WITH " + minhashChainCtes +
+      s""",
+        | red AS (
+        |  SELECT doc_id, lang,
+        |    md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '$PiiEmailPattern', '<EMAIL>', 'g'),
+        |      '$PiiUrlPattern', '<URL>', 'g'),
+        |      '$PiiIpv4Pattern', '<IP>', 'g'),
+        |      '$PiiPhonePortablePattern', '<PHONE>', 'g')) AS clean_fp,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS n_tokens
+        |  FROM documents),
+        | idxfp AS (SELECT DISTINCT clean_fp FROM red WHERE doc_id % 10 < 7),
+        | ek AS (
+        |  SELECT doc_id, lang, n_tokens FROM (
+        |    SELECT d.doc_id, d.lang, d.n_tokens,
+        |      row_number() OVER (PARTITION BY d.clean_fp ORDER BY d.doc_id) AS rn
+        |    FROM red d LEFT JOIN idxfp i ON i.clean_fp = d.clean_fp
+        |    WHERE d.doc_id % 10 >= 7 AND i.clean_fp IS NULL) sub
+        |  WHERE rn = 1),
+        | pairs AS (SELECT i2.a, i2.b
+        |   FROM inter i2 JOIN cnt ca ON ca.doc_id = i2.a JOIN cnt cb ON cb.doc_id = i2.b
+        |   WHERE CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) >= 0.8),
+        | sym AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b AS x, a AS y FROM pairs),
+        | symk AS (SELECT s.x, s.y,
+        |     CASE WHEN s.y % 10 < 7 THEN 1 ELSE 0 END AS y_old,
+        |     CASE WHEN e2.doc_id IS NOT NULL THEN 1 ELSE 0 END AS y_ek
+        |   FROM sym s LEFT JOIN ek e2 ON e2.doc_id = s.y),
+        | fl AS (SELECT e.doc_id, e.lang, e.n_tokens,
+        |     max(s.y_old) AS has_old,
+        |     max(CASE WHEN s.y_ek = 1 AND s.y < e.doc_id THEN 1 ELSE 0 END) AS has_new
+        |   FROM ek e LEFT JOIN symk s ON s.x = e.doc_id
+        |   GROUP BY e.doc_id, e.lang, e.n_tokens),
+        | keepers AS (SELECT doc_id, lang, n_tokens FROM fl
+        |   WHERE COALESCE(has_old, 0) = 0 AND COALESCE(has_new, 0) = 0),
+        | ordered AS (
+        |  SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS BIGINT) AS pick_pos
+        |  FROM keepers)
+        |SELECT doc_id, lang, n_tokens, cum_before, pick_pos
+        |FROM ordered
+        |WHERE cum_before < CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 800
+        |                             WHEN 'es' THEN 500 WHEN 'zh' THEN 1200
+        |                             ELSE 0 END
+        |ORDER BY doc_id""".stripMargin
+    },
+
     // q89: quantizer-cell balance — the shared q84 cell CASE, exact
     // integer counts, and the share as an IEEE double division of two
     // BIGINTs (exactly rounded, identical in both engines) through the

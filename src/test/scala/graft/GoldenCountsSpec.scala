@@ -170,7 +170,13 @@ class GoldenCountsSpec extends SparkSpec {
     // q92 (round 14): one row per increment doc — the stored-index
     // substring screen, oracle-matched (q76 restricted) value for
     // value.
-    "q92_incremental_window" -> 150
+    "q92_incremental_window" -> 150,
+    // q93 (round 16): the COMPOSED ingest day (advanceTrainingSet) —
+    // admissions from the 150-doc increment after the fp screen, the
+    // lexical near-dup screen, and the q69 budget fill; every value
+    // oracle-matched (the md5Fps declared-twin family makes all three
+    // stages engine-expressible).
+    "q93_pipeline_day" -> 42
   )
 
   test("queries/oracleSql keys line up") {
@@ -347,7 +353,14 @@ class GoldenCountsSpec extends SparkSpec {
     // q92: one row per increment doc, q76's cardinality law restricted
     // to the 30% increment; oracle parity at all three SFs (the q76
     // window chain is linear — no recursive closure).
-    "q92_incremental_window" -> 1500L
+    "q92_incremental_window" -> 1500L,
+    // q93: admissions from the sf0.1 increment (1500 docs) under the
+    // same FIXED budgets — the en/de/es/zh caps bind harder as the
+    // corpus grows, so admissions grow sublinearly (42 → 253 is the
+    // within-budget fill, not a row-per-doc law). Oracle parity at all
+    // three SFs when declared (round 16 — the q59 chain + window fill,
+    // no recursive closure, runs at sf0.1).
+    "q93_pipeline_day" -> 253L
   )
 
   sf01Pins.toSeq.sortBy(_._1).foreach { case (name, rows) =>
