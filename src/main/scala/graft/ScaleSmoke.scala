@@ -438,13 +438,16 @@ object ScaleSmoke {
           f"spillMB=${spilled.get / 1e6}%.1f")
       }
       locally {
+        // Round 16 (VERDICT r15 #3): the compaction runs through the
+        // SIZED store wrapper — the q76 sort-class dials, scoped to the
+        // operation (r15 measured the unsized form at 66.35 s / 7.4 GB
+        // spill at 1000×-class; the session's own confs are untouched).
         shuffleWrite.set(0); spilled.set(0)
         val t0 = System.nanoTime()
-        graft.operators.SubstringDedup.compactWindowIndex(
-            graft.operators.SubstringDedup.readWindowIndex(spark, wdir))
-          .write.mode("overwrite").parquet(s"$out/widx_compacted")
+        graft.operators.SubstringDedup.compactWindowIndexStore(
+          spark, wdir, s"$out/widx_compacted")
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"SMOKE q92_compact      sec=$sec%.2f " +
+        println(f"SMOKE q92_compact_sized sec=$sec%.2f " +
           f"shuffleWriteMB=${shuffleWrite.get / 1e6}%.1f " +
           f"spillMB=${spilled.get / 1e6}%.1f")
       }
@@ -989,7 +992,8 @@ object ScaleSmoke {
     // is increment-bounded; the stored indexes are scanned, never
     // shuffled), tracking the sum of the per-family day costs the
     // advance_days / window_days arms measure separately.
-    if (enabled("pipeline_days")) {
+    if (enabled("pipeline_days") || enabled("pipeline_durable") ||
+        enabled("pipeline_arrival")) {
       val docsAll = spark.read.parquet(s"$out/documents.parquet")
         .select("doc_id", "text", "lang")
       val embAll = spark.read.parquet(s"$out/embeddings.parquet")
@@ -1003,7 +1007,8 @@ object ScaleSmoke {
       val cents = graft.operators.Approx.fitSemanticCentroids(
         embAll.filter(!isInc).select(col("doc_id").as("vec_id"), col("embedding")),
         nlist = 8 * copies, fitFraction = math.min(1.0, 50000.0 / nDocs))
-      def day(st: graft.operators.TrainingData.PipelineState, d: DataFrame) =
+      def day(st: graft.operators.TrainingData.PipelineState, d: DataFrame,
+              arrival: Boolean = false) =
         graft.operators.TrainingData.advanceTrainingSet(spark, st, d, bench,
           // Above the total candidate mass (~40 tok x 5k docs x copies):
           // the seed must not exhaust the budget, or the measured days
@@ -1011,8 +1016,78 @@ object ScaleSmoke {
           budgets = Map("en" -> 300000L * copies),
           minQuality = 0.0, maxRepetition = 1.0, minTokens = 1,
           dayEmbeddings = Some(embAll), benchmarkEmbeddings = Some(benchEmb),
-          minCosine = 0.9, substrK = Some(8))
-      locally {
+          minCosine = 0.9, substrK = Some(8), arrivalOrder = arrival)
+      // ---- arrival-order cost parity (round 16, VERDICT r15 #7): the
+      // mode is the same joins with a different literal predicate, so
+      // its day cost must be within noise of id mode. ----
+      if (enabled("pipeline_arrival")) locally {
+        shuffleWrite.set(0); spilled.set(0)
+        val t0 = System.nanoTime()
+        val seeded = day(graft.operators.TrainingData.initPipelineState(spark,
+          substrK = Some(8), semCentroids = Some(cents)),
+          docsAll.filter(!isInc), arrival = true)
+        val n = seeded.admitted.count()
+        println(f"SMOKE pipearr_seed      rows=$n%-9d sec=${(System.nanoTime() - t0) / 1e9}%.2f " +
+          f"shuffleWriteMB=${shuffleWrite.get / 1e6}%.1f spillMB=${spilled.get / 1e6}%.1f")
+        graft.operators.Materialized.free(seeded.admitted)
+        var st = seeded.state
+        (0 until 5).foreach { k =>
+          val dayDf = docsAll.filter(isInc && dayOf === k).localCheckpoint(true)
+          shuffleWrite.set(0); spilled.set(0)
+          val t2 = System.nanoTime()
+          val out2 = day(st, dayDf, arrival = true)
+          val rows = out2.admitted.count()
+          val daySec = (System.nanoTime() - t2) / 1e9
+          st = out2.state
+          graft.operators.Materialized.free(out2.admitted)
+          Thread.sleep(300)
+          println(f"SMOKE pipearr_day$k%-11s rows=$rows%-7d sec=$daySec%.2f " +
+            f"shuffleWriteMB=${shuffleWrite.get / 1e6}%.1f spillMB=${spilled.get / 1e6}%.1f")
+        }
+      }
+      // ---- per-day durable state (round 16, VERDICT r15 #2): the
+      // batch_id= append seam on the COMPOSED loop — load state from
+      // disk before EVERY day (worst-case restart cadence), append the
+      // day's fold frames after. Expected: append cost FLAT per day
+      // (O(day) partition writes over already-materialized blocks,
+      // vs savePipelineState's O(state) rewrite — the seed save below
+      // prints that rewrite cost once for contrast). ----
+      if (enabled("pipeline_durable")) locally {
+        val dDir = s"$out/pipeline_dstate"
+        graft.operators.TrainingData.initDurablePipelineState(spark, dDir,
+          substrK = Some(8), semCentroids = Some(cents))
+        shuffleWrite.set(0); spilled.set(0)
+        val t0 = System.nanoTime()
+        val seeded = day(graft.operators.TrainingData
+          .loadDurablePipelineState(spark, dDir), docsAll.filter(!isInc))
+        val n = seeded.admitted.count()
+        println(f"SMOKE pipedur_seed      rows=$n%-9d sec=${(System.nanoTime() - t0) / 1e9}%.2f " +
+          f"shuffleWriteMB=${shuffleWrite.get / 1e6}%.1f spillMB=${spilled.get / 1e6}%.1f")
+        graft.operators.Materialized.free(seeded.admitted)
+        val t1 = System.nanoTime()
+        graft.operators.TrainingData.appendPipelineDay(spark, dDir, 0L, seeded.folds)
+        println(f"SMOKE pipedur_seedsave  sec=${(System.nanoTime() - t1) / 1e9}%.2f")
+        (1 to 5).foreach { k =>
+          val dayDf = docsAll.filter(isInc && dayOf === (k - 1)).localCheckpoint(true)
+          shuffleWrite.set(0); spilled.set(0)
+          val tL = System.nanoTime()
+          val st = graft.operators.TrainingData.loadDurablePipelineState(spark, dDir)
+          val loadSec = (System.nanoTime() - tL) / 1e9
+          val t2 = System.nanoTime()
+          val out2 = day(st, dayDf)
+          val rows = out2.admitted.count()
+          val daySec = (System.nanoTime() - t2) / 1e9
+          val t3 = System.nanoTime()
+          graft.operators.TrainingData.appendPipelineDay(spark, dDir, k.toLong, out2.folds)
+          val saveSec = (System.nanoTime() - t3) / 1e9
+          graft.operators.Materialized.free(out2.admitted)
+          Thread.sleep(300)
+          println(f"SMOKE pipedur_day${k - 1}%-11s rows=$rows%-7d sec=$daySec%.2f " +
+            f"loadSec=$loadSec%.2f saveSec=$saveSec%.2f " +
+            f"shuffleWriteMB=${shuffleWrite.get / 1e6}%.1f spillMB=${spilled.get / 1e6}%.1f")
+        }
+      }
+      if (enabled("pipeline_days")) locally {
         shuffleWrite.set(0); spilled.set(0)
         val t0 = System.nanoTime()
         val seeded = day(graft.operators.TrainingData.initPipelineState(spark,

@@ -116,7 +116,8 @@ object SparkEntry {
     "q90_index_advance"       -> Extended.q90IndexAdvance _,
     "q91_semantic_advance"    -> Extended.q91SemanticAdvance _,
     "q92_incremental_window"  -> Extended.q92IncrementalWindow _,
-    "q93_pipeline_day"        -> Extended.q93PipelineDay _
+    "q93_pipeline_day"        -> Extended.q93PipelineDay _,
+    "q94_band_occupancy"      -> Extended.q94BandOccupancy _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -368,6 +368,30 @@ object Approx {
     MinHashIndex(sets, bands)
   }
 
+  /** Band-occupancy monitor over a stored [[MinHashIndex]] — the
+    * lexical twin of the semantic family's cell-balance report (q89):
+    * one row per COLLIDING band value, (g, v, n_docs, pair_mass) with
+    * pair_mass = n·(n−1)/2, the candidate pairs that bucket alone
+    * contributes to the screen's band join. An ingest watches the top
+    * of this table per day: band-value saturation (a closed or
+    * converging vocabulary collapsing many docs into few signature
+    * buckets) inflates candidate mass long before it shows up as a
+    * slow day — the 1000×-class smoke measured 8–9× candidate
+    * inflation from exactly this on a closed 5k-word vocabulary, and
+    * this report is how a production loop sees the drift coming.
+    * Scale shape: one hash aggregation over the band frame (four rows
+    * per indexed doc, never text), output bounded by colliding values
+    * only. Exact BIGINT arithmetic end to end — declared as the
+    * oracle-checked q94. */
+  def bandOccupancy(index: MinHashIndex): DataFrame =
+    index.bands
+      .select(col("g").cast("long").as("g"), col("v"))
+      .groupBy("g", "v")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("g"), col("v"), col("n_docs"),
+        expr("n_docs * (n_docs - 1) DIV 2").as("pair_mass"))
+
   def incrementalDedup(spark: SparkSession, index: DataFrame,
                        increment: DataFrame): DataFrame =
     incrementalDedup(spark,

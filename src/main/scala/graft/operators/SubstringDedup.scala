@@ -344,12 +344,14 @@ object SubstringDedup {
     * partitions, batch_id dropped) — the screens take it as-is,
     * merge-on-read. */
   def readWindowIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                      md5Keys: Boolean = false): DataFrame = {
+                      md5Keys: Boolean = false,
+                      beforeBatch: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.types._
     val hType: DataType = if (md5Keys) StringType else LongType
     graft.sources.StateStore.readFolded(spark, dir, StructType(Seq(
       StructField("h", hType), StructField("n_inst", LongType),
-      StructField("own", LongType), StructField("k", IntegerType))))
+      StructField("own", LongType), StructField("k", IntegerType))),
+      beforeBatch)
   }
 
   /** Per-increment-document duplication profile against a stored

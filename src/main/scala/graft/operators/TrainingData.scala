@@ -499,14 +499,43 @@ object TrainingData {
       semantic: Option[Approx.SemanticIndex],
       ledger: Map[String, Long])
 
+  /** ONE day's fold increments — the O(day) frames
+    * [[advanceTrainingSet]] unioned into the returned state, exposed
+    * separately so a durable loop can persist the day as `batch_id=`
+    * partition appends ([[appendPipelineDay]]) instead of the
+    * O(state) rewrite [[savePipelineState]] pays. Every frame is
+    * already localCheckpointed by the day's run (writing it re-reads
+    * materialized blocks, no recompute):
+    *  - `fps` — the day's KEPT fingerprints (day-unique,
+    *    state-disjoint: appending preserves the set property).
+    *  - `sets`/`bands` — the day's MinHash signature frames; `bands`
+    *    carries `inc = true` (the folded-increment provenance
+    *    [[Approx.advanceIndexPrebuilt]] stamps).
+    *  - `window` — the day's window aggregate (the log-structured
+    *    index's per-day partition, [[SubstringDedup.appendWindowIndexDay]]'s
+    *    shape), present iff the pipeline runs stage 3b.
+    *  - `vectors` — the day's cell-assigned vectors, present iff the
+    *    pipeline runs the semantic stages.
+    *  - `ledgerDelta` — the day's candidate tokens per budgeted lang;
+    *    the cumulative ledger is the SUM of deltas over folded days. */
+  final case class DayFolds(
+      fps: DataFrame,
+      sets: DataFrame,
+      bands: DataFrame,
+      window: Option[DataFrame],
+      vectors: Option[DataFrame],
+      ledgerDelta: Map[String, Long])
+
   /** One day's outcome: `admitted` — the docs that cleared every
     * screen AND fit the remaining mixture budget, as (doc_id, lang,
     * n_tokens, cum_before, pick_pos) with day-relative fill columns
-    * (global position = ledger + cum_before) — and the advanced
-    * `state`. Feed `admitted` to [[Packing.packSequences]] /
+    * (global position = ledger + cum_before) — the advanced `state`,
+    * and the day's own fold frames (`folds`) for per-day durable
+    * persistence. Feed `admitted` to [[Packing.packSequences]] /
     * [[shardTrainingSet]] on the training launcher's schedule; release
     * its backing layout with [[Materialized.free]] when done. */
-  final case class DayAdmission(admitted: DataFrame, state: PipelineState)
+  final case class DayAdmission(admitted: DataFrame, state: PipelineState,
+                                folds: DayFolds)
 
   /** Day-zero state: empty indexes (a first day screens against
     * nothing and folds itself in — no seed corpus needed; to seed from
@@ -654,8 +683,8 @@ object TrainingData {
     // lineage reference into exactKept's full-width checkpoint would
     // pin every day's surviving text in block storage for the state's
     // lifetime — O(corpus text) retained where O(fp set) is meant.
-    val newFps = state.fingerprints.unionByName(
-      exactKept.select(col("clean_fp")).localCheckpoint(true))
+    val keptFps = exactKept.select(col("clean_fp")).localCheckpoint(true)
+    val newFps = state.fingerprints.unionByName(keptFps)
 
     // 3. Lexical near-dup screen + fold. ALL exact survivors fold
     // (near-dup is not transitive — a dropped dup still shadows later
@@ -704,12 +733,16 @@ object TrainingData {
         else stage
       case _ => lexKept
     }
-    val newWindow = (substrK, state.window) match {
-      case (Some(k), Some(widx)) =>
-        Some(SubstringDedup.advanceWindowIndexPrebuilt(widx,
-          SubstringDedup.buildWindowIndex(
-            lexKept.select(col("doc_id"), col("text")), k)
-            .localCheckpoint(true), k))
+    val dayWindow = (substrK, state.window) match {
+      case (Some(k), Some(_)) =>
+        Some(SubstringDedup.buildWindowIndex(
+          lexKept.select(col("doc_id"), col("text")), k)
+          .localCheckpoint(true))
+      case _ => None
+    }
+    val newWindow = (substrK, state.window, dayWindow) match {
+      case (Some(k), Some(widx), Some(dw)) =>
+        Some(SubstringDedup.advanceWindowIndexPrebuilt(widx, dw, k))
       case _ => None
     }
 
@@ -729,6 +762,7 @@ object TrainingData {
     // (cosine is not transitive). Docs without a vector pass unjudged,
     // the batch convention.
     var newSemantic = state.semantic
+    var dayVectors: Option[DataFrame] = None
     val clean = dayEmbeddings match {
       case None => lexClean
       case Some(embAll) =>
@@ -741,6 +775,7 @@ object TrainingData {
             afterDecon.select(col("doc_id").as("vec_id"), col("embedding")),
             semIdx.centroids)
           .vectors.localCheckpoint(true)
+        dayVectors = Some(dayAssigned)
         val keepers = Approx.incrementalSemanticDedup(semIdx,
             dayAssigned.select(col("vec_id"), col("embedding")), minCosine,
             arrivalOrder)
@@ -796,15 +831,17 @@ object TrainingData {
     Materialized.free(lexKept)
     if (substrK.isDefined && substrStageSizing) Materialized.free(afterSubstr)
     DayAdmission(admitted,
-      PipelineState(newFps, newMinhash, newWindow, newSemantic, newLedger))
+      PipelineState(newFps, newMinhash, newWindow, newSemantic, newLedger),
+      DayFolds(keptFps, daySets, dayBands.withColumn("inc", lit(true)),
+        dayWindow, dayVectors, dayTokens))
   }
 
   /** Persist a [[PipelineState]] (full-rewrite, checkpoint
-    * granularity — for per-day O(day) durability append each day's
-    * fold frames as `batch_id=` partitions via
-    * [[graft.sources.StateStore]] instead, the streaming twins' seam).
-    * Empty frames write through one empty task so the read-back never
-    * hits a data-less directory. */
+    * granularity — for per-day O(day) durability use
+    * [[initDurablePipelineState]] / [[appendPipelineDay]] /
+    * [[loadDurablePipelineState]], which append each day's fold frames
+    * as `batch_id=` partitions). Empty frames write through one empty
+    * task so the read-back never hits a data-less directory. */
   def savePipelineState(spark: SparkSession, state: PipelineState,
                         dir: String): Unit = {
     def writeTable(df: DataFrame, path: String): Unit = {
@@ -843,5 +880,120 @@ object TrainingData {
         else None,
       ledger = spark.read.parquet(s"$dir/ledger").collect()
         .map(r => r.getAs[String]("lang") -> r.getAs[Long]("used_tokens")).toMap)
+  }
+
+  // =====================================================================
+  // PER-DAY durable state (round 16): the `batch_id=` append seam
+  // applied to the COMPOSED pipeline. A long-lived ingest loop does
+  //   init once → { load → advanceTrainingSet → append(day) } per day
+  // paying O(day) writes per day instead of savePipelineState's
+  // O(state) rewrite, and a restart resumes from the last fully
+  // appended day (dynamic partition overwrite makes a RETRIED day
+  // replace its own partitions — idempotent, the StateStore contract).
+  // A crash strictly between a day's partition writes leaves that day
+  // torn; rerunning the SAME day heals it (every subdir's batch_id=N
+  // is rewritten), so the caller's restart rule is "re-run the last
+  // day you cannot prove committed" — same as the streaming twins.
+
+  /** Create a durable state directory. Only the OPTIONAL stages need
+    * day-zero artifacts: the window marker pins stage 3b on (and its
+    * k, validated by the in-data k column on every later append) and
+    * the frozen quantizer persists once — everything else starts as
+    * "no partitions folded yet", which [[loadDurablePipelineState]]
+    * reads as empty state. `substrK` / `semCentroids` decide the
+    * stages exactly as [[initPipelineState]] does. */
+  def initDurablePipelineState(spark: SparkSession, dir: String,
+                               substrK: Option[Int] = None,
+                               semCentroids: Option[Seq[Seq[Double]]] = None): Unit = {
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    substrK.foreach { k =>
+      graft.sources.StateStore.writePartition(
+        SubstringDedup.buildWindowIndex(emptyDocs, k), s"$dir/window", 0L)
+    }
+    semCentroids.foreach { c =>
+      Approx.semanticCentroidsDF(spark, c)
+        .write.mode("overwrite").parquet(s"$dir/centroids")
+    }
+  }
+
+  /** Append ONE day's fold frames ([[DayAdmission.folds]]) as the
+    * `batch_id = batchId` partition of each state table — O(day)
+    * writes over already-materialized blocks, no rewrite of prior
+    * days. The ledger persists as per-day DELTAS (the cumulative value
+    * is their sum — associative, so replay/retry order cannot corrupt
+    * it). Call with a UNIQUE, monotonically assigned batchId per day;
+    * retrying a day with the same batchId replaces its partitions. */
+  def appendPipelineDay(spark: SparkSession, dir: String, batchId: Long,
+                        folds: DayFolds): Unit = {
+    import graft.sources.StateStore
+    StateStore.writePartition(folds.fps, s"$dir/fingerprints", batchId)
+    StateStore.writePartition(folds.sets, s"$dir/sets", batchId)
+    StateStore.writePartition(folds.bands, s"$dir/bands", batchId)
+    folds.window.foreach(w => StateStore.writePartition(w, s"$dir/window", batchId))
+    folds.vectors.foreach(v => StateStore.writePartition(v, s"$dir/vectors", batchId))
+    import spark.implicits._
+    StateStore.writePartition(
+      folds.ledgerDelta.toSeq.toDF("lang", "day_tokens"), s"$dir/ledger", batchId)
+  }
+
+  /** Reload a per-day durable state directory into a
+    * [[PipelineState]]. Reads are explicit-schema folded scans (a
+    * data-less or not-yet-created table is EMPTY state, never a schema
+    * inference crash); optional stages resume exactly as initialized —
+    * window iff the init marker/partitions exist, semantic iff the
+    * frozen quantizer does. `md5Fps` must match the loop's
+    * [[advanceTrainingSet]] calls (it decides the fingerprint column's
+    * type — the same caller-owned family contract as the window
+    * index's `md5Keys`). Schemas are derived from the live builders
+    * over empty inputs, so a signature-frame schema change cannot
+    * silently diverge from what the loader expects.
+    *
+    * `beforeBatch` bounds every folded read at `batch_id < bound`
+    * (partition-pruned) — the retry fence for an exactly-once
+    * microbatch consumer: batch N loads state bounded at N, so a
+    * crashed attempt's partial append of batch N is invisible to the
+    * retry (without the fence, the fingerprint screen would see the
+    * batch's OWN fps and drop every doc as already-ingested). Seed the
+    * store at NEGATIVE batch ids so seeds stay visible to batch 0. */
+  def loadDurablePipelineState(spark: SparkSession, dir: String,
+                               md5Fps: Boolean = false,
+                               beforeBatch: Option[Long] = None): PipelineState = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.sources.StateStore
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val (refSets, refBands) = Approx.md5SetsAndBands(spark, emptyDocs)
+    val fpType: DataType = if (md5Fps) StringType else LongType
+    val bandsSchema = StructType(refBands.schema.fields :+
+      StructField("inc", BooleanType))
+    val semantic =
+      if (StateStore.exists(spark, s"$dir/centroids")) {
+        val cents = Approx.semanticCentroidsFromDF(
+          spark.read.parquet(s"$dir/centroids"))
+        val vecSchema = Approx.buildSemanticIndex(
+          Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"), cents)
+          .vectors.schema
+        Some(Approx.SemanticIndex(
+          StateStore.readFolded(spark, s"$dir/vectors", vecSchema, beforeBatch),
+          cents))
+      } else None
+    PipelineState(
+      fingerprints = StateStore.readFolded(spark, s"$dir/fingerprints",
+        StructType(Seq(StructField("clean_fp", fpType))), beforeBatch),
+      minhash = Approx.MinHashIndex(
+        StateStore.readFolded(spark, s"$dir/sets", refSets.schema, beforeBatch),
+        StateStore.readFolded(spark, s"$dir/bands", bandsSchema, beforeBatch)),
+      window =
+        if (StateStore.exists(spark, s"$dir/window"))
+          Some(SubstringDedup.readWindowIndex(spark, s"$dir/window",
+            beforeBatch = beforeBatch))
+        else None,
+      semantic = semantic,
+      ledger = StateStore.readFolded(spark, s"$dir/ledger", StructType(Seq(
+          StructField("lang", StringType), StructField("day_tokens", LongType))),
+          beforeBatch)
+        .groupBy("lang").agg(sum("day_tokens").as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
   }
 }

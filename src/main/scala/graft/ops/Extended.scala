@@ -1332,4 +1332,21 @@ object Extended {
         md5Fps = true)
       .admitted.orderBy("doc_id")
   }
+
+  /** q94: the lexical band-occupancy monitor
+    * ([[graft.operators.Approx.bandOccupancy]]) over the whole corpus's
+    * MinHash index — one row per COLLIDING band value with its doc
+    * count and the candidate-pair mass that bucket feeds the screen's
+    * band join (q89's cell-balance report, lexical edition: the
+    * observability an ingest needs to catch band-value saturation
+    * before it costs a day's wall). The band values are the q59
+    * family's verbatim — comma-joined (a·x+b) mod p minhash runs, a
+    * STRING both engines render identically — and the counts/masses
+    * are exact BIGINT arithmetic, so the whole report value-checks
+    * against the shared q59 chain's `bd` CTE. */
+  def q94BandOccupancy(s: SparkSession, d: String): DataFrame =
+    graft.operators.Approx.bandOccupancy(
+        graft.operators.Approx.buildMinHashIndex(s,
+          documents(s, d).select(col("doc_id"), col("text"))))
+      .orderBy("g", "v")
 }

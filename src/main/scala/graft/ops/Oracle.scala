@@ -1595,6 +1595,20 @@ object Oracle {
         |ORDER BY doc_id""".stripMargin
     },
 
+    // q94: the lexical band-occupancy monitor — per colliding band
+    // value, doc count and candidate-pair mass, straight off the shared
+    // q59 chain's `bd` CTE (the band values are its comma-joined
+    // VARCHAR aggregates, byte-identical across engines; the unused
+    // downstream CTEs are defined but never referenced, so they do not
+    // execute). Integer-exact throughout (`//` is BIGINT division and
+    // n·(n−1) is always even).
+    "q94_band_occupancy" -> ("WITH " + minhashChainCtes +
+      """
+        |SELECT CAST(g AS BIGINT) AS g, v, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS pair_mass
+        |FROM bd GROUP BY g, v HAVING count(*) >= 2
+        |ORDER BY g, v""".stripMargin),
+
     // q89: quantizer-cell balance — the shared q84 cell CASE, exact
     // integer counts, and the share as an IEEE double division of two
     // BIGINTs (exactly rounded, identical in both engines) through the

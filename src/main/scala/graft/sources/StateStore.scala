@@ -43,13 +43,26 @@ object StateStore {
     * batch_id) — passed explicitly so a data-less directory yields an
     * empty frame instead of an inference error. A path that does not
     * exist yet also yields an empty frame: "nothing folded" is a
-    * normal state, not an error. */
+    * normal state, not an error.
+    *
+    * `beforeBatch` restricts the read to partitions with
+    * `batch_id < bound` — a PARTITION-PRUNED filter (no data files of
+    * excluded batches are touched). This is the retry fence a
+    * foreachBatch consumer needs: a retried batch N that loads state
+    * bounded at N cannot see its own crashed attempt's partial append,
+    * so fold-then-screen operators whose screens are NOT
+    * self-pair-proof (the composed pipeline's fingerprint set) stay
+    * idempotent under the exactly-once contract. */
   def readFolded(spark: SparkSession, path: String,
-                 dataSchema: StructType): DataFrame =
+                 dataSchema: StructType,
+                 beforeBatch: Option[Long] = None): DataFrame =
     if (!exists(spark, path))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         dataSchema)
-    else
-      spark.read.schema(dataSchema.add("batch_id", LongType))
-        .parquet(path).drop("batch_id")
+    else {
+      val all = spark.read.schema(dataSchema.add("batch_id", LongType))
+        .parquet(path)
+      beforeBatch.fold(all)(b => all.filter(col("batch_id") < b))
+        .drop("batch_id")
+    }
 }

@@ -176,7 +176,12 @@ class GoldenCountsSpec extends SparkSpec {
     // lexical near-dup screen, and the q69 budget fill; every value
     // oracle-matched (the md5Fps declared-twin family makes all three
     // stages engine-expressible).
-    "q93_pipeline_day" -> 42
+    "q93_pipeline_day" -> 42,
+    // q94 (round 16): one row per COLLIDING MinHash band value — the
+    // lexical band-occupancy monitor (q89's twin); band values, doc
+    // counts, and pair masses oracle-matched against the shared q59
+    // chain's bd CTE.
+    "q94_band_occupancy" -> 115
   )
 
   test("queries/oracleSql keys line up") {
@@ -360,7 +365,14 @@ class GoldenCountsSpec extends SparkSpec {
     // within-budget fill, not a row-per-doc law). Oracle parity at all
     // three SFs when declared (round 16 — the q59 chain + window fill,
     // no recursive closure, runs at sf0.1).
-    "q93_pipeline_day" -> 253L
+    "q93_pipeline_day" -> 253L,
+    // q94: colliding band values grow with corpus size but far slower
+    // than docs (most buckets stay singletons; the planted near-dup
+    // family concentrates into a few heavy buckets — the exact shape
+    // the monitor exists to surface). Oracle parity at all three SFs
+    // when declared (round 16; one GROUP BY off the q59 chain's band
+    // CTE, no recursive closure).
+    "q94_band_occupancy" -> 537L
   )
 
   sf01Pins.toSeq.sortBy(_._1).foreach { case (name, rows) =>

@@ -844,6 +844,90 @@ class StreamingSpec extends SparkSpec {
       "semantic verdicts after an empty-first batch diverged")
   }
 
+  test("streaming COMPOSED pipeline == driver-loop replay, across a restart and a retried batch") {
+    import spark.implicits._
+    // The composed twin (VERDICT r15 #4): each microbatch is one
+    // advanceTrainingSet day against the per-day durable state dir,
+    // fenced at batch_id < id. Four id-monotone day batches, every
+    // stage on: the first two through a REAL stream, then a "restart"
+    // (fresh driver calls over only-disk state) drives the rest through
+    // the foreachBatch body — including a RETRY of an already-committed
+    // batch id, which must re-emit its original admissions (the load
+    // fence hides its own crashed-attempt append) and leave the final
+    // state unchanged. Admission union must equal the in-memory driver
+    // loop's.
+    val docs = graft.ops.Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "lang")
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val benchmark = docs.filter(col("doc_id") < 3).select("text")
+    val benchEmb = emb.filter(col("doc_id") < 3).select("embedding")
+    val cents = graft.ops.Extended.Q84Centroids.map(_.map(_.toDouble))
+    val big = Map("en" -> 100000000L, "de" -> 100000000L, "es" -> 100000000L,
+      "fr" -> 100000000L, "zh" -> 100000000L)
+    val rows = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    val batches = rows.grouped(math.max(1, (rows.length + 3) / 4)).toSeq
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "lang", "n_tokens").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // Reference: the in-memory driver loop, same config.
+    var st = graft.operators.TrainingData.initPipelineState(spark,
+      substrK = Some(8), semCentroids = Some(cents))
+    val ref = batches.flatMap { b =>
+      val out = graft.operators.TrainingData.advanceTrainingSet(spark, st,
+        b.toSeq.toDF("doc_id", "text", "lang"), benchmark, big,
+        dayEmbeddings = Some(emb), benchmarkEmbeddings = Some(benchEmb),
+        substrK = Some(8))
+      st = out.state
+      triples(out.admitted)
+    }
+    assert(ref.nonEmpty)
+    // Stream: batches 0-1 through a real foreachBatch stream.
+    val dir = java.nio.file.Files.createTempDirectory("graft_spipe").toString
+    graft.operators.TrainingData.initDurablePipelineState(spark, dir,
+      substrK = Some(8), semCentroids = Some(cents))
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String, String)]
+    val got = scala.collection.mutable.Map.empty[Long, Seq[(Long, String, Long)]]
+    val q = graft.streaming.StreamingTrainingPipeline.writer(spark, dir,
+      stream.toDF().toDF("doc_id", "text", "lang"), benchmark, big,
+      embeddings = Some(emb), benchmarkEmbeddings = Some(benchEmb),
+      substrK = Some(8)) { (id, adm) =>
+        got.synchronized { got(id) = triples(adm).toSeq }
+    }.start()
+    try batches.take(2).foreach { b => stream.addData(b.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    // RETRY batch 1 (its partitions are already committed): the fence
+    // must reproduce its admissions exactly and overwrite in place.
+    val retry = triples(graft.streaming.StreamingTrainingPipeline.processBatch(
+      spark, dir, batches(1).toSeq.toDF("doc_id", "text", "lang"), 1L,
+      benchmark, big, embeddings = Some(emb),
+      benchmarkEmbeddings = Some(benchEmb), substrK = Some(8)))
+    assert(retry.toSeq === got(1L),
+      "a retried batch re-emitted different admissions — the load fence leaked")
+    // Restart: the remaining batches as fresh driver calls over the
+    // same stateDir (the memory source cannot resume a checkpoint; ids
+    // continue monotonically, the real checkpoint's behavior).
+    batches.zipWithIndex.drop(2).foreach { case (b, i) =>
+      got(i.toLong) = triples(graft.streaming.StreamingTrainingPipeline
+        .processBatch(spark, dir, b.toSeq.toDF("doc_id", "text", "lang"),
+          i.toLong, benchmark, big, embeddings = Some(emb),
+          benchmarkEmbeddings = Some(benchEmb), substrK = Some(8))).toSeq
+    }
+    val streamed = got.values.flatten.toSeq.sortBy(_._1)
+    assert(streamed === ref.sortBy(_._1).toSeq,
+      "streamed composed-pipeline admissions diverged from the driver loop")
+    // The post-retry durable state still screens: a re-feed of the last
+    // batch at a LATER id admits nothing (every fp already folded).
+    val refeed = graft.streaming.StreamingTrainingPipeline.processBatch(
+      spark, dir, batches.last.toSeq.toDF("doc_id", "text", "lang"), 99L,
+      benchmark, big, embeddings = Some(emb),
+      benchmarkEmbeddings = Some(benchEmb), substrK = Some(8))
+    assert(refeed.count() === 0L,
+      "a re-fed batch passed the durable fingerprint screen")
+  }
+
   test("Graft facade: registerTables + SQL + named operator") {
     Graft.registerTables(spark, sf0001)
     val viaSql = spark.sql(

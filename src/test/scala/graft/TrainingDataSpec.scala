@@ -394,6 +394,67 @@ class TrainingDataSpec extends SparkSpec {
     assert(d3.state.ledger.values.sum > 0L)
   }
 
+  test("incremental pipeline: per-day durable state — restart mid-replay ≡ uninterrupted, retried day idempotent") {
+    // The O(day) durability seam (VERDICT r15 #2): a loop that appends
+    // each day's fold frames as batch_id= partitions and reloads state
+    // from disk EVERY day (the worst-case restart cadence — each day is
+    // a fresh driver) must admit exactly what the in-memory driver loop
+    // admits, including across a re-appended (retried) day, with every
+    // stage on.
+    val docs = graft.ops.Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "lang")
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val benchmark = docs.filter(col("doc_id") < 3).select("text")
+    val benchEmb = emb.filter(col("doc_id") < 3).select("embedding")
+    val cents = graft.ops.Extended.Q84Centroids.map(_.map(_.toDouble))
+    val big = Map("en" -> 100000000L, "de" -> 100000000L, "es" -> 100000000L,
+      "fr" -> 100000000L, "zh" -> 100000000L)
+    def day(st: TrainingData.PipelineState,
+            d: org.apache.spark.sql.DataFrame): TrainingData.DayAdmission =
+      TrainingData.advanceTrainingSet(spark, st, d, benchmark, big,
+        dayEmbeddings = Some(emb), benchmarkEmbeddings = Some(benchEmb),
+        substrK = Some(8))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cuts = Seq(ids(ids.length / 3), ids(2 * ids.length / 3))
+    val days = Seq(
+      docs.filter(col("doc_id") <= cuts(0)),
+      docs.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
+      docs.filter(col("doc_id") > cuts(1)))
+    // Reference: the in-memory driver loop.
+    var st = TrainingData.initPipelineState(spark,
+      substrK = Some(8), semCentroids = Some(cents))
+    val ref = days.flatMap { d =>
+      val out = day(st, d); st = out.state; admittedTriples(out.admitted)
+    }
+    assert(ref.nonEmpty)
+    // Durable loop: load-from-disk before EVERY day, append after.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dstate").toString
+    TrainingData.initDurablePipelineState(spark, dir,
+      substrK = Some(8), semCentroids = Some(cents))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    days.zipWithIndex.foreach { case (d, i) =>
+      val out = day(TrainingData.loadDurablePipelineState(spark, dir), d)
+      TrainingData.appendPipelineDay(spark, dir, i.toLong, out.folds)
+      if (i == 1) // retried day: the SAME batch id re-appends in place
+        TrainingData.appendPipelineDay(spark, dir, i.toLong, out.folds)
+      got ++= admittedTriples(out.admitted)
+    }
+    assert(got.sortBy(_._1).toSeq === ref.sortBy(_._1).toSeq,
+      "durable per-day replay diverged from the in-memory loop")
+    // The final reloaded state resumed every stage and the summed
+    // ledger deltas equal the in-memory cumulative ledger.
+    val fin = TrainingData.loadDurablePipelineState(spark, dir)
+    assert(fin.window.isDefined && fin.semantic.isDefined)
+    assert(fin.ledger === st.ledger,
+      "summed ledger deltas diverged from the in-memory ledger")
+    // And the durable state keeps screening: an exact re-feed of day 3
+    // admits nothing new (every fp is folded).
+    val refeed = day(fin, days(2))
+    assert(refeed.admitted.count() === 0L,
+      "a re-fed day passed the durable fingerprint screen")
+  }
+
   test("incremental pipeline: ledger admission == one prefix cut over (day, rk) order") {
     // Tight budgets that BIND mid-replay: the union of day admissions
     // must equal the quota prefix over the (arrival day, salted rk)
