@@ -1086,6 +1086,30 @@ object ScaleSmoke {
             f"loadSec=$loadSec%.2f saveSec=$saveSec%.2f " +
             f"shuffleWriteMB=${shuffleWrite.get / 1e6}%.1f spillMB=${spilled.get / 1e6}%.1f")
         }
+        // Generation roll (round 16): the periodic O(state)
+        // consolidation of the six folded day partitions into one, then
+        // the next load off the compacted store — load cost should DROP
+        // (fewer partitions, window rows pre-merged), and the screen
+        // keeps working (re-feeding day 5 admits nothing).
+        locally {
+          shuffleWrite.set(0); spilled.set(0)
+          val t0 = System.nanoTime()
+          graft.operators.TrainingData.compactPipelineState(
+            spark, dDir, s"$out/pipeline_dstate_c", asOfBatch = 5L)
+          val compactSec = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val st = graft.operators.TrainingData.loadDurablePipelineState(
+            spark, s"$out/pipeline_dstate_c")
+          val loadSec = (System.nanoTime() - t1) / 1e9
+          val t2 = System.nanoTime()
+          val refeed = day(st, docsAll.filter(isInc && dayOf === 4).localCheckpoint(true))
+          val rows = refeed.admitted.count()
+          val daySec = (System.nanoTime() - t2) / 1e9
+          graft.operators.Materialized.free(refeed.admitted)
+          println(f"SMOKE pipedur_compact   rows=$rows%-7d sec=$compactSec%.2f " +
+            f"loadSec=$loadSec%.2f refeedSec=$daySec%.2f " +
+            f"shuffleWriteMB=${shuffleWrite.get / 1e6}%.1f spillMB=${spilled.get / 1e6}%.1f")
+        }
       }
       if (enabled("pipeline_days")) locally {
         shuffleWrite.set(0); spilled.set(0)

@@ -996,4 +996,87 @@ object TrainingData {
         .groupBy("lang").agg(sum("day_tokens").as("t"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
   }
+
+  /** Roll a per-day durable state directory into a fresh ONE-generation
+    * store at `outDir` — the composed twin of
+    * [[SubstringDedup.compactWindowIndexStore]]. A long-lived ingest
+    * appends one `batch_id=` partition per table per day; after
+    * hundreds of days the scan-planning cost of those partitions (and,
+    * for the window table, the merge-on-read row multiplicity) is the
+    * classic small-files tax, so the store wants a periodic O(state)
+    * consolidation on the OPERATOR'S schedule — correctness never
+    * requires it (every reader folds partitions already).
+    *
+    * What compaction does per table: fingerprints / sets / bands /
+    * vectors are plain unions across days (set-property and verdicts
+    * are partition-layout-independent), so they rewrite verbatim into
+    * one partition — no distinct, no aggregation (each day's fps are
+    * state-disjoint by the fp screen, day-unique by its keep-first);
+    * the window table is the one real merge (count-sum / owner-min via
+    * [[SubstringDedup.compactWindowIndex]], run under the substring
+    * stage's measured sizing dials — the q76 sort class); ledger
+    * deltas sum to ONE cumulative row per lang, which is itself a
+    * valid delta set. The frozen quantizer copies verbatim.
+    *
+    * `asOfBatch` is the caller's commitment point: partitions with
+    * `batch_id <= asOfBatch` consolidate into a single partition AT
+    * `batch_id = asOfBatch`, so every later batch's retry fence
+    * (`loadDurablePipelineState(beforeBatch = N)`, N > asOfBatch) sees
+    * the compacted generation exactly as it saw the original days.
+    * Compact only batches the consumer can never retry (a streaming
+    * twin: ids its checkpoint has committed past) — a batch
+    * <= asOfBatch retried against the compacted store would load part
+    * of its OWN fold as prior state and screen itself out. Later
+    * partitions are NOT carried: run at a quiescent point with
+    * asOfBatch = the last committed batch (the normal case), exactly
+    * like the window store's compaction. Writes to a NEW directory for
+    * the same reason compactWindowIndexStore does: rewriting a store
+    * in place while readers exist is unsafe and non-atomic — the
+    * caller swaps generations (rename or config flip) on its own
+    * schedule, and a crash mid-compaction leaves the source intact. */
+  def compactPipelineState(spark: SparkSession, dir: String, outDir: String,
+                           asOfBatch: Long, md5Fps: Boolean = false): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.sources.StateStore
+    val bound = Some(asOfBatch + 1L)
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val (refSets, refBands) = Approx.md5SetsAndBands(spark, emptyDocs)
+    val fpType: DataType = if (md5Fps) StringType else LongType
+    def roll(sub: String, schema: StructType): Unit =
+      if (StateStore.exists(spark, s"$dir/$sub"))
+        StateStore.writePartition(
+          StateStore.readFolded(spark, s"$dir/$sub", schema, bound),
+          s"$outDir/$sub", asOfBatch)
+    roll("fingerprints", StructType(Seq(StructField("clean_fp", fpType))))
+    roll("sets", refSets.schema)
+    roll("bands", StructType(refBands.schema.fields :+
+      StructField("inc", BooleanType)))
+    if (StateStore.exists(spark, s"$dir/centroids")) {
+      val centDf = spark.read.parquet(s"$dir/centroids").localCheckpoint()
+      val cents = Approx.semanticCentroidsFromDF(centDf)
+      centDf.write.mode("overwrite").parquet(s"$outDir/centroids")
+      roll("vectors", Approx.buildSemanticIndex(
+        Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"), cents)
+        .vectors.schema)
+    }
+    // Window keys in the composed store are always the long variant
+    // (loadDurablePipelineState's contract); the k-uniformity guard
+    // rides compactWindowIndex's output.
+    if (StateStore.exists(spark, s"$dir/window"))
+      withScopedConfs(spark, SubstrStageConfs) {
+        StateStore.writePartition(
+          SubstringDedup.compactWindowIndex(
+            SubstringDedup.readWindowIndex(spark, s"$dir/window",
+              beforeBatch = bound)),
+          s"$outDir/window", asOfBatch)
+      }
+    if (StateStore.exists(spark, s"$dir/ledger"))
+      StateStore.writePartition(
+        StateStore.readFolded(spark, s"$dir/ledger", StructType(Seq(
+            StructField("lang", StringType),
+            StructField("day_tokens", LongType))), bound)
+          .groupBy("lang").agg(sum("day_tokens").as("day_tokens")),
+        s"$outDir/ledger", asOfBatch)
+  }
 }

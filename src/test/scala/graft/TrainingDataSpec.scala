@@ -455,6 +455,85 @@ class TrainingDataSpec extends SparkSpec {
       "a re-fed day passed the durable fingerprint screen")
   }
 
+  test("incremental pipeline: compacted durable store ≡ original — one generation per table, same screens, same ledger") {
+    // compactPipelineState (round 16): rolling N day partitions into a
+    // single batch_id = asOfBatch generation must be invisible to every
+    // consumer — the next day screens and admits identically off either
+    // store, the summed ledger is unchanged, the retry fence of the
+    // first POST-compaction batch still excludes that batch's own
+    // append, and the store keeps advancing (appends land beside the
+    // compacted generation).
+    val docs = graft.ops.Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "lang")
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val benchmark = docs.filter(col("doc_id") < 3).select("text")
+    val benchEmb = emb.filter(col("doc_id") < 3).select("embedding")
+    val cents = graft.ops.Extended.Q84Centroids.map(_.map(_.toDouble))
+    val big = Map("en" -> 100000000L, "de" -> 100000000L, "es" -> 100000000L,
+      "fr" -> 100000000L, "zh" -> 100000000L)
+    def day(st: TrainingData.PipelineState,
+            d: org.apache.spark.sql.DataFrame): TrainingData.DayAdmission =
+      TrainingData.advanceTrainingSet(spark, st, d, benchmark, big,
+        dayEmbeddings = Some(emb), benchmarkEmbeddings = Some(benchEmb),
+        substrK = Some(8))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cuts = Seq(ids(ids.length / 3), ids(2 * ids.length / 3))
+    val days = Seq(
+      docs.filter(col("doc_id") <= cuts(0)),
+      docs.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
+      docs.filter(col("doc_id") > cuts(1)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cstate").toString
+    TrainingData.initDurablePipelineState(spark, dir,
+      substrK = Some(8), semCentroids = Some(cents))
+    days.take(2).zipWithIndex.foreach { case (d, i) =>
+      TrainingData.appendPipelineDay(spark, dir, i.toLong,
+        day(TrainingData.loadDurablePipelineState(spark, dir), d).folds)
+    }
+    val comp = java.nio.file.Files.createTempDirectory("graft_cstate2").toString
+    TrainingData.compactPipelineState(spark, dir, comp, asOfBatch = 1L)
+    // One generation per table: exactly the batch_id=1 partition (the
+    // window marker's batch 0 and both day appends are consolidated).
+    Seq("fingerprints", "sets", "bands", "vectors", "window", "ledger")
+      .foreach { t =>
+        val d = new java.io.File(s"$comp/$t")
+        assert(d.exists, s"compacted store is missing table $t")
+        val parts = d.listFiles().filter(f =>
+          f.isDirectory && f.getName.startsWith("batch_id=")).map(_.getName)
+        assert(parts.toSeq.sorted === (
+            // zero-row tables (an all-admitted run has no shadowed fps
+            // etc.) commit the directory but write no partition dir —
+            // still a valid, loadable generation
+            if (parts.isEmpty) Seq.empty[String] else Seq("batch_id=1")),
+          s"compacted $t holds partitions ${parts.toSeq} — expected the " +
+            "single asOfBatch generation")
+      }
+    val stO = TrainingData.loadDurablePipelineState(spark, dir)
+    val stC = TrainingData.loadDurablePipelineState(spark, comp)
+    assert(stC.ledger === stO.ledger,
+      "compaction changed the summed ledger")
+    assert(stC.window.isDefined && stC.semantic.isDefined,
+      "compaction dropped an optional stage's artifacts")
+    val outO = day(stO, days(2))
+    val outC = day(stC, days(2))
+    assert(admittedTriples(outC.admitted).sortBy(_._1).toSeq ===
+        admittedTriples(outO.admitted).sortBy(_._1).toSeq,
+      "day 3 admitted differently off the compacted store")
+    // The compacted store keeps advancing, and the first post-compaction
+    // batch's retry fence (batch_id < 2) sees exactly the asOfBatch
+    // generation — a retried day 3 re-admits its original docs.
+    TrainingData.appendPipelineDay(spark, comp, 2L, outC.folds)
+    val retry = day(TrainingData.loadDurablePipelineState(spark, comp,
+      beforeBatch = Some(2L)), days(2))
+    assert(admittedTriples(retry.admitted).sortBy(_._1).toSeq ===
+        admittedTriples(outC.admitted).sortBy(_._1).toSeq,
+      "the post-compaction retry fence leaked the batch's own fold")
+    // And unfenced, the appended day screens out on re-feed.
+    val refeed = day(TrainingData.loadDurablePipelineState(spark, comp), days(2))
+    assert(refeed.admitted.count() === 0L,
+      "a re-fed day passed the compacted+advanced fingerprint screen")
+  }
+
   test("incremental pipeline: ledger admission == one prefix cut over (day, rk) order") {
     // Tight budgets that BIND mid-replay: the union of day admissions
     // must equal the quota prefix over the (arrival day, salted rk)
