@@ -263,7 +263,18 @@ object SubstringDedup {
     * of the log-structured form is that correctness never requires
     * running it. */
   def compactWindowIndex(index: DataFrame): DataFrame = {
-    val merged = index.groupBy("h")
+    // Repartition on the key BEFORE aggregating: window hashes are
+    // near-unique (the fold appends at most one row per hash per day,
+    // and most windows occur once), so map-side partial aggregation
+    // combines ~nothing while its per-task hash map holds the task's
+    // whole input — on row-group-bounded (~128 MB) scan tasks that map
+    // overflows and falls back to sort-based aggregation, external-
+    // sorting the ENTIRE index once (measured at 1000×-class: 6.2 GB
+    // of spill, invariant under scan-split and reduce-side dials; the
+    // shuffle itself was only 2.5 GB because combining bought ~3%).
+    // With the explicit exchange first, both aggregate passes run on
+    // already-partitioned AQE-sized chunks and stay in memory.
+    val merged = index.repartition(col("h")).groupBy("h")
       .agg(sum("n_inst").as("n_inst"), min("own").as("own"))
     if (!index.columns.contains("k")) merged
     else {
@@ -286,21 +297,23 @@ object SubstringDedup {
 
   /** Compact a STORED log-structured window index into a fresh
     * single-generation store at `outDir` — [[compactWindowIndex]] over
-    * [[readWindowIndex]], executed under the substring stage's measured
-    * sizing dials ([[TrainingData.SubstrStageConfs]] — the q76/q77 sort
-    * class: 512 initial partitions / 16 MB advisory target keep each
-    * task's aggregate in memory; unsized, the 1000×-class compaction
-    * measured 66 s with 7.4 GB of spill) and restoring the caller's
-    * session confs afterwards. Writes to a NEW directory rather than
-    * rewriting in place: overwriting the store being read is both
-    * unsafe in Spark and non-atomic on a real filesystem — the caller
-    * swaps readers to the new generation (or renames) on its own
-    * schedule, and a crash mid-compaction leaves the source store
-    * untouched and re-compactable. */
+    * [[readWindowIndex]], executed under the store-compaction dials
+    * ([[TrainingData.CompactStoreConfs]] — the q76/q77 reduce-side
+    * sizing PLUS a 16 MB scan split: the compaction's dominant cost is
+    * the map-side partial hash-aggregate over near-unique hash keys,
+    * which the scan split sizes; unsized, the 1000×-class compaction
+    * measured 66 s with 7.4 GB of spill, and reduce-side dials alone
+    * still 58 s / 6.2 GB) and restoring the caller's session confs
+    * afterwards. Writes to a NEW directory rather than rewriting in
+    * place: overwriting the store being read is both unsafe in Spark
+    * and non-atomic on a real filesystem — the caller swaps readers to
+    * the new generation (or renames) on its own schedule, and a crash
+    * mid-compaction leaves the source store untouched and
+    * re-compactable. */
   def compactWindowIndexStore(spark: org.apache.spark.sql.SparkSession,
                               dir: String, outDir: String,
                               md5Keys: Boolean = false): Unit =
-    TrainingData.withScopedConfs(spark, TrainingData.SubstrStageConfs) {
+    TrainingData.withScopedConfs(spark, TrainingData.CompactStoreConfs) {
       graft.sources.StateStore.writePartition(
         compactWindowIndex(readWindowIndex(spark, dir, md5Keys)), outDir, 0L)
     }

@@ -91,6 +91,21 @@ object TrainingData {
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "512",
     "spark.sql.join.preferSortMergeJoin" -> "false")
 
+  /** [[SubstrStageConfs]] plus a 16 MB scan split — the dial set for
+    * STORE compactions ([[SubstringDedup.compactWindowIndexStore]],
+    * [[compactPipelineState]]'s window roll). Mid-pipeline, stage 3b's
+    * input is a localCheckpoint and `files.maxPartitionBytes` cannot
+    * reach it (the SubstrStageConfs comment); a compaction's input IS a
+    * parquet scan, and the scan split is the dial that sizes the
+    * MAP-SIDE partial hash-aggregate over the near-unique hash keys — a
+    * 128 MB default split inflates to a multi-hundred-MB per-task agg
+    * map that falls back to sort-spill (measured at 1000×-class:
+    * 58.3 s / 6.2 GB spill under SubstrStageConfs alone vs 66.4 s /
+    * 7.4 GB unsized — the reduce-side dials barely touch a map-side
+    * problem; the 16 MB split is what removes it). */
+  private[operators] val CompactStoreConfs: Seq[(String, String)] =
+    SubstrStageConfs :+ ("spark.sql.files.maxPartitionBytes" -> "16m")
+
   /** Set `confs`, run `body` (which must MATERIALIZE its result — a
     * lazy frame would plan at first action, after the restore), then
     * restore every key to its prior state. */
@@ -1064,7 +1079,7 @@ object TrainingData {
     // (loadDurablePipelineState's contract); the k-uniformity guard
     // rides compactWindowIndex's output.
     if (StateStore.exists(spark, s"$dir/window"))
-      withScopedConfs(spark, SubstrStageConfs) {
+      withScopedConfs(spark, CompactStoreConfs) {
         StateStore.writePartition(
           SubstringDedup.compactWindowIndex(
             SubstringDedup.readWindowIndex(spark, s"$dir/window",
