@@ -1054,6 +1054,14 @@ object ScaleSmoke {
       // prints that rewrite cost once for contrast). ----
       if (enabled("pipeline_durable")) locally {
         val dDir = s"$out/pipeline_dstate"
+        // The arm measures a FRESH ingest: wipe any prior run's store
+        // (init fails fast on a populated dir — the re-run safety the
+        // operator itself enforces).
+        Seq(dDir, s"$out/pipeline_dstate_c").foreach { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(hp, true)
+        }
         graft.operators.TrainingData.initDurablePipelineState(spark, dDir,
           substrK = Some(8), semCentroids = Some(cents))
         shuffleWrite.set(0); spilled.set(0)

@@ -921,6 +921,21 @@ object TrainingData {
                                substrK: Option[Int] = None,
                                semCentroids: Option[Seq[Seq[Double]]] = None): Unit = {
     import spark.implicits._
+    // Fail fast on a dir that already holds state: re-initializing a
+    // live store does NOT clear its folded partitions, so the next
+    // ingest would silently screen against the old corpus — every day
+    // admits ~nothing while its empty-fold appends REPLACE the old
+    // partitions one by one, quietly destroying the store from both
+    // ends (observed exactly this way in a re-run smoke before this
+    // guard). Resuming wants loadDurablePipelineState; a genuinely new
+    // pipeline wants a new (or deleted) directory.
+    val existing = Seq("fingerprints", "sets", "bands", "vectors",
+        "window", "ledger", "centroids")
+      .filter(t => graft.sources.StateStore.exists(spark, s"$dir/$t"))
+    require(existing.isEmpty,
+      s"durable pipeline state at $dir is already initialized " +
+        s"(found: ${existing.mkString(", ")}); load it to resume, or " +
+        "point init at a fresh directory")
     val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     substrK.foreach { k =>
       graft.sources.StateStore.writePartition(

@@ -455,6 +455,20 @@ class TrainingDataSpec extends SparkSpec {
       "a re-fed day passed the durable fingerprint screen")
   }
 
+  test("incremental pipeline: re-init of a populated durable store fails fast") {
+    // Re-initializing a live store would not clear its folded
+    // partitions: the next ingest would screen against the old corpus
+    // and its empty-fold appends would replace the old partitions one
+    // by one — so init on a dir that already holds any state table
+    // must throw, naming what it found.
+    val dir = java.nio.file.Files.createTempDirectory("graft_reinit").toString
+    TrainingData.initDurablePipelineState(spark, dir, substrK = Some(8))
+    val e = intercept[IllegalArgumentException] {
+      TrainingData.initDurablePipelineState(spark, dir, substrK = Some(8))
+    }
+    assert(e.getMessage.contains("already initialized"))
+  }
+
   test("incremental pipeline: compacted durable store ≡ original — one generation per table, same screens, same ledger") {
     // compactPipelineState (round 16): rolling N day partitions into a
     // single batch_id = asOfBatch generation must be invisible to every
