@@ -1710,7 +1710,8 @@ object Approx {
     * semantics and pins. */
   def incrementalSemanticDedup(index: SemanticIndex, increment: DataFrame,
                                minSim: Double = 0.35,
-                               arrivalOrder: Boolean = false): DataFrame = {
+                               arrivalOrder: Boolean = false,
+                               broadcastIncrement: Boolean = true): DataFrame = {
     graft.expressions.GraftFunctions.register(index.vectors.sparkSession)
     val inc = buildSemanticIndex(
       increment.select(col("vec_id"), col("embedding")), index.centroids).vectors
@@ -1740,7 +1741,12 @@ object Approx {
       if (arrivalOrder) !col("b_new") || !col("b_same") || col("b") < col("a")
       else !col("b_new") || col("b") < col("a")
     val sim = (expr("float_dot(ea, eb)") / (col("na") * col("nb"))).cast("float")
-    val pairs = broadcast(lhs).join(rhs,
+    // The forced hint holds for the operator's premise (a day-sized
+    // increment); broadcastIncrement = false hands the join to
+    // Spark/AQE for a NON-day-sized increment (a seed replayed as one
+    // "day": 5M × 64-float vectors ≈ 1.3 GB — over the driver's
+    // collect limit, and no cluster should broadcast it either).
+    val pairs = (if (broadcastIncrement) broadcast(lhs) else lhs).join(rhs,
         col("cella") === col("cellb") && keepFirst)
       .select(col("a"), col("b_new"), round(sim, 4).as("sim"))
       .filter(col("sim") >= lit(minSim.toFloat))

@@ -386,10 +386,19 @@ object SubstringDedup {
     * Scale shape: the index never crosses an exchange — the
     * increment's distinct window hashes broadcast, the index streams
     * map-side through one semi-join scan, and every later join is
-    * increment-bounded (matched index rows ≤ increment windows). */
+    * increment-bounded (matched index rows ≤ increment windows).
+    * `broadcastIncrement = false` drops the forced hints for a
+    * NON-day-sized increment (a seed corpus replayed as one giant
+    * "day"): the joins keep their shape but Spark/AQE plans them —
+    * shuffling both sides, the honest cost of a corpus-sized screen —
+    * instead of collecting an over-driver-limit broadcast (a 5M-doc
+    * seed's 163M-hash set measured 1.03 GB of driver results, over
+    * the 1 GB default `spark.driver.maxResultSize`). */
   def incrementalWindowStats(index: DataFrame, increment: DataFrame, k: Int,
                              textCol: String = "text", idCol: String = "doc_id",
-                             md5Keys: Boolean = false): DataFrame = {
+                             md5Keys: Boolean = false,
+                             broadcastIncrement: Boolean = true): DataFrame = {
+    def bcastIf(df: DataFrame) = if (broadcastIncrement) broadcast(df) else df
     val wins = windowHashes(increment, k, textCol, idCol, md5Keys)
     val incGrp = wins.groupBy("h")
       .agg(count(lit(1)).as("n_inc"), min(packedPos).as("own_inc"))
@@ -402,15 +411,15 @@ object SubstringDedup {
     // increment windows × folded partitions, never O(index)); on a
     // compacted index it is a no-op pass over the same bounded rows.
     val matched = checkedIndex(index, k, md5Keys)
-      .join(broadcast(incGrp.select(col("h"))), Seq("h"), "left_semi")
+      .join(bcastIf(incGrp.select(col("h"))), Seq("h"), "left_semi")
       .groupBy("h")
       .agg(sum("n_inst").as("n_inst"), min("own").as("own"))
     val combined = incGrp
-      .join(broadcast(matched), Seq("h"), "left")
+      .join(bcastIf(matched), Seq("h"), "left")
       .select(col("h"),
         (col("n_inc") + coalesce(col("n_inst"), lit(0L))).as("n_inst"),
         least(col("own_inc"), coalesce(col("own"), lit(Long.MaxValue))).as("own"))
-    val inst = wins.join(broadcast(combined), Seq("h"))
+    val inst = wins.join(bcastIf(combined), Seq("h"))
       .select(col("doc_id"), col("start"),
         (col("n_inst") > 1L).as("dup"),
         (packedPos =!= col("own")).as("shad"))
@@ -502,7 +511,9 @@ object SubstringDedup {
     * stored index, everything else increment-bounded. */
   def incrementalWindowScrub(index: DataFrame, increment: DataFrame, k: Int,
                              textCol: String = "text", idCol: String = "doc_id",
-                             md5Keys: Boolean = false): DataFrame = {
+                             md5Keys: Boolean = false,
+                             broadcastIncrement: Boolean = true): DataFrame = {
+    def bcastIf(df: DataFrame) = if (broadcastIncrement) broadcast(df) else df
     val wins = windowHashes(increment, k, textCol, idCol, md5Keys)
     val incGrp = wins.groupBy("h")
       .agg(count(lit(1)).as("n_inc"), min(packedPos).as("own_inc"))
@@ -510,14 +521,14 @@ object SubstringDedup {
     // [[incrementalWindowStats]] — the scrub only needs the global
     // owner, so only `own` resolves here.
     val matched = checkedIndex(index, k, md5Keys)
-      .join(broadcast(incGrp.select(col("h"))), Seq("h"), "left_semi")
+      .join(bcastIf(incGrp.select(col("h"))), Seq("h"), "left_semi")
       .groupBy("h")
       .agg(min("own").as("own"))
     val combined = incGrp
-      .join(broadcast(matched), Seq("h"), "left")
+      .join(bcastIf(matched), Seq("h"), "left")
       .select(col("h"),
         least(col("own_inc"), coalesce(col("own"), lit(Long.MaxValue))).as("own"))
-    val starts = wins.join(broadcast(combined), Seq("h"))
+    val starts = wins.join(bcastIf(combined), Seq("h"))
       .filter(packedPos =!= col("own"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("start"))).as("starts"))

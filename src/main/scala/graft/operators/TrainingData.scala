@@ -106,6 +106,19 @@ object TrainingData {
   private[operators] val CompactStoreConfs: Seq[(String, String)] =
     SubstrStageConfs :+ ("spark.sql.files.maxPartitionBytes" -> "16m")
 
+  /** Day-token bound above which [[advanceTrainingSet]] stops hinting
+    * the increment side of its screens as broadcast and lets Spark/AQE
+    * plan the joins. Derivation from the measured failure point: a 5M-
+    * doc (≈198M-token) seed replayed as one "day" collected 1.03 GB of
+    * window-hash broadcast results — over the 1 GB default
+    * `spark.driver.maxResultSize` — i.e. ≈6.3 serialized bytes per
+    * token-window; 32M tokens ≈ 200 MB of driver collect and a
+    * comfortably executor-resident relation, while the measured-good
+    * 100×-scale seed (≈20M tokens) stays inside the hinted regime that
+    * every day-cost smoke row was recorded under. Real ingest days
+    * (≪1% of the corpus) sit orders of magnitude below the bound. */
+  private[operators] val BroadcastIncrementMaxTokens: Long = 32L * 1000 * 1000
+
   /** Set `confs`, run `body` (which must MATERIALIZE its result — a
     * lazy frame would plan at first action, after the restore), then
     * restore every key to its prior state. */
@@ -680,12 +693,26 @@ object TrainingData {
       .select(col("doc_id"), col("text"), col("lang"), col("n_tokens"),
         col("clean_fp"))
       .localCheckpoint(true)
+    // Day-sized or not? Every incremental screen's plan broadcasts the
+    // INCREMENT side (the operators' premise: a daily batch against an
+    // ingested corpus), which is wrong exactly once — when a seed
+    // corpus is replayed as one giant "day". One cheap aggregate over
+    // the materialized stage-1 blocks decides: past the token bound
+    // the screens keep their join shapes but drop the forced hints, so
+    // Spark/AQE plans the honest shuffle joins instead of collecting
+    // an over-limit broadcast (a 5M-doc seed's window-hash set
+    // measured 1.03 GB of driver results against the 1 GB default
+    // `spark.driver.maxResultSize`).
+    val dayTokenSum = Option(scored.agg(sum("n_tokens")).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val dayBroadcast = dayTokenSum <= BroadcastIncrementMaxTokens
+    def bcastIf(df: DataFrame) = if (dayBroadcast) broadcast(df) else df
     val dayFps = scored.select(col("clean_fp")).distinct()
     val hitFps = state.fingerprints
-      .join(broadcast(dayFps), Seq("clean_fp"), "left_semi").distinct()
+      .join(bcastIf(dayFps), Seq("clean_fp"), "left_semi").distinct()
     val wFp = Window.partitionBy("clean_fp").orderBy("doc_id")
     val exactKept = scored
-      .join(broadcast(hitFps), Seq("clean_fp"), "left_anti")
+      .join(bcastIf(hitFps), Seq("clean_fp"), "left_anti")
       .withColumn("rn", row_number().over(wFp))
       .filter(col("rn") === 1).drop("rn")
       .localCheckpoint(true)
@@ -733,7 +760,8 @@ object TrainingData {
       case (Some(k), Some(widx)) =>
         def stage: DataFrame = {
           val scrubbed = SubstringDedup
-            .incrementalWindowScrub(widx, lexKept.select(col("doc_id"), col("text")), k)
+            .incrementalWindowScrub(widx, lexKept.select(col("doc_id"), col("text")), k,
+              broadcastIncrement = dayBroadcast)
             .filter(col("kept_text") =!= "")
             .select(col("doc_id"), col("kept_text"))
           lexKept.drop("text", "n_tokens")
@@ -793,7 +821,7 @@ object TrainingData {
         dayVectors = Some(dayAssigned)
         val keepers = Approx.incrementalSemanticDedup(semIdx,
             dayAssigned.select(col("vec_id"), col("embedding")), minCosine,
-            arrivalOrder)
+            arrivalOrder, broadcastIncrement = dayBroadcast)
           .filter(col("verdict") === "keep")
           .select(col("vec_id").as("doc_id"))
         newSemantic = Some(Approx.advanceSemanticIndexAssigned(semIdx, dayAssigned))

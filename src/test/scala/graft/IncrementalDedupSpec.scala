@@ -131,6 +131,23 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(viaOp.toSeq === declared.toSeq)
   }
 
+  test("semantic: unhinted (shuffle-join) screen ≡ broadcast-hinted verdicts") {
+    // The corpus-sized-increment escape hatch: with broadcastIncrement
+    // = false the cell-keyed pair join is planned by Spark/AQE instead
+    // of a forced increment broadcast — verdicts must be identical.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val isNew = pmod(col("vec_id"), lit(10)) >= 7
+    val cents = graft.ops.Extended.Q84Centroids.map(_.map(_.toDouble))
+    val index = graft.operators.Approx.buildSemanticIndex(emb.filter(!isNew), cents)
+    def verdicts(hint: Boolean) = graft.operators.Approx
+      .incrementalSemanticDedup(index, emb.filter(isNew),
+        broadcastIncrement = hint)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(verdicts(false) === verdicts(true),
+      "unhinted semantic screen diverged from the broadcast-hinted plan")
+  }
+
   test("semantic stored-index round trip: parquet vectors + centroid table") {
     // Production builds the index once and reads it back per batch:
     // vectors through parquet, the quantizer through its tiny

@@ -269,6 +269,32 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental window screens: unhinted (shuffle-join) plan ≡ broadcast-hinted outputs") {
+    // broadcastIncrement = false is the corpus-sized-increment escape
+    // hatch (a seed replayed as one "day" must not collect a 1 GB+
+    // broadcast): the joins keep their shape, only the planner's side
+    // choice changes, so stats and rebuilt text must match the hinted
+    // plan row for row.
+    val docs = graft.ops.Tables.documents(spark, sf0001)
+      .select("doc_id", "text")
+    val isNew = pmod(col("doc_id"), lit(10)) >= 7
+    val idx = SubstringDedup.buildWindowIndex(docs.filter(!isNew), k = 8)
+    def statsOf(hint: Boolean) = SubstringDedup
+      .incrementalWindowStats(idx, docs.filter(isNew), k = 8,
+        broadcastIncrement = hint)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(statsOf(false) === statsOf(true),
+      "unhinted window stats diverged from the broadcast-hinted plan")
+    def scrubOf(hint: Boolean) = SubstringDedup
+      .incrementalWindowScrub(idx, docs.filter(isNew), k = 8,
+        broadcastIncrement = hint)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(scrubOf(false) === scrubOf(true),
+      "unhinted window scrub diverged from the broadcast-hinted plan")
+  }
+
   test("3-day window replay: n_shadowed exact, n_dup_windows converges") {
     // The replay contract the operator documents: shadow counts (what
     // a scrub removes) are replay-exact under id-monotone days; dup
