@@ -626,6 +626,20 @@ object TrainingData {
     * unique across all days and monotone day boundaries give the
     * replay guarantee above (the per-family contract).
     *
+    * This is a DAY operator: past [[BroadcastIncrementMaxTokens]] the
+    * screens automatically drop their increment-broadcast hints (the
+    * joins re-plan as shuffles and stay correct — spec-pinned), but the
+    * fold frames are still localCheckpointed, i.e. O(day) cached
+    * blocks. Backfilling a SEED corpus through one giant call makes
+    * those O(corpus) — measured at the 1000×-class point (5M docs,
+    * ~160M window rows) to exhaust a 48 GB single-JVM heap at the fold
+    * checkpoint even after the broadcast fix; the 100×-scale
+    * single-call seed (500k docs) is measured fine. Seed bigger
+    * corpora the way a production ingest would: replay them as
+    * bounded-size days (id-monotone chunks preserve the replay ≡
+    * single-call guarantee above), or build the indexes with the batch
+    * operators and seed the durable store at a negative batch id.
+    *
     * `arrivalOrder = true` switches the two document-level near-dup
     * screens (MinHash and semantic) to keeper-is-first-folded — the
     * time-ordered-crawl convention, with the per-family renumbering
