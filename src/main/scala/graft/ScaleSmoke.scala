@@ -1119,6 +1119,63 @@ object ScaleSmoke {
             f"shuffleWriteMB=${shuffleWrite.get / 1e6}%.1f spillMB=${spilled.get / 1e6}%.1f")
         }
       }
+      // ---- chunked seed backfill (round 16, the 1000×-class composed
+      // cell): advanceTrainingSet is a DAY operator — a single-call
+      // corpus seed makes its O(day) fold checkpoints O(corpus)
+      // (measured: 5M docs exhaust a 48 GB heap at the window fold).
+      // The production shape is to BACKFILL the seed as bounded
+      // id-monotone chunks (replay ≡ single-call, the per-family
+      // contract), which is what this arm measures: seed in ~1M-doc
+      // chunks through the durable store, then normal 1% days.
+      // Chunk token mass (~40M) sits above BroadcastIncrementMaxTokens
+      // on purpose — the backfill exercises the unhinted shuffle-join
+      // screens, the days the hinted ones.
+      if (enabled("pipeline_backfill")) locally {
+        val dDir = s"$out/pipeline_bstate"
+        locally {
+          val hp = new org.apache.hadoop.fs.Path(dDir)
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(hp, true)
+        }
+        graft.operators.TrainingData.initDurablePipelineState(spark, dDir,
+          substrK = Some(8), semCentroids = Some(cents))
+        val nChunks = 5
+        (0 until nChunks).foreach { c =>
+          val lo = nDocs.toDouble * c / nChunks
+          val hi = nDocs.toDouble * (c + 1) / nChunks
+          val chunk = docsAll.filter(!isInc &&
+            col("doc_id") >= lo && col("doc_id") < hi).localCheckpoint(true)
+          shuffleWrite.set(0); spilled.set(0)
+          val t0 = System.nanoTime()
+          val st = graft.operators.TrainingData.loadDurablePipelineState(spark, dDir)
+          val out2 = day(st, chunk)
+          val rows = out2.admitted.count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          graft.operators.TrainingData.appendPipelineDay(spark, dDir, c.toLong, out2.folds)
+          val saveSec = (System.nanoTime() - t1) / 1e9
+          graft.operators.Materialized.free(out2.admitted)
+          Thread.sleep(300)
+          println(f"SMOKE pipebf_chunk$c%-9s rows=$rows%-9d sec=$sec%.2f " +
+            f"saveSec=$saveSec%.2f shuffleWriteMB=${shuffleWrite.get / 1e6}%.1f " +
+            f"spillMB=${spilled.get / 1e6}%.1f")
+        }
+        (0 until 2).foreach { k =>
+          val dayDf = docsAll.filter(isInc && dayOf === k).localCheckpoint(true)
+          shuffleWrite.set(0); spilled.set(0)
+          val t0 = System.nanoTime()
+          val st = graft.operators.TrainingData.loadDurablePipelineState(spark, dDir)
+          val out2 = day(st, dayDf)
+          val rows = out2.admitted.count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          graft.operators.TrainingData.appendPipelineDay(spark, dDir,
+            (nChunks + k).toLong, out2.folds)
+          graft.operators.Materialized.free(out2.admitted)
+          Thread.sleep(300)
+          println(f"SMOKE pipebf_day$k%-11s rows=$rows%-7d sec=$sec%.2f " +
+            f"shuffleWriteMB=${shuffleWrite.get / 1e6}%.1f spillMB=${spilled.get / 1e6}%.1f")
+        }
+      }
       if (enabled("pipeline_days")) locally {
         shuffleWrite.set(0); spilled.set(0)
         val t0 = System.nanoTime()
