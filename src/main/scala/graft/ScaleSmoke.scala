@@ -993,7 +993,7 @@ object ScaleSmoke {
     // shuffled), tracking the sum of the per-family day costs the
     // advance_days / window_days arms measure separately.
     if (enabled("pipeline_days") || enabled("pipeline_durable") ||
-        enabled("pipeline_arrival")) {
+        enabled("pipeline_arrival") || enabled("pipeline_backfill")) {
       val docsAll = spark.read.parquet(s"$out/documents.parquet")
         .select("doc_id", "text", "lang")
       val embAll = spark.read.parquet(s"$out/embeddings.parquet")
