@@ -442,6 +442,13 @@ object ScaleSmoke {
         // SIZED store wrapper — the q76 sort-class dials, scoped to the
         // operation (r15 measured the unsized form at 66.35 s / 7.4 GB
         // spill at 1000×-class; the session's own confs are untouched).
+        // Fresh generation target: the compactor fails fast on a
+        // populated outDir (re-run safety), so wipe any prior run's.
+        locally {
+          val hp = new org.apache.hadoop.fs.Path(s"$out/widx_compacted")
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(hp, true)
+        }
         shuffleWrite.set(0); spilled.set(0)
         val t0 = System.nanoTime()
         graft.operators.SubstringDedup.compactWindowIndexStore(

@@ -312,11 +312,20 @@ object SubstringDedup {
     * re-compactable. */
   def compactWindowIndexStore(spark: org.apache.spark.sql.SparkSession,
                               dir: String, outDir: String,
-                              md5Keys: Boolean = false): Unit =
+                              md5Keys: Boolean = false): Unit = {
+    // Fresh-generation contract, enforced: a second compaction into a
+    // populated outDir would leave the old cumulative generation's
+    // partition beside the new one, and every merge-on-read consumer
+    // would double-count n_inst from then on.
+    require(!graft.sources.StateStore.exists(spark, outDir),
+      s"window-index compaction target $outDir already exists; compact " +
+        "into a fresh generation directory — a second cumulative " +
+        "generation in one store double-counts every merge-on-read")
     TrainingData.withScopedConfs(spark, TrainingData.CompactStoreConfs) {
       graft.sources.StateStore.writePartition(
         compactWindowIndex(readWindowIndex(spark, dir, md5Keys)), outDir, 0L)
     }
+  }
 
   /** The stored-parquet fold: write one day's window aggregate as the
     * `batch_id = id` partition of `dir`'s log-structured index table

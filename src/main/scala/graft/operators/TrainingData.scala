@@ -119,6 +119,18 @@ object TrainingData {
     * (≪1% of the corpus) sit orders of magnitude below the bound. */
   private[operators] val BroadcastIncrementMaxTokens: Long = 32L * 1000 * 1000
 
+  /** The companion DOC-count bound: the window-hash broadcast scales
+    * with tokens, but the fp-set and semantic-vector broadcasts scale
+    * with DOC count — a day of many minimum-length docs (10 tokens
+    * each) could pack 3.2M docs under the 32M-token bound while its
+    * collected md5 fp set (~48 serialized bytes per 32-hex-char row)
+    * approaches driver/broadcast limits. 2M docs ≈ 100 MB of fp
+    * collect — the same comfortable envelope the token bound targets
+    * (≈200 MB) — so a day must sit under BOTH bounds to keep the
+    * forced broadcast hints. The count is one job over the stage-1
+    * checkpoint's materialized blocks, no recompute. */
+  private[operators] val BroadcastIncrementMaxDocs: Long = 2L * 1000 * 1000
+
   /** Set `confs`, run `body` (which must MATERIALIZE its result — a
     * lazy frame would plan at first action, after the restore), then
     * restore every key to its prior state. */
@@ -710,16 +722,19 @@ object TrainingData {
     // Day-sized or not? Every incremental screen's plan broadcasts the
     // INCREMENT side (the operators' premise: a daily batch against an
     // ingested corpus), which is wrong exactly once — when a seed
-    // corpus is replayed as one giant "day". One cheap aggregate over
-    // the materialized stage-1 blocks decides: past the token bound
-    // the screens keep their join shapes but drop the forced hints, so
+    // corpus is replayed as one giant "day". Two cheap jobs over the
+    // materialized stage-1 blocks decide — a token sum (window-hash
+    // broadcast mass) AND a doc count (fp-set / semantic-vector
+    // broadcast mass, which scales with docs, not tokens): past either
+    // bound the screens keep their join shapes but drop the forced hints, so
     // Spark/AQE plans the honest shuffle joins instead of collecting
     // an over-limit broadcast (a 5M-doc seed's window-hash set
     // measured 1.03 GB of driver results against the 1 GB default
     // `spark.driver.maxResultSize`).
     val dayTokenSum = Option(scored.agg(sum("n_tokens")).head.get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val dayBroadcast = dayTokenSum <= BroadcastIncrementMaxTokens
+    val dayBroadcast = dayTokenSum <= BroadcastIncrementMaxTokens &&
+      scored.count() <= BroadcastIncrementMaxDocs
     def bcastIf(df: DataFrame) = if (dayBroadcast) broadcast(df) else df
     val dayFps = scored.select(col("clean_fp")).distinct()
     val hitFps = state.fingerprints
@@ -971,9 +986,7 @@ object TrainingData {
     // ends (observed exactly this way in a re-run smoke before this
     // guard). Resuming wants loadDurablePipelineState; a genuinely new
     // pipeline wants a new (or deleted) directory.
-    val existing = Seq("fingerprints", "sets", "bands", "vectors",
-        "window", "ledger", "centroids")
-      .filter(t => graft.sources.StateStore.exists(spark, s"$dir/$t"))
+    val existing = pipelineStateArtifacts(spark, dir)
     require(existing.isEmpty,
       s"durable pipeline state at $dir is already initialized " +
         s"(found: ${existing.mkString(", ")}); load it to resume, or " +
@@ -987,7 +1000,25 @@ object TrainingData {
       Approx.semanticCentroidsDF(spark, c)
         .write.mode("overwrite").parquet(s"$dir/centroids")
     }
+    // The init witness: a lex-only pipeline (no optional stages) writes
+    // no day-zero table, so without a marker a freshly init'd store is
+    // indistinguishable from a typo'd path — and appendPipelineDay's
+    // uninit guard (the other half of the re-init fail-fast above)
+    // would have nothing to check.
+    graft.sources.StateStore.touch(spark, s"$dir/$InitMarker")
   }
+
+  /** The durable-store init marker's file name — underscore-prefixed so
+    * parquet directory listings ignore it. */
+  private val InitMarker: String = "_graft_init"
+
+  /** Every artifact that marks `dir` as a live durable pipeline store:
+    * the seven state tables plus the init marker. */
+  private def pipelineStateArtifacts(spark: SparkSession,
+                                     dir: String): Seq[String] =
+    (Seq("fingerprints", "sets", "bands", "vectors", "window", "ledger",
+      "centroids") :+ InitMarker)
+      .filter(t => graft.sources.StateStore.exists(spark, s"$dir/$t"))
 
   /** Append ONE day's fold frames ([[DayAdmission.folds]]) as the
     * `batch_id = batchId` partition of each state table — O(day)
@@ -999,6 +1030,16 @@ object TrainingData {
   def appendPipelineDay(spark: SparkSession, dir: String, batchId: Long,
                         folds: DayFolds): Unit = {
     import graft.sources.StateStore
+    // The uninit fail-fast — the re-init guard's mirror image: a typo'd
+    // stateDir in a restart script would otherwise silently grow a
+    // parallel empty store while the real one stops advancing. A store
+    // is live iff init's marker exists OR any state table does (the
+    // latter grandfathers stores written before the marker, including
+    // ones seeded directly at negative batch ids).
+    require(pipelineStateArtifacts(spark, dir).nonEmpty,
+      s"durable pipeline state at $dir was never initialized — call " +
+        "initDurablePipelineState first (a typo'd stateDir would " +
+        "silently start a parallel empty store here)")
     StateStore.writePartition(folds.fps, s"$dir/fingerprints", batchId)
     StateStore.writePartition(folds.sets, s"$dir/sets", batchId)
     StateStore.writePartition(folds.bands, s"$dir/bands", batchId)
@@ -1111,6 +1152,19 @@ object TrainingData {
     import spark.implicits._
     import org.apache.spark.sql.types._
     import graft.sources.StateStore
+    // Fail fast on a populated outDir — the same foot-gun family the
+    // init guard closes: a second compaction into the same outDir at a
+    // higher asOfBatch would leave BOTH cumulative generations
+    // (batch_id=old and batch_id=new), so the next load double-counts
+    // the ledger and duplicates fp/set/band rows (inflating MinHash
+    // intersection counts). Each compaction wants a FRESH generation
+    // directory; the caller swaps it in afterwards.
+    val populated = pipelineStateArtifacts(spark, outDir)
+    require(populated.isEmpty,
+      s"compaction target $outDir already holds state " +
+        s"(found: ${populated.mkString(", ")}); compact into a fresh " +
+        "generation directory — two cumulative generations in one store " +
+        "would double-count every reader")
     val bound = Some(asOfBatch + 1L)
     val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val (refSets, refBands) = Approx.md5SetsAndBands(spark, emptyDocs)
@@ -1150,5 +1204,8 @@ object TrainingData {
             StructField("day_tokens", LongType))), bound)
           .groupBy("lang").agg(sum("day_tokens").as("day_tokens")),
         s"$outDir/ledger", asOfBatch)
+    // The compacted generation is a full durable store in its own
+    // right — post-swap appends land here, so it carries init's marker.
+    StateStore.touch(spark, s"$outDir/$InitMarker")
   }
 }

@@ -58,6 +58,16 @@ object StateStore {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Create an empty marker file at `path` (parents created) — the
+    * durable stores' "this directory was initialized" witness. The
+    * underscore-prefixed name keeps it invisible to Spark/parquet
+    * directory listings, so it can live beside state tables. */
+  def touch(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(p, true).close()
+  }
+
   /** Read every folded partition back, `batch_id` dropped. `dataSchema`
     * is the schema of the frames [[writePartition]] was given (without
     * batch_id) — passed explicitly so a data-less directory yields an

@@ -469,6 +469,51 @@ class TrainingDataSpec extends SparkSpec {
     assert(e.getMessage.contains("already initialized"))
   }
 
+  test("incremental pipeline: durable-store guards — uninit append, marker-only re-init, populated compaction target all fail fast") {
+    import spark.implicits._
+    // (a) appendPipelineDay against a never-initialized dir: the
+    // re-init guard's mirror image — a typo'd stateDir in a restart
+    // script must fail fast, not silently grow a parallel empty store.
+    val fresh = java.nio.file.Files.createTempDirectory("graft_uninit").toString
+    val folds = {
+      val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      val (sets, bands) = graft.operators.Approx.md5SetsAndBands(spark, emptyDocs)
+      TrainingData.DayFolds(
+        Seq.empty[Long].toDF("clean_fp"), sets,
+        bands.withColumn(
+          "inc", org.apache.spark.sql.functions.lit(true)),
+        None, None, Map.empty)
+    }
+    val eA = intercept[IllegalArgumentException] {
+      TrainingData.appendPipelineDay(spark, s"$fresh/typo", 0L, folds)
+    }
+    assert(eA.getMessage.contains("never initialized"))
+    // (b) a LEX-ONLY pipeline's init writes no day-zero table; the
+    // marker alone must still trip the re-init guard and license the
+    // first append.
+    val lexDir = java.nio.file.Files.createTempDirectory("graft_lexinit").toString
+    TrainingData.initDurablePipelineState(spark, lexDir)
+    val eB = intercept[IllegalArgumentException] {
+      TrainingData.initDurablePipelineState(spark, lexDir)
+    }
+    assert(eB.getMessage.contains("already initialized"))
+    TrainingData.appendPipelineDay(spark, lexDir, 0L, folds) // no throw
+    // (c) compactPipelineState into a populated outDir: a second
+    // cumulative generation would double-count the ledger and inflate
+    // MinHash intersections — must fail fast naming the collision.
+    val eC = intercept[IllegalArgumentException] {
+      TrainingData.compactPipelineState(spark, lexDir, lexDir, asOfBatch = 0L)
+    }
+    assert(eC.getMessage.contains("fresh"))
+    // (d) the window-store compactor enforces the same fresh-generation
+    // contract.
+    val eD = intercept[IllegalArgumentException] {
+      graft.operators.SubstringDedup.compactWindowIndexStore(
+        spark, s"$lexDir/sets", s"$lexDir/sets")
+    }
+    assert(eD.getMessage.contains("fresh"))
+  }
+
   test("incremental pipeline: compacted durable store ≡ original — one generation per table, same screens, same ledger") {
     // compactPipelineState (round 16): rolling N day partitions into a
     // single batch_id = asOfBatch generation must be invisible to every
