@@ -117,7 +117,8 @@ object SparkEntry {
     "q91_semantic_advance"    -> Extended.q91SemanticAdvance _,
     "q92_incremental_window"  -> Extended.q92IncrementalWindow _,
     "q93_pipeline_day"        -> Extended.q93PipelineDay _,
-    "q94_band_occupancy"      -> Extended.q94BandOccupancy _
+    "q94_band_occupancy"      -> Extended.q94BandOccupancy _,
+    "q95_pipeline_day_full"   -> Extended.q95PipelineDayFull _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -573,9 +573,68 @@ object TrainingData {
     * and the day's own fold frames (`folds`) for per-day durable
     * persistence. Feed `admitted` to [[Packing.packSequences]] /
     * [[shardTrainingSet]] on the training launcher's schedule; release
-    * its backing layout with [[Materialized.free]] when done. */
+    * its backing layout with [[Materialized.free]] when done.
+    * `health` (present iff the day ran with `report = true`) is the
+    * [[ingestHealth]] frame over the advanced indexes — the per-day
+    * drift monitor, lazy until consumed. */
   final case class DayAdmission(admitted: DataFrame, state: PipelineState,
-                                folds: DayFolds)
+                                folds: DayFolds,
+                                health: Option[DataFrame] = None)
+
+  /** Per-day ingest health over a (freshly advanced or loaded)
+    * [[PipelineState]] — the q94/q89 monitors surfaced from the
+    * product path itself, so band-value saturation and quantizer-cell
+    * skew (the drift the 1000×-class smoke measured at 8–9× candidate
+    * inflation) show up in the ingest loop's own output instead of in
+    * a query an operator must know to run. One small unified frame,
+    * `(family, key, n, mass, share)`:
+    *  - `band` rows — the `topK` colliding MinHash band buckets by
+    *    candidate pair mass ([[Approx.bandOccupancy]]'s q94 law);
+    *    key = "g:v", n = bucket doc count, mass = n·(n−1)/2, share =
+    *    the bucket's fraction of the index's TOTAL candidate mass
+    *    (the screen's band-join work a single bucket concentrates).
+    *  - `cell` rows (iff the semantic stage is on) — every quantizer
+    *    cell's vector count and share of the index (q89's balance law
+    *    without the lang join — state vectors carry no lang);
+    *    nlist-bounded output.
+    * Cost shape: one hash aggregate over the band frame (4 rows per
+    * indexed doc, never text) + one over the vectors, then a
+    * distributed top-k (TakeOrderedAndProject) — O(index rows)
+    * scanned per call, output bounded by topK + nlist. Shares round
+    * through [[graft.ops.Determinism.dround]] (6 dp) so the report is
+    * partition-layout-deterministic. */
+  def ingestHealth(state: PipelineState, topK: Int = 10): DataFrame = {
+    import graft.ops.Determinism.dround
+    val occ = Approx.bandOccupancy(state.minhash)
+    val totalMass = occ.agg(
+      coalesce(sum("pair_mass"), lit(0L)).as("total_mass"))
+    val bands = occ
+      .orderBy(col("pair_mass").desc, col("g"), col("v"))
+      .limit(topK)
+      .crossJoin(broadcast(totalMass))
+      .select(lit("band").as("family"),
+        concat_ws(":", col("g"), col("v")).as("key"),
+        col("n_docs").as("n"),
+        col("pair_mass").as("mass"),
+        dround(col("pair_mass").cast("double") /
+          greatest(col("total_mass"), lit(1L)).cast("double"), 6).as("share"))
+    state.semantic match {
+      case None => bands
+      case Some(s) =>
+        val totalVecs = s.vectors.agg(count(lit(1)).as("total_vecs"))
+        val cells = s.vectors.groupBy("cell")
+          .agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(totalVecs))
+          .select(lit("cell").as("family"),
+            col("cell").cast("string").as("key"),
+            col("n"),
+            lit(null).cast("long").as("mass"),
+            dround(col("n").cast("double") /
+              greatest(col("total_vecs"), lit(1L)).cast("double"), 6)
+              .as("share"))
+        bands.unionByName(cells)
+    }
+  }
 
   /** Day-zero state: empty indexes (a first day screens against
     * nothing and folds itself in — no seed corpus needed; to seed from
@@ -685,7 +744,8 @@ object TrainingData {
                          substrK: Option[Int] = None,
                          substrStageSizing: Boolean = true,
                          arrivalOrder: Boolean = false,
-                         md5Fps: Boolean = false): DayAdmission = {
+                         md5Fps: Boolean = false,
+                         report: Boolean = false): DayAdmission = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.TextFunctions
     require(substrK.isDefined == state.window.isDefined,
@@ -902,10 +962,15 @@ object TrainingData {
     Materialized.free(exactKept)
     Materialized.free(lexKept)
     if (substrK.isDefined && substrStageSizing) Materialized.free(afterSubstr)
-    DayAdmission(admitted,
-      PipelineState(newFps, newMinhash, newWindow, newSemantic, newLedger),
+    val newState = PipelineState(newFps, newMinhash, newWindow, newSemantic,
+      newLedger)
+    DayAdmission(admitted, newState,
       DayFolds(keptFps, daySets, dayBands.withColumn("inc", lit(true)),
-        dayWindow, dayVectors, dayTokens))
+        dayWindow, dayVectors, dayTokens),
+      // `report = true` attaches the day's ingest-health frame over the
+      // ADVANCED indexes (lazy — it costs nothing until consumed; the
+      // streaming twin materializes it into the store's health log).
+      health = if (report) Some(ingestHealth(newState)) else None)
   }
 
   /** Persist a [[PipelineState]] (full-rewrite, checkpoint

@@ -1349,4 +1349,45 @@ object Extended {
         graft.operators.Approx.buildMinHashIndex(s,
           documents(s, d).select(col("doc_id"), col("text"))))
       .orderBy("g", "v")
+
+  /** q95: the composed ingest day with the REMAINING engine-expressible
+    * stages switched on — q93's spine (fp screen → lexical near-dup
+    * screen → budget fill) plus the substring scrub (stage 3b, the
+    * q76/q77 window chain made incremental: the day's survivors rewrite
+    * against seed ∪ day window ownership, docs scrubbed to nothing
+    * drop, token counts re-derive from the SCRUBBED text) and lexical
+    * decontamination (stage 4, q57's 8-gram containment of the scrubbed
+    * text against a raw benchmark slice, any shared 8-gram drops the
+    * doc). Same split as q93 (seed = doc_id%10 < 7, day = the rest),
+    * same md5Fps declared-twin family, same budgets/salt — so the
+    * DuckDB oracle re-derives the WHOLE day from scratch and any
+    * plumbing defect between the five stages (screen order, the scrub's
+    * ownership merge, scrubbed-token budgeting, decontam-on-scrubbed-
+    * text) is a driver hash mismatch. Quality stays no-op'd ((0, 1, 0))
+    * and the semantic stages off: their batch forms are value-checked
+    * by q84/q87/q88 and their composition is spec-pinned, but k-means
+    * cells are not engine-expressible in the oracle. Output = the day's
+    * admissions, q68's columns. */
+  def q95PipelineDayFull(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions
+    import graft.operators.{Approx, SubstringDedup, TrainingData}
+    import s.implicits._
+    val docs = documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+    val isNew = pmod(col("doc_id"), lit(10)) >= 7
+    val seed = docs.filter(!isNew)
+    val state = TrainingData.PipelineState(
+      fingerprints = seed
+        .select(md5(TextFunctions.redactPiiPortable(col("text"))).as("clean_fp"))
+        .distinct(),
+      minhash = Approx.buildMinHashIndex(s, seed.select("doc_id", "text")),
+      window = Some(SubstringDedup.buildWindowIndex(
+        seed.select("doc_id", "text"), Q76WindowK)),
+      semantic = None, ledger = Map.empty)
+    TrainingData.advanceTrainingSet(s, state, docs.filter(isNew),
+        benchmark = docs.filter(col("doc_id") < 20).select("text"),
+        budgets = Map("en" -> 3000L, "de" -> 800L, "es" -> 500L, "zh" -> 1200L),
+        minQuality = 0.0, maxRepetition = 1.0, minTokens = 0, salt = 0L,
+        substrK = Some(Q76WindowK), md5Fps = true)
+      .admitted.orderBy("doc_id")
+  }
 }

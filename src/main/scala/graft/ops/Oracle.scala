@@ -1595,6 +1595,132 @@ object Oracle {
         |ORDER BY doc_id""".stripMargin
     },
 
+    // q95: the composed ingest day with substring scrub + lexical
+    // decontamination ON — q93's fp-screen/lexical-screen/budget-fill
+    // re-derivation extended with the q76/q77 window chain (ownership
+    // over seed ∪ day-survivor windows, keep-first by (doc_id, start),
+    // covered positions cut, docs scrubbed to nothing dropped, token
+    // counts re-derived from the SCRUBBED word list) and q57's 8-gram
+    // containment (scrubbed day text vs the raw doc_id < 20 benchmark
+    // slice; any shared 8-gram drops the doc — the 1e-9 containment
+    // floor). Every constant matches the Spark side: window k = 8
+    // (Extended.Q76WindowK), minhash family/threshold from the shared
+    // chain, budgets/salt from q93. The five-stage composition IS
+    // advanceTrainingSet's contract with stage 3b + 4 on, so a defect
+    // in the scrub's ownership merge, the scrubbed-token budgeting, or
+    // decontam-on-scrubbed-text ordering is a value mismatch here.
+    "q95_pipeline_day_full" -> {
+      import graft.functions.TextFunctions.{PiiEmailPattern, PiiUrlPattern,
+        PiiIpv4Pattern, PiiPhonePortablePattern}
+      "WITH " + minhashChainCtes +
+      s""",
+        | red AS (
+        |  SELECT doc_id, lang,
+        |    md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '$PiiEmailPattern', '<EMAIL>', 'g'),
+        |      '$PiiUrlPattern', '<URL>', 'g'),
+        |      '$PiiIpv4Pattern', '<IP>', 'g'),
+        |      '$PiiPhonePortablePattern', '<PHONE>', 'g')) AS clean_fp
+        |  FROM documents),
+        | idxfp AS (SELECT DISTINCT clean_fp FROM red WHERE doc_id % 10 < 7),
+        | ek AS (
+        |  SELECT doc_id, lang FROM (
+        |    SELECT d.doc_id, d.lang,
+        |      row_number() OVER (PARTITION BY d.clean_fp ORDER BY d.doc_id) AS rn
+        |    FROM red d LEFT JOIN idxfp i ON i.clean_fp = d.clean_fp
+        |    WHERE d.doc_id % 10 >= 7 AND i.clean_fp IS NULL) sub
+        |  WHERE rn = 1),
+        | pairs AS (SELECT i2.a, i2.b
+        |   FROM inter i2 JOIN cnt ca ON ca.doc_id = i2.a JOIN cnt cb ON cb.doc_id = i2.b
+        |   WHERE CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) >= 0.8),
+        | sym AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b AS x, a AS y FROM pairs),
+        | symk AS (SELECT s.x, s.y,
+        |     CASE WHEN s.y % 10 < 7 THEN 1 ELSE 0 END AS y_old,
+        |     CASE WHEN e2.doc_id IS NOT NULL THEN 1 ELSE 0 END AS y_ek
+        |   FROM sym s LEFT JOIN ek e2 ON e2.doc_id = s.y),
+        | fl AS (SELECT e.doc_id, e.lang,
+        |     max(s.y_old) AS has_old,
+        |     max(CASE WHEN s.y_ek = 1 AND s.y < e.doc_id THEN 1 ELSE 0 END) AS has_new
+        |   FROM ek e LEFT JOIN symk s ON s.x = e.doc_id
+        |   GROUP BY e.doc_id, e.lang),
+        | lexk AS (SELECT doc_id, lang FROM fl
+        |   WHERE COALESCE(has_old, 0) = 0 AND COALESCE(has_new, 0) = 0),
+        | sb AS (
+        |  SELECT d.doc_id, regexp_split_to_array(trim(d.text),
+        |    '[ \\t\\n\\x0B\\f\\r]+') AS arr
+        |  FROM documents d
+        |  WHERE d.doc_id % 10 < 7 OR d.doc_id IN (SELECT doc_id FROM lexk)),
+        | swords AS (
+        |  SELECT doc_id, wi, arr[wi] AS w
+        |  FROM sb, unnest(range(1, len(arr) + 1)) AS t(wi)
+        |  WHERE arr[wi] <> ''),
+        | sfdoc AS (
+        |  SELECT doc_id, list(w ORDER BY wi) AS fa FROM swords GROUP BY doc_id),
+        | swins AS (
+        |  SELECT doc_id, u.s AS s, array_to_string(fa[u.s:u.s+7], ' ') AS w8
+        |  FROM sfdoc, unnest(range(1, len(fa) - 6)) AS u(s)
+        |  WHERE len(fa) >= 8),
+        | smarks AS (
+        |  SELECT doc_id, s,
+        |    row_number() OVER (PARTITION BY w8 ORDER BY doc_id, s) AS rn
+        |  FROM swins),
+        | shad AS (SELECT m.doc_id, m.s FROM smarks m
+        |   JOIN lexk l ON l.doc_id = m.doc_id WHERE m.rn > 1),
+        | dwords AS (
+        |  SELECT w2.doc_id,
+        |    row_number() OVER (PARTITION BY w2.doc_id ORDER BY w2.wi) AS p, w2.w
+        |  FROM swords w2 JOIN lexk l ON l.doc_id = w2.doc_id),
+        | cov AS (
+        |  SELECT DISTINCT dw.doc_id, dw.p
+        |  FROM dwords dw JOIN shad sh
+        |    ON sh.doc_id = dw.doc_id AND dw.p BETWEEN sh.s AND sh.s + 7),
+        | karr AS (
+        |  SELECT dw.doc_id, list(dw.w ORDER BY dw.p) AS ka
+        |  FROM dwords dw LEFT JOIN cov
+        |    ON cov.doc_id = dw.doc_id AND cov.p = dw.p
+        |  WHERE cov.p IS NULL
+        |  GROUP BY dw.doc_id),
+        | bbase AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text),
+        |    '[ \\t\\n\\x0B\\f\\r]+') AS arr
+        |  FROM documents WHERE doc_id < 20),
+        | bwords AS (
+        |  SELECT doc_id, wi, arr[wi] AS w
+        |  FROM bbase, unnest(range(1, len(arr) + 1)) AS t(wi)
+        |  WHERE arr[wi] <> ''),
+        | bfd AS (
+        |  SELECT doc_id, list(w ORDER BY wi) AS fa FROM bwords GROUP BY doc_id),
+        | bsh AS (
+        |  SELECT DISTINCT array_to_string(fa[u.s:u.s+7], ' ') AS g8
+        |  FROM bfd, unnest(range(1, len(fa) - 6)) AS u(s)
+        |  WHERE len(fa) >= 8),
+        | dsh AS (
+        |  SELECT doc_id, array_to_string(ka[u.s:u.s+7], ' ') AS g8
+        |  FROM karr, unnest(range(1, len(ka) - 6)) AS u(s)
+        |  WHERE len(ka) >= 8),
+        | cont AS (SELECT DISTINCT d2.doc_id FROM dsh d2 JOIN bsh b2 ON b2.g8 = d2.g8),
+        | keepers AS (
+        |  SELECT k2.doc_id, l.lang, CAST(len(k2.ka) AS BIGINT) AS n_tokens
+        |  FROM karr k2 JOIN lexk l ON l.doc_id = k2.doc_id
+        |  WHERE k2.doc_id NOT IN (SELECT doc_id FROM cont)),
+        | ordered AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS BIGINT) AS pick_pos
+        |  FROM keepers)
+        |SELECT doc_id, lang, n_tokens, cum_before, pick_pos
+        |FROM ordered
+        |WHERE cum_before < CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 800
+        |                             WHEN 'es' THEN 500 WHEN 'zh' THEN 1200
+        |                             ELSE 0 END
+        |ORDER BY doc_id""".stripMargin
+    },
+
     // q94: the lexical band-occupancy monitor — per colliding band
     // value, doc count and candidate-pair mass, straight off the shared
     // q59 chain's `bd` CTE (the band values are its comma-joined

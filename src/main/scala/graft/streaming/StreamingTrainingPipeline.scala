@@ -65,7 +65,8 @@ object StreamingTrainingPipeline {
              minCosine: Double = 0.35,
              substrK: Option[Int] = None,
              arrivalOrder: Boolean = false,
-             md5Fps: Boolean = false)
+             md5Fps: Boolean = false,
+             report: Boolean = false)
             (onBatch: (Long, DataFrame) => Unit): DataStreamWriter[Row] = {
     increments.writeStream
       .outputMode("append")
@@ -78,7 +79,7 @@ object StreamingTrainingPipeline {
         onBatch(id, processBatch(spark, stateDir, b, id, benchmark, budgets,
           minJaccard, minBenchContainment, minQuality, maxRepetition,
           minTokens, salt, embeddings, benchmarkEmbeddings, minCosine,
-          substrK, arrivalOrder, md5Fps))
+          substrK, arrivalOrder, md5Fps, report))
       }
   }
 
@@ -100,16 +101,26 @@ object StreamingTrainingPipeline {
                                   minCosine: Double = 0.35,
                                   substrK: Option[Int] = None,
                                   arrivalOrder: Boolean = false,
-                                  md5Fps: Boolean = false): DataFrame = {
+                                  md5Fps: Boolean = false,
+                                  report: Boolean = false): DataFrame = {
     val st = TrainingData.loadDurablePipelineState(spark, stateDir,
       md5Fps, beforeBatch = Some(id))
     val out = TrainingData.advanceTrainingSet(spark, st, batch, benchmark,
       budgets, minJaccard, minBenchContainment, minQuality, maxRepetition,
       minTokens, salt, tokenCounter = None, dayEmbeddings = embeddings,
       benchmarkEmbeddings = benchmarkEmbeddings, minCosine = minCosine,
-      substrK = substrK, arrivalOrder = arrivalOrder, md5Fps = md5Fps)
+      substrK = substrK, arrivalOrder = arrivalOrder, md5Fps = md5Fps,
+      report = report)
     val admitted = out.admitted.localCheckpoint()
     TrainingData.appendPipelineDay(spark, stateDir, id, out.folds)
+    // With `report` on, the day's ingest-health frame lands in the
+    // store's own health log (`$stateDir/health/batch_id=N`) — an
+    // operator tails ONE table to watch band saturation and cell skew
+    // per ingested day; retries overwrite their own partition like any
+    // state table. Not part of the pipeline state proper: compaction
+    // does not consolidate it and loads never read it.
+    out.health.foreach(h =>
+      graft.sources.StateStore.writePartition(h, s"$stateDir/health", id))
     admitted
   }
 

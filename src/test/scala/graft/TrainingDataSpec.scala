@@ -514,6 +514,65 @@ class TrainingDataSpec extends SparkSpec {
     assert(eD.getMessage.contains("fresh"))
   }
 
+  test("incremental pipeline: per-day ingest health report — q94/q89 laws from the product path") {
+    import spark.implicits._
+    val docs = graft.ops.Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "lang")
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = graft.ops.Extended.Q84Centroids.map(_.map(_.toDouble))
+    val state = TrainingData.PipelineState(
+      fingerprints = Seq.empty[String].toDF("clean_fp"),
+      minhash = graft.operators.Approx.buildMinHashIndex(spark,
+        docs.select("doc_id", "text")),
+      window = None,
+      semantic = Some(graft.operators.Approx.buildSemanticIndex(emb, cents)),
+      ledger = Map.empty)
+    val rep = TrainingData.ingestHealth(state, topK = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getDouble(4)))
+    // Band rows ARE the top-5 of the q94 monitor, share = mass/total.
+    val occ = graft.operators.Approx.bandOccupancy(state.minhash)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val totalMass = occ.map(_._4).sum
+    val top5 = occ.sortBy(t => (-t._4, t._1, t._2)).take(5)
+      .map(t => ("band", s"${t._1}:${t._2}", t._3, t._4,
+        math.floor(t._4.toDouble / totalMass * 1e6 + 0.5) / 1e6))
+    assert(rep.filter(_._1 == "band").toSeq === top5.toSeq)
+    // Cell rows: q89's balance law without the lang join — counts per
+    // quantizer cell, shares summing to 1 (4 cells, all populated).
+    val cellRows = rep.filter(_._1 == "cell")
+    assert(cellRows.length === cents.length)
+    assert(cellRows.map(_._3).sum === emb.count())
+    assert(math.abs(cellRows.map(_._5).sum - 1.0) < 1e-3)
+    // Product-path wiring: a reported day carries the frame (lazy),
+    // an unreported one does not.
+    val big = Map("en" -> 100000000L)
+    val day = TrainingData.advanceTrainingSet(spark,
+      TrainingData.initPipelineState(spark), docs,
+      benchmark = Seq.empty[String].toDF("text"), budgets = big,
+      minQuality = 0.0, maxRepetition = 1.0, minTokens = 0,
+      report = true)
+    assert(day.health.isDefined)
+    assert(day.health.get.filter(col("family") === "band").count() > 0L)
+    assert(TrainingData.advanceTrainingSet(spark,
+      TrainingData.initPipelineState(spark), docs.limit(5),
+      benchmark = Seq.empty[String].toDF("text"), budgets = big,
+      minQuality = 0.0, maxRepetition = 1.0, minTokens = 0).health.isEmpty)
+    // Streaming twin: a reported microbatch lands the frame in the
+    // store's health log at its own batch_id partition.
+    val dir = java.nio.file.Files.createTempDirectory("graft_health").toString
+    TrainingData.initDurablePipelineState(spark, dir)
+    graft.streaming.StreamingTrainingPipeline.processBatch(spark, dir,
+      docs, 0L, Seq.empty[String].toDF("text"), big,
+      minQuality = 0.0, maxRepetition = 1.0, minTokens = 0, report = true)
+    val log = spark.read.parquet(s"$dir/health")
+    assert(log.filter(col("batch_id") === 0L)
+      .filter(col("family") === "band").count() > 0L,
+      "reported batch wrote no health rows")
+  }
+
   test("incremental pipeline: compacted durable store ≡ original — one generation per table, same screens, same ledger") {
     // compactPipelineState (round 16): rolling N day partitions into a
     // single batch_id = asOfBatch generation must be invisible to every
