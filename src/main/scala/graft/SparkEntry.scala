@@ -118,7 +118,8 @@ object SparkEntry {
     "q92_incremental_window"  -> Extended.q92IncrementalWindow _,
     "q93_pipeline_day"        -> Extended.q93PipelineDay _,
     "q94_band_occupancy"      -> Extended.q94BandOccupancy _,
-    "q95_pipeline_day_full"   -> Extended.q95PipelineDayFull _
+    "q95_pipeline_day_full"   -> Extended.q95PipelineDayFull _,
+    "q96_pipeline_day_max"    -> Extended.q96PipelineDayMax _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

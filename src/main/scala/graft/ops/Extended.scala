@@ -1390,4 +1390,51 @@ object Extended {
         substrK = Some(Q76WindowK), md5Fps = true)
       .admitted.orderBy("doc_id")
   }
+
+  /** q96: the composed ingest day with EVERY engine-expressible stage
+    * on — q95 plus the semantic stages under the LITERAL q84 quantizer
+    * (the same declared-twin move q84/q88/q91 proved: fixed centroid
+    * cells render as SQL, so k-means is not in the oracle's way):
+    * semantic decontamination against the q87 benchmark slice
+    * (vec_id % 40 == 0 — all seed ids by residue arithmetic) and the
+    * incremental semantic screen against the corpus-verbatim SEED
+    * vector index, both at cosine 0.35 through the proven float-dot
+    * 4-dp parity chain. Only the quality gate stays no-op'd — its
+    * (0, 1, 0) thresholds are this query's declared contract, not an
+    * expressibility gap — so the DuckDB oracle now re-derives the
+    * ENTIRE `advanceTrainingSet` composition: fp screen → lexical
+    * near-dup → substring scrub → lexical decontam → semantic decontam
+    * → semantic screen → budget fill. Output = the day's admissions,
+    * q68's columns. */
+  def q96PipelineDayMax(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions
+    import graft.operators.{Approx, SubstringDedup, TrainingData}
+    import s.implicits._
+    val docs = documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val isNew = pmod(col("doc_id"), lit(10)) >= 7
+    val seed = docs.filter(!isNew)
+    val cents = Q84Centroids.map(_.map(_.toDouble))
+    val state = TrainingData.PipelineState(
+      fingerprints = seed
+        .select(md5(TextFunctions.redactPiiPortable(col("text"))).as("clean_fp"))
+        .distinct(),
+      minhash = Approx.buildMinHashIndex(s, seed.select("doc_id", "text")),
+      window = Some(SubstringDedup.buildWindowIndex(
+        seed.select("doc_id", "text"), Q76WindowK)),
+      semantic = Some(Approx.buildSemanticIndex(
+        emb.filter(pmod(col("vec_id"), lit(10)) < 7), cents)),
+      ledger = Map.empty)
+    TrainingData.advanceTrainingSet(s, state, docs.filter(isNew),
+        benchmark = docs.filter(col("doc_id") < 20).select("text"),
+        budgets = Map("en" -> 3000L, "de" -> 800L, "es" -> 500L, "zh" -> 1200L),
+        minQuality = 0.0, maxRepetition = 1.0, minTokens = 0, salt = 0L,
+        dayEmbeddings = Some(emb.select(col("vec_id").as("doc_id"),
+          col("embedding"))),
+        benchmarkEmbeddings = Some(emb
+          .filter(pmod(col("vec_id"), lit(40)) === 0).select("embedding")),
+        minCosine = 0.35,
+        substrK = Some(Q76WindowK), md5Fps = true)
+      .admitted.orderBy("doc_id")
+  }
 }

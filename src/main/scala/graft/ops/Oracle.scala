@@ -133,6 +133,134 @@ object Oracle {
     (scoreCols, caseSql)
   }
 
+  /** The composed-ingest-day CTE chain shared by q95/q96 (the q93
+    * spine extended with the substring-scrub and lexical-decontam
+    * stages) — ONE definition so the two declared day variants cannot
+    * drift: q59 minhash chain → portable-scrub md5 fingerprints (red)
+    * → seed fp set (idxfp) → day keep-first exact survivors (ek) →
+    * q86-style lexical verdicts (fl) → survivors (lexk) → window
+    * ownership over seed ∪ survivors (q76's chain: sb/swords/sfdoc/
+    * swins/smarks) → shadowed-window cut and scrubbed word lists
+    * (shad/dwords/cov/karr — q77's rebuild; docs scrubbed to nothing
+    * simply have no karr row) → q57-style 8-gram containment of the
+    * SCRUBBED text vs the raw doc_id < 20 benchmark slice
+    * (bbase…cont). Consumers append their own `keepers` CTE +
+    * [[pipelineAdmissionTail]]. Ends at `cont`. */
+  private lazy val pipelineDayCtes: String = {
+    import graft.functions.TextFunctions.{PiiEmailPattern, PiiUrlPattern,
+      PiiIpv4Pattern, PiiPhonePortablePattern}
+    "WITH " + minhashChainCtes +
+    s""",
+      | red AS (
+      |  SELECT doc_id, lang,
+      |    md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+      |      '$PiiEmailPattern', '<EMAIL>', 'g'),
+      |      '$PiiUrlPattern', '<URL>', 'g'),
+      |      '$PiiIpv4Pattern', '<IP>', 'g'),
+      |      '$PiiPhonePortablePattern', '<PHONE>', 'g')) AS clean_fp
+      |  FROM documents),
+      | idxfp AS (SELECT DISTINCT clean_fp FROM red WHERE doc_id % 10 < 7),
+      | ek AS (
+      |  SELECT doc_id, lang FROM (
+      |    SELECT d.doc_id, d.lang,
+      |      row_number() OVER (PARTITION BY d.clean_fp ORDER BY d.doc_id) AS rn
+      |    FROM red d LEFT JOIN idxfp i ON i.clean_fp = d.clean_fp
+      |    WHERE d.doc_id % 10 >= 7 AND i.clean_fp IS NULL) sub
+      |  WHERE rn = 1),
+      | pairs AS (SELECT i2.a, i2.b
+      |   FROM inter i2 JOIN cnt ca ON ca.doc_id = i2.a JOIN cnt cb ON cb.doc_id = i2.b
+      |   WHERE CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) >= 0.8),
+      | sym AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b AS x, a AS y FROM pairs),
+      | symk AS (SELECT s.x, s.y,
+      |     CASE WHEN s.y % 10 < 7 THEN 1 ELSE 0 END AS y_old,
+      |     CASE WHEN e2.doc_id IS NOT NULL THEN 1 ELSE 0 END AS y_ek
+      |   FROM sym s LEFT JOIN ek e2 ON e2.doc_id = s.y),
+      | fl AS (SELECT e.doc_id, e.lang,
+      |     max(s.y_old) AS has_old,
+      |     max(CASE WHEN s.y_ek = 1 AND s.y < e.doc_id THEN 1 ELSE 0 END) AS has_new
+      |   FROM ek e LEFT JOIN symk s ON s.x = e.doc_id
+      |   GROUP BY e.doc_id, e.lang),
+      | lexk AS (SELECT doc_id, lang FROM fl
+      |   WHERE COALESCE(has_old, 0) = 0 AND COALESCE(has_new, 0) = 0),
+      | sb AS (
+      |  SELECT d.doc_id, regexp_split_to_array(trim(d.text),
+      |    '[ \\t\\n\\x0B\\f\\r]+') AS arr
+      |  FROM documents d
+      |  WHERE d.doc_id % 10 < 7 OR d.doc_id IN (SELECT doc_id FROM lexk)),
+      | swords AS (
+      |  SELECT doc_id, wi, arr[wi] AS w
+      |  FROM sb, unnest(range(1, len(arr) + 1)) AS t(wi)
+      |  WHERE arr[wi] <> ''),
+      | sfdoc AS (
+      |  SELECT doc_id, list(w ORDER BY wi) AS fa FROM swords GROUP BY doc_id),
+      | swins AS (
+      |  SELECT doc_id, u.s AS s, array_to_string(fa[u.s:u.s+7], ' ') AS w8
+      |  FROM sfdoc, unnest(range(1, len(fa) - 6)) AS u(s)
+      |  WHERE len(fa) >= 8),
+      | smarks AS (
+      |  SELECT doc_id, s,
+      |    row_number() OVER (PARTITION BY w8 ORDER BY doc_id, s) AS rn
+      |  FROM swins),
+      | shad AS (SELECT m.doc_id, m.s FROM smarks m
+      |   JOIN lexk l ON l.doc_id = m.doc_id WHERE m.rn > 1),
+      | dwords AS (
+      |  SELECT w2.doc_id,
+      |    row_number() OVER (PARTITION BY w2.doc_id ORDER BY w2.wi) AS p, w2.w
+      |  FROM swords w2 JOIN lexk l ON l.doc_id = w2.doc_id),
+      | cov AS (
+      |  SELECT DISTINCT dw.doc_id, dw.p
+      |  FROM dwords dw JOIN shad sh
+      |    ON sh.doc_id = dw.doc_id AND dw.p BETWEEN sh.s AND sh.s + 7),
+      | karr AS (
+      |  SELECT dw.doc_id, list(dw.w ORDER BY dw.p) AS ka
+      |  FROM dwords dw LEFT JOIN cov
+      |    ON cov.doc_id = dw.doc_id AND cov.p = dw.p
+      |  WHERE cov.p IS NULL
+      |  GROUP BY dw.doc_id),
+      | bbase AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text),
+      |    '[ \\t\\n\\x0B\\f\\r]+') AS arr
+      |  FROM documents WHERE doc_id < 20),
+      | bwords AS (
+      |  SELECT doc_id, wi, arr[wi] AS w
+      |  FROM bbase, unnest(range(1, len(arr) + 1)) AS t(wi)
+      |  WHERE arr[wi] <> ''),
+      | bfd AS (
+      |  SELECT doc_id, list(w ORDER BY wi) AS fa FROM bwords GROUP BY doc_id),
+      | bsh AS (
+      |  SELECT DISTINCT array_to_string(fa[u.s:u.s+7], ' ') AS g8
+      |  FROM bfd, unnest(range(1, len(fa) - 6)) AS u(s)
+      |  WHERE len(fa) >= 8),
+      | dsh AS (
+      |  SELECT doc_id, array_to_string(ka[u.s:u.s+7], ' ') AS g8
+      |  FROM karr, unnest(range(1, len(ka) - 6)) AS u(s)
+      |  WHERE len(ka) >= 8),
+      | cont AS (SELECT DISTINCT d2.doc_id FROM dsh d2 JOIN bsh b2 ON b2.g8 = d2.g8)""".stripMargin
+  }
+
+  /** The composed day's budget-fill tail (q68/q69's hash-order
+    * admission at salt 0 under the q93 budget CASE) over a `keepers`
+    * CTE with (doc_id, lang, n_tokens) — shared by q93's siblings
+    * q95/q96 so the admission arithmetic cannot drift between them. */
+  private val pipelineAdmissionTail: String =
+    """,
+      | ordered AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang
+      |      ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cum_before,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id)
+      |      AS BIGINT) AS pick_pos
+      |  FROM keepers)
+      |SELECT doc_id, lang, n_tokens, cum_before, pick_pos
+      |FROM ordered
+      |WHERE cum_before < CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 800
+      |                             WHEN 'es' THEN 500 WHEN 'zh' THEN 1200
+      |                             ELSE 0 END
+      |ORDER BY doc_id""".stripMargin
+
   private val base: Map[String, String] = Map(
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, round(l_extendedprice * (1 - l_discount), 2) AS net
@@ -1609,116 +1737,65 @@ object Oracle {
     // advanceTrainingSet's contract with stage 3b + 4 on, so a defect
     // in the scrub's ownership merge, the scrubbed-token budgeting, or
     // decontam-on-scrubbed-text ordering is a value mismatch here.
-    "q95_pipeline_day_full" -> {
-      import graft.functions.TextFunctions.{PiiEmailPattern, PiiUrlPattern,
-        PiiIpv4Pattern, PiiPhonePortablePattern}
-      "WITH " + minhashChainCtes +
-      s""",
-        | red AS (
-        |  SELECT doc_id, lang,
-        |    md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-        |      '$PiiEmailPattern', '<EMAIL>', 'g'),
-        |      '$PiiUrlPattern', '<URL>', 'g'),
-        |      '$PiiIpv4Pattern', '<IP>', 'g'),
-        |      '$PiiPhonePortablePattern', '<PHONE>', 'g')) AS clean_fp
-        |  FROM documents),
-        | idxfp AS (SELECT DISTINCT clean_fp FROM red WHERE doc_id % 10 < 7),
-        | ek AS (
-        |  SELECT doc_id, lang FROM (
-        |    SELECT d.doc_id, d.lang,
-        |      row_number() OVER (PARTITION BY d.clean_fp ORDER BY d.doc_id) AS rn
-        |    FROM red d LEFT JOIN idxfp i ON i.clean_fp = d.clean_fp
-        |    WHERE d.doc_id % 10 >= 7 AND i.clean_fp IS NULL) sub
-        |  WHERE rn = 1),
-        | pairs AS (SELECT i2.a, i2.b
-        |   FROM inter i2 JOIN cnt ca ON ca.doc_id = i2.a JOIN cnt cb ON cb.doc_id = i2.b
-        |   WHERE CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) >= 0.8),
-        | sym AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b AS x, a AS y FROM pairs),
-        | symk AS (SELECT s.x, s.y,
-        |     CASE WHEN s.y % 10 < 7 THEN 1 ELSE 0 END AS y_old,
-        |     CASE WHEN e2.doc_id IS NOT NULL THEN 1 ELSE 0 END AS y_ek
-        |   FROM sym s LEFT JOIN ek e2 ON e2.doc_id = s.y),
-        | fl AS (SELECT e.doc_id, e.lang,
-        |     max(s.y_old) AS has_old,
-        |     max(CASE WHEN s.y_ek = 1 AND s.y < e.doc_id THEN 1 ELSE 0 END) AS has_new
-        |   FROM ek e LEFT JOIN symk s ON s.x = e.doc_id
-        |   GROUP BY e.doc_id, e.lang),
-        | lexk AS (SELECT doc_id, lang FROM fl
-        |   WHERE COALESCE(has_old, 0) = 0 AND COALESCE(has_new, 0) = 0),
-        | sb AS (
-        |  SELECT d.doc_id, regexp_split_to_array(trim(d.text),
-        |    '[ \\t\\n\\x0B\\f\\r]+') AS arr
-        |  FROM documents d
-        |  WHERE d.doc_id % 10 < 7 OR d.doc_id IN (SELECT doc_id FROM lexk)),
-        | swords AS (
-        |  SELECT doc_id, wi, arr[wi] AS w
-        |  FROM sb, unnest(range(1, len(arr) + 1)) AS t(wi)
-        |  WHERE arr[wi] <> ''),
-        | sfdoc AS (
-        |  SELECT doc_id, list(w ORDER BY wi) AS fa FROM swords GROUP BY doc_id),
-        | swins AS (
-        |  SELECT doc_id, u.s AS s, array_to_string(fa[u.s:u.s+7], ' ') AS w8
-        |  FROM sfdoc, unnest(range(1, len(fa) - 6)) AS u(s)
-        |  WHERE len(fa) >= 8),
-        | smarks AS (
-        |  SELECT doc_id, s,
-        |    row_number() OVER (PARTITION BY w8 ORDER BY doc_id, s) AS rn
-        |  FROM swins),
-        | shad AS (SELECT m.doc_id, m.s FROM smarks m
-        |   JOIN lexk l ON l.doc_id = m.doc_id WHERE m.rn > 1),
-        | dwords AS (
-        |  SELECT w2.doc_id,
-        |    row_number() OVER (PARTITION BY w2.doc_id ORDER BY w2.wi) AS p, w2.w
-        |  FROM swords w2 JOIN lexk l ON l.doc_id = w2.doc_id),
-        | cov AS (
-        |  SELECT DISTINCT dw.doc_id, dw.p
-        |  FROM dwords dw JOIN shad sh
-        |    ON sh.doc_id = dw.doc_id AND dw.p BETWEEN sh.s AND sh.s + 7),
-        | karr AS (
-        |  SELECT dw.doc_id, list(dw.w ORDER BY dw.p) AS ka
-        |  FROM dwords dw LEFT JOIN cov
-        |    ON cov.doc_id = dw.doc_id AND cov.p = dw.p
-        |  WHERE cov.p IS NULL
-        |  GROUP BY dw.doc_id),
-        | bbase AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text),
-        |    '[ \\t\\n\\x0B\\f\\r]+') AS arr
-        |  FROM documents WHERE doc_id < 20),
-        | bwords AS (
-        |  SELECT doc_id, wi, arr[wi] AS w
-        |  FROM bbase, unnest(range(1, len(arr) + 1)) AS t(wi)
-        |  WHERE arr[wi] <> ''),
-        | bfd AS (
-        |  SELECT doc_id, list(w ORDER BY wi) AS fa FROM bwords GROUP BY doc_id),
-        | bsh AS (
-        |  SELECT DISTINCT array_to_string(fa[u.s:u.s+7], ' ') AS g8
-        |  FROM bfd, unnest(range(1, len(fa) - 6)) AS u(s)
-        |  WHERE len(fa) >= 8),
-        | dsh AS (
-        |  SELECT doc_id, array_to_string(ka[u.s:u.s+7], ' ') AS g8
-        |  FROM karr, unnest(range(1, len(ka) - 6)) AS u(s)
-        |  WHERE len(ka) >= 8),
-        | cont AS (SELECT DISTINCT d2.doc_id FROM dsh d2 JOIN bsh b2 ON b2.g8 = d2.g8),
+    "q95_pipeline_day_full" -> (pipelineDayCtes + """,
         | keepers AS (
         |  SELECT k2.doc_id, l.lang, CAST(len(k2.ka) AS BIGINT) AS n_tokens
         |  FROM karr k2 JOIN lexk l ON l.doc_id = k2.doc_id
+        |  WHERE k2.doc_id NOT IN (SELECT doc_id FROM cont))""".stripMargin +
+      pipelineAdmissionTail),
+
+    // q96: the composed ingest day with EVERY stage on that the engine
+    // can express — q95's chains plus the semantic stages under the
+    // LITERAL q84 quantizer (the declared-twin convention that makes
+    // k-means-free cell assignment engine-renderable): semantic
+    // decontamination vs the q87 benchmark slice (vec_id % 40 = 0,
+    // all seed ids by residue arithmetic) through the proven
+    // list_cosine_similarity ≡ float_dot 4-dp parity chain, then the
+    // q88 verdict derivation restricted to the day's post-decontam
+    // survivors — y_old against the corpus-verbatim SEED vector index,
+    // y_new against earlier post-decontam day survivors in the same
+    // cell. Only the quality gate stays no-op'd (its thresholds are
+    // the query's (0, 1, 0) contract, not an expressibility gap). No
+    // norm guards in the pair CTEs — the q88 oracle's convention
+    // (this testdata has no zero vectors; the Spark side excludes
+    // them from judgment, which only diverges on corpora that do).
+    "q96_pipeline_day_max" -> {
+      val (scoreCols, caseSql) = q84CellSql
+      pipelineDayCtes + s""",
+        | lexclean AS (
+        |  SELECT k2.doc_id, l.lang, CAST(len(k2.ka) AS BIGINT) AS n_tokens
+        |  FROM karr k2 JOIN lexk l ON l.doc_id = k2.doc_id
         |  WHERE k2.doc_id NOT IN (SELECT doc_id FROM cont)),
-        | ordered AS (
-        |  SELECT doc_id, lang, n_tokens,
-        |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang
-        |      ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS cum_before,
-        |    CAST(row_number() OVER (PARTITION BY lang
-        |      ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id)
-        |      AS BIGINT) AS pick_pos
-        |  FROM keepers)
-        |SELECT doc_id, lang, n_tokens, cum_before, pick_pos
-        |FROM ordered
-        |WHERE cum_before < CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 800
-        |                             WHEN 'es' THEN 500 WHEN 'zh' THEN 1200
-        |                             ELSE 0 END
-        |ORDER BY doc_id""".stripMargin
+        | esc AS (SELECT vec_id, embedding,
+        |    $scoreCols
+        |  FROM embeddings),
+        | ecell AS (SELECT vec_id, embedding, $caseSql AS cell FROM esc),
+        | sdec AS (SELECT DISTINCT c.doc_id
+        |  FROM lexclean c
+        |  JOIN embeddings e ON e.vec_id = c.doc_id
+        |  JOIN embeddings b ON b.vec_id % 40 = 0
+        |  WHERE round(list_cosine_similarity(b.embedding, e.embedding), 4) >= 0.35),
+        | dayvec AS (SELECT c.doc_id, c.lang, c.n_tokens, ec.cell, ec.embedding
+        |  FROM lexclean c JOIN ecell ec ON ec.vec_id = c.doc_id
+        |  WHERE c.doc_id NOT IN (SELECT doc_id FROM sdec)),
+        | spairs AS (
+        |  SELECT x.doc_id AS a, FALSE AS y_new
+        |  FROM dayvec x JOIN ecell y ON y.cell = x.cell AND y.vec_id % 10 < 7
+        |  WHERE round(list_cosine_similarity(x.embedding, y.embedding), 4) >= 0.35
+        |  UNION ALL
+        |  SELECT x.doc_id AS a, TRUE AS y_new
+        |  FROM dayvec x JOIN dayvec y ON y.cell = x.cell AND y.doc_id < x.doc_id
+        |  WHERE round(list_cosine_similarity(x.embedding, y.embedding), 4) >= 0.35),
+        | sflag AS (SELECT a,
+        |    max(CASE WHEN NOT y_new THEN 1 ELSE 0 END) AS has_old,
+        |    max(CASE WHEN y_new THEN 1 ELSE 0 END) AS has_new
+        |  FROM spairs GROUP BY a),
+        | keepers AS (
+        |  SELECT v.doc_id, v.lang, v.n_tokens
+        |  FROM dayvec v
+        |  WHERE v.doc_id NOT IN (
+        |    SELECT a FROM sflag WHERE has_old = 1 OR has_new = 1))""".stripMargin +
+      pipelineAdmissionTail
     },
 
     // q94: the lexical band-occupancy monitor — per colliding band

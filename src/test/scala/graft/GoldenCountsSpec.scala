@@ -187,7 +187,12 @@ class GoldenCountsSpec extends SparkSpec {
     // this SF (the scrub shrinks token counts and the decontam drops
     // benchmark-overlapping docs, shifting the budget fill); every
     // value oracle-matched.
-    "q95_pipeline_day_full" -> 41
+    "q95_pipeline_day_full" -> 41,
+    // q96 (round 17): the composed day with the semantic stages ALSO
+    // on (literal q84 quantizer) — semantic decontam vs the q87 slice
+    // and the q88-style screen drop 18 more candidates than q95 at
+    // this SF; every value oracle-matched.
+    "q96_pipeline_day_max" -> 23
   )
 
   test("queries/oracleSql keys line up") {
@@ -389,7 +394,13 @@ class GoldenCountsSpec extends SparkSpec {
     // value-checks them; at sf0.1 DuckDB's composed minhash +
     // window-ownership chains spill temp storage past the box's disk
     // (the q60 closure precedent), so scale values pin by checksum.
-    "q95_pipeline_day_full" -> 253L
+    "q95_pipeline_day_full" -> 253L,
+    // q96: unlike q95's no-op coincidence, the semantic stages FIRE at
+    // sf0.1 — 202 admissions vs q93/q95's 253 (the planted embedding
+    // families put many day docs within cosine 0.35 of a seed vector) —
+    // so this pin guards live full-stage composition at scale; values
+    // pin by checksum (same oracle-disk bound as q95).
+    "q96_pipeline_day_max" -> 202L
   )
 
   sf01Pins.toSeq.sortBy(_._1).foreach { case (name, rows) =>
@@ -417,7 +428,8 @@ class GoldenCountsSpec extends SparkSpec {
     // DuckDB twin exhausts temp disk (see the sf01Pins note), so the
     // composed day's VALUES pin here — checksum printed twice via the
     // PinProbe path to prove stability before pinning.
-    "q95_pipeline_day_full" -> 1453440673242317105L
+    "q95_pipeline_day_full" -> 1453440673242317105L,
+    "q96_pipeline_day_max" -> -8058178038747491086L
   )
 
   sf01ChecksumPins.toSeq.sortBy(_._1).foreach { case (name, pin) =>
