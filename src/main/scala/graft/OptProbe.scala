@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-17 optimization scratch probe: stage decompositions of the
+  * bench heavies under the exact bench-session config. Each experiment
+  * is a named thunk; `sbt "runMain graft.OptProbe <name>..."` times the
+  * requested ones (1 warm + 3 passes, min). Kept in-tree so the numbers
+  * in OPTIMIZATION_r17.md are reproducible.
+  */
+object OptProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.constraintPropagation.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.expressions.GraftFunctions.register(spark)
+
+    // Wall-clock on this sandbox is unusable for A/B right now (external
+    // CPU stalls inflate single passes up to 10x); executor CPU time
+    // (task metrics) measures the actual work and is stable across
+    // stalls. Report both: min wall for context, min summed CPU for the
+    // decision.
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) cpuNs.addAndGet(m.executorCpuTime + m.executorDeserializeCpuTime)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def time(name: String)(mk: () => DataFrame): Unit = {
+      val r = mk().count()
+      val ts = (1 to 3).map { _ =>
+        cpuNs.set(0)
+        val t0 = System.nanoTime(); mk().count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        // Listener-bus delivery lags task end; drain with a sentinel.
+        spark.sparkContext.parallelize(Seq(0), 1).count()
+        Thread.sleep(200)
+        (wall, cpuNs.get() / 1e9)
+      }
+      val minWall = ts.map(_._1).min
+      val minCpu = ts.map(_._2).min
+      println(f"OPTPROBE $name rows=$r wallMin=$minWall%.3f cpuMin=$minCpu%.3f " +
+        s"cpuAll=${ts.map(t => f"${t._2}%.3f").mkString(",")}")
+    }
+
+    // q59 decomposition pieces, replicated from Extended.minhashPairs /
+    // Approx.md5SetsAndBands so stages can be timed in isolation.
+    def q59cand(): DataFrame = {
+      val (_, cand) = graft.operators.Approx.bandedMd5Candidates(
+        spark, graft.ops.Tables.documents(spark, sfDir))
+      cand
+    }
+    def q59full(): DataFrame = graft.ops.Extended.minhashPairs(spark, sfDir)
+    // Variant: exact-integer acceptance (9i >= 4(na+nb)) instead of the
+    // double-ratio filter — same pair set (rational-vs-double-boundary
+    // proof in OPTIMIZATION_r17.md), but the pushed join condition then
+    // carries ONE sorted_intersect_size call instead of two.
+    def q59int(): DataFrame = {
+      val (sets, cand) = graft.operators.Approx.bandedMd5Candidates(
+        spark, graft.ops.Tables.documents(spark, sfDir))
+      val ratio = col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")
+      graft.operators.Approx.rescoredPairs(spark, cand, sets,
+        col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
+        .filter(col("i") * 9 >= (col("na") + col("nb")) * 4)
+        .select(col("a"), col("b"),
+          graft.ops.Determinism.dround(ratio, 4).as("jaccard"))
+    }
+    // Candidates surviving the size prune (how many sis calls the
+    // condition pays), and the post-prune candidate count.
+    def q59pruned(): DataFrame = {
+      val (sets, cand) = graft.operators.Approx.bandedMd5Candidates(
+        spark, graft.ops.Tables.documents(spark, sfDir))
+      cand
+        .join(sets.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(sets.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .filter(col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
+    }
+
+    // Round-16 formulations kept verbatim for same-session CPU A/Bs
+    // against the declared (changed) queries.
+    def q35old(): DataFrame = {
+      val toks = graft.ops.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), sort_array(array_distinct(split(col("text"), " "))).as("toks"))
+      val probe = toks.filter(col("doc_id") < 100)
+        .select(col("doc_id").as("a"), col("toks").as("ta"), size(col("toks")).cast("long").as("sa"))
+      val corpus = toks.select(col("doc_id").as("b"), col("toks").as("tb"), size(col("toks")).cast("long").as("sb"))
+        .repartition(math.min(spark.sparkContext.defaultParallelism, 8))
+      val i = graft.expressions.GraftFunctions.sortedIntersectSize(spark, "ta", "tb")
+      val ratio = col("i").cast("double") / (col("sa") + col("sb") - col("i"))
+      broadcast(probe).crossJoin(corpus)
+        .filter(col("a") < col("b") &&
+                col("sa") * 5 >= col("sb") * 4 && col("sb") * 5 >= col("sa") * 4)
+        .select(col("a"), col("b"), i.as("i"), col("sa"), col("sb"))
+        .filter(ratio >= 0.8)
+        .select(col("a"), col("b"), graft.ops.Determinism.dround(ratio, 4).as("jaccard"))
+        .orderBy("a", "b")
+    }
+    def q64old(): DataFrame = {
+      val grams = graft.ops.Tables.documents(spark, sfDir)
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), expr("packed_trigrams(text)").as("gs"))
+      val probe = grams.filter(col("doc_id") < 100)
+        .select(col("doc_id").as("a"), col("gs").as("ta"), size(col("gs")).cast("long").as("sa"))
+      val corpus = grams
+        .select(col("doc_id").as("b"), col("gs").as("tb"), size(col("gs")).cast("long").as("sb"))
+        .repartition(math.min(spark.sparkContext.defaultParallelism, 8))
+      val i = graft.expressions.GraftFunctions.sortedIntersectSize(spark, "ta", "tb")
+      val ratio = col("i").cast("double") / (col("sa") + col("sb") - col("i"))
+      broadcast(probe).crossJoin(corpus)
+        .filter(col("a") < col("b") &&
+                col("sa") * 5 >= col("sb") * 4 && col("sb") * 5 >= col("sa") * 4)
+        .select(col("a"), col("b"), i.as("i"), col("sa"), col("sb"))
+        .filter(ratio >= 0.8)
+        .select(col("a"), col("b"), graft.ops.Determinism.dround(ratio, 4).as("jaccard"))
+        .orderBy("a", "b")
+    }
+
+    // q43 replica (current formulation) and the prefiltered variant:
+    // a NECESSARY one-intersect integer bound (round4(i/u) >= 0.8 ⟹
+    // r > 0.7999 ⟹ 17999·i > 7999·(na+nb)) ahead of the exact rounded
+    // acceptance, so the two-intersect + BigDecimal-round condition only
+    // runs on near-threshold candidates.
+    def q43variant(prefilter: Boolean): DataFrame = {
+      val docs = graft.ops.Tables.documents(spark, sfDir)
+      val tokens = docs.select(col("doc_id"),
+        sort_array(array_distinct(filter(split(col("text"), " "), w => w =!= ""))).as("toks"))
+      val sigs = graft.operators.Approx.mlMinhashSignatures(tokens, 8)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val banded = sigs
+        .select(col("doc_id"), col("sig"), posexplode(col("sig")).as(Seq("t", "hv")))
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.t") === col("y.t") && col("x.hv") === col("y.hv") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          !expr("band_match_before(x.sig, y.sig, 1, x.t)"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      val sets = tokens.select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"))
+      val inter = graft.expressions.GraftFunctions.sortedIntersectSize(spark, "ta", "tb")
+      val jac = col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")
+      val base = cand
+        .join(sets.select(col("doc_id").as("a"), col("toks").as("ta"), col("n").as("na")), "a")
+        .join(sets.select(col("doc_id").as("b"), col("toks").as("tb"), col("n").as("nb")), "b")
+        .filter(least(col("na"), col("nb")).cast("double") >=
+                (lit(0.8) - lit(5.1e-5)) * greatest(col("na"), col("nb"))
+                  - lit(1e-9) * greatest(col("na"), col("nb")))
+        .select(col("a"), col("b"), inter.as("i"), col("na"), col("nb"))
+      val pre = if (prefilter)
+        base.filter(col("i") * 17999L > (col("na") + col("nb")) * 7999L)
+      else base
+      pre
+        .select(col("a"), col("b"), round(jac, 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("a", "b")
+    }
+
+    val experiments: Map[String, () => DataFrame] = Map(
+      "q59cand" -> (() => q59cand()),
+      "q59pruned" -> (() => q59pruned()),
+      "q59full" -> (() => q59full()),
+      "q59int" -> (() => q59int()),
+      "q35old" -> (() => q35old()),
+      "q64old" -> (() => q64old()),
+      "q43asis" -> (() => q43variant(false)),
+      "q43pref" -> (() => q43variant(true))
+    )
+    val names = if (args.nonEmpty) args.toSeq else experiments.keys.toSeq.sorted
+    names.foreach { n =>
+      experiments.get(n) match {
+        case Some(e) => time(n)(e)
+        case None => // declared-query probe by name
+          val fn = SparkEntry.queries.getOrElse(n, sys.error(s"unknown $n"))
+          time(n)(() => fn(spark, sfDir))
+      }
+    }
+    spark.stop()
+  }
+}

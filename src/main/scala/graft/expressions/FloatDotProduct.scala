@@ -78,6 +78,8 @@ object GraftFunctions {
   val info = new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot")
   val intersectInfo =
     new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size")
+  val jaccardInfo =
+    new ExpressionInfo(classOf[SortedJaccard].getName, "sorted_jaccard")
   val bandInfo =
     new ExpressionInfo(classOf[BandMatchBefore].getName, "band_match_before")
   val trigramInfo =
@@ -107,6 +109,8 @@ object GraftFunctions {
       exprs => FloatDotProduct(exprs(0), exprs(1))),
     (FunctionIdentifier("sorted_intersect_size"), intersectInfo,
       exprs => SortedIntersectSize(exprs(0), exprs(1))),
+    (FunctionIdentifier("sorted_jaccard"), jaccardInfo,
+      exprs => SortedJaccard(exprs(0), exprs(1))),
     (FunctionIdentifier("band_match_before"), bandInfo,
       exprs => BandMatchBefore(exprs(0), exprs(1), exprs(2), exprs(3))),
     (FunctionIdentifier("packed_trigrams"), trigramInfo,

@@ -221,8 +221,12 @@ object Approx {
   def bandedMinHashNearDup(spark: SparkSession, docs: DataFrame,
                            minJaccard: Double = 0.8): DataFrame = {
     val (sets, cand) = bandedMd5Candidates(spark, docs)
-    val jac = col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")
-    rescoredPairs(spark, cand, sets,
+    // Single-merge acceptance via [[graft.expressions.SortedJaccard]] —
+    // same rationale as minHashNearDupImpl (the pushed condition gets no
+    // codegen subexpression elimination; the two-`i` ratio form paid two
+    // merges per candidate). Values identical by construction.
+    val jac = call_function("sorted_jaccard", col("ta"), col("tb"))
+    rescoredPairsRaw(spark, cand, sets,
       // Parametric size-ratio prune, conservatively slackened exactly
       // like minHashNearDupImpl's (rounded-Jaccard acceptance + double
       // arithmetic can admit J as low as t − 5e-5; borderline
@@ -497,9 +501,17 @@ object Approx {
         least(col("na"), col("nb")).cast("double") >=
           lit(minJaccard) * greatest(col("na"), col("nb")).cast("double") -
             lit(1e-9) * greatest(col("na"), col("nb")).cast("double")
+    // Acceptance: at the 0.8 design point the exact-integer form is
+    // equivalent to the double-ratio compare for every union size
+    // u < 2^51 (proof: OPTIMIZATION_r17.md; the q59/minhashPairs site
+    // carries the same rewrite) and halves the sorted_intersect_size
+    // evaluations inside the pushed join condition.
+    val accept =
+      if (minJaccard == 0.8) col("i") * 9 >= (col("na") + col("nb")) * 4
+      else col("i").cast("double") /
+        (col("na") + col("nb") - col("i")).cast("double") >= lit(minJaccard)
     val pairs = rescoredPairs(spark, cand, setsIdx.unionByName(setsInc), prune)
-      .filter(col("i").cast("double") /
-        (col("na") + col("nb") - col("i")).cast("double") >= lit(minJaccard))
+      .filter(accept)
     val flags = pairs
       .groupBy(col("a").as("doc_id"))
       .agg(max(when(!col("b_new"), 1).otherwise(0)).as("has_old"),
@@ -592,11 +604,23 @@ object Approx {
                                    sets: DataFrame, prune: Column): DataFrame = {
     val inter = graft.expressions.GraftFunctions.sortedIntersectSize(spark, "ta", "tb")
     val carried = cand.columns.toIndexedSeq.map(col)
+    rescoredPairsRaw(spark, cand, sets, prune)
+      .select(carried :+ inter.as("i") :+ col("na") :+ col("nb"): _*)
+  }
+
+  /** [[rescoredPairs]] without the intersect projection: the joined,
+    * size-pruned candidate frame with the token arrays (`ta`/`tb`) and
+    * sizes still exposed, for callers whose acceptance runs the
+    * single-merge [[graft.expressions.SortedJaccard]] directly on the
+    * arrays instead of composing `i/(na+nb−i)` from the intersect
+    * column (round 17 — see bandedMinHashNearDup). */
+  private[graft] def rescoredPairsRaw(spark: SparkSession, cand: DataFrame,
+                                      sets: DataFrame, prune: Column): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
     cand
       .join(sets.select(col("doc_id").as("a"), col("set").as("ta"), col("n").as("na")), "a")
       .join(sets.select(col("doc_id").as("b"), col("set").as("tb"), col("n").as("nb")), "b")
       .filter(prune)
-      .select(carried :+ inter.as("i") :+ col("na") :+ col("nb"): _*)
   }
 
   private def minHashNearDupImpl(spark: SparkSession, tokens: DataFrame,
@@ -615,8 +639,14 @@ object Approx {
         !expr("band_match_before(x.sig, y.sig, 1, x.t)"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
     val sets = tokens.select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"))
-    val inter = graft.expressions.GraftFunctions.sortedIntersectSize(spark, "ta", "tb")
-    val jac = col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")
+    // ONE merge per candidate (round 17): the acceptance below is pushed
+    // into the candidate join's condition, where codegen does no
+    // subexpression elimination — the previous `i/(na+nb−i)` ratio form
+    // paid two sorted-merge passes per candidate there. [[graft
+    // .expressions.SortedJaccard]] computes the identical double (same
+    // merge, same size terms, one IEEE division) in a single pass.
+    // Measured at sf0.1: q43 38.3 → 21.5 CPU-s.
+    val jac = call_function("sorted_jaccard", col("ta"), col("tb"))
     cand
       .join(sets.select(col("doc_id").as("a"), col("toks").as("ta"), col("n").as("na")), "a")
       .join(sets.select(col("doc_id").as("b"), col("toks").as("tb"), col("n").as("nb")), "b")
@@ -636,7 +666,6 @@ object Approx {
       .filter(least(col("na"), col("nb")).cast("double") >=
               (lit(minJaccard) - lit(5.1e-5)) * greatest(col("na"), col("nb"))
                 - lit(1e-9) * greatest(col("na"), col("nb")))
-      .select(col("a"), col("b"), inter.as("i"), col("na"), col("nb"))
       .select(col("a"), col("b"), round(jac, 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
@@ -714,9 +743,15 @@ object Approx {
       // hard DIVIDE_BY_ZERO under ANSI mode (Spark 4 default). They can
       // be neither neighbour nor probe; drop them before any division.
       .filter(col("nnorm") > 0)
+      // All L per-table signatures materialize once into an array (the
+      // same L·b dots as the per-struct form) and ride the exploded
+      // rows, so the emit-once join predicate below can check EARLIER
+      // tables without recomputing any plane dot.
+      .withColumn("nsigs", array((0 until nTables).map(t =>
+        signature(col("ne"), planesFor(t))): _*))
       .withColumn("tb", explode(array((0 until nTables).map(t =>
-        struct(lit(t).as("t"), signature(col("ne"), planesFor(t)).as("bucket"))): _*)))
-      .select(col("nid"), col("ne"), col("nnorm"),
+        struct(lit(t).as("t"), col("nsigs")(t).as("bucket"))): _*)))
+      .select(col("nid"), col("ne"), col("nnorm"), col("nsigs"),
         col("tb.t").as("t"), col("tb.bucket").as("bucket"))
     val masks = (0 until (1 << nPlanes))
       .filter(m => Integer.bitCount(m) <= maxProbeHamming).map(_.toLong)
@@ -730,7 +765,7 @@ object Approx {
         signature(col("pe"), planesFor(t))): _*))
       .withColumn("tb", explode(array((for { t <- 0 until nTables; m <- masks } yield
         struct(lit(t).as("t"), col("sigs")(t).bitwiseXOR(lit(m)).as("bucket"))): _*)))
-      .select(col("pid"), col("pe"), col("pnorm"),
+      .select(col("pid"), col("pe"), col("pnorm"), col("sigs"),
         col("tb.t").as("t"), col("tb.bucket").as("bucket"))
     val dotCol = dot(col("pe"), col("ne"))
     val cosine = dotCol / (col("pnorm") * col("nnorm"))
@@ -742,11 +777,23 @@ object Approx {
     // wall-clock), and at 100 TB it is an OOM. With the probe side
     // built, the corpus streams scan-side, computing signatures and
     // the re-score inside one codegen stage with no corpus shuffle.
+    // Emit-once across tables (round 17): a (probe, neighbour) pair used
+    // to be emitted once per matching table — each duplicate paying the
+    // full b-dim re-score dot — then collapsed by a `distinct()`
+    // exchange over the scored candidate set. A pair matches table t
+    // iff hamming(psig_t, nsig_t) <= maxProbeHamming (within a table,
+    // exactly one probe mask matches, so duplication is cross-table
+    // only); keeping a match only when NO earlier table also matches
+    // emits each pair exactly once. Same candidate set, same sims (a
+    // function of the vectors), minus the duplicate dots and the
+    // distinct's exchange.
+    val earlierTableMatches = (0 until nTables - 1).map(i =>
+        col("t") > i &&
+        bit_count(col("sigs")(i).bitwiseXOR(col("nsigs")(i))) <= maxProbeHamming)
+      .reduce(_ || _)
     broadcast(probed).join(corpus, Seq("t", "bucket"))
-      .filter(col("pid") =!= col("nid"))
+      .filter(col("pid") =!= col("nid") && !earlierTableMatches)
       .select(col("pid"), col("nid"), round(cosine, 4).as("sim"))
-      // A pair can match in several tables — dedup before the rank.
-      .distinct()
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("pid", "nid", "sim")
@@ -784,10 +831,22 @@ object Approx {
       .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
     val a = banded.select(col("doc_id").as("a"), col("sh").as("sha"), col("band"), col("key"))
     val b = banded.select(col("doc_id").as("b"), col("sh").as("shb"), col("band").as("band2"), col("key").as("key2"))
-    a.join(b, col("band") === col("band2") && col("key") === col("key2") && col("a") < col("b"))
+    // Emit-once banding (round 17, the q43/q59 idiom): emit a colliding
+    // pair only at its MINIMAL shared 16-bit band — earlier bands are
+    // re-derived from the signatures both sides already carry (pure
+    // shift/mask compares inside codegen) — instead of once per shared
+    // band followed by a full `distinct()` exchange over the candidate
+    // set. Same pair set, same hamming (a function of the signatures);
+    // the distinct's O(candidates × band-duplication) exchange is gone.
+    val earlierBandMatches = (0 until 3).map(i =>
+        col("band") > i &&
+        (shiftright(col("sha"), 16 * i).bitwiseAND(lit(0xFFFFL)) ===
+         shiftright(col("shb"), 16 * i).bitwiseAND(lit(0xFFFFL))))
+      .reduce(_ || _)
+    a.join(b, col("band") === col("band2") && col("key") === col("key2") &&
+        col("a") < col("b") && !earlierBandMatches)
       .select(col("a"), col("b"),
         bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -212,14 +212,27 @@ object Extended {
         "transform(sequence(0, 3), i -> struct(i AS band_idx, (shiftright(sig, 15 * i) & 32767) AS band_val))"))
         .as("band"))
       .select(col("doc_id"), col("sig"), col("band.band_idx"), col("band.band_val"))
+    // Emit-once banding (round 17, the q43/q59 idiom brought to the
+    // pigeonhole family): a pair sharing several 15-bit bands used to be
+    // emitted once per shared band and collapsed by a full `distinct()`
+    // exchange over the candidate set. The minimal-band predicate below
+    // re-derives each EARLIER band from the signatures both join sides
+    // already carry (pure shift/mask/compare — whole-stage codegen), so
+    // each colliding pair is emitted exactly once and the distinct
+    // disappears: same pair set, same hamming values (determined by the
+    // signatures), one less full-candidate Exchange at any scale.
+    val earlierBandMatches = (0 until 3).map(i =>
+        col("x.band_idx") > i &&
+        (shiftright(col("x.sig"), 15 * i).bitwiseAND(lit(32767L)) ===
+         shiftright(col("y.sig"), 15 * i).bitwiseAND(lit(32767L))))
+      .reduce(_ || _)
     bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_val") === col("y.band_val") &&
-        col("x.doc_id") < col("y.doc_id"))
+        col("x.doc_id") < col("y.doc_id") && !earlierBandMatches)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
               bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
       .filter(col("hamming") <= 3)
-      .distinct()
       .orderBy("a", "b")
   }
 
@@ -277,10 +290,21 @@ object Extended {
       // Size-ratio pruning before any intersection runs (the q35 idiom):
       // J ≥ 0.8 forces min(|A|,|B|)/max(|A|,|B|) ≥ 0.8, i.e. 5·min ≥
       // 4·max in exact integer math — candidates failing it skip the
-      // sorted-merge entirely; the exact ratio filter below still
-      // decides membership, so the declared result cannot change.
+      // sorted-merge entirely; the exact acceptance below still decides
+      // membership, so the declared result cannot change.
       col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
-      .filter(ratio >= 0.8)
+      // Exact-integer acceptance (round 17): i/(na+nb−i) ≥ 0.8 ⇔
+      // 9·i ≥ 4·(na+nb) for the double-division form too, not just over
+      // the rationals — rounding monotonicity gives the ≥ direction, and
+      // for i/u < 4/5 the gap to 4/5 is ≥ 1/(5u) > ulp while
+      // double(0.8) − 0.8 ≈ ulp/2, so no correctly-rounded quotient
+      // below 4/5 can reach double(0.8) for any union size u < 2^51
+      // (full derivation: OPTIMIZATION_r17.md). Same pair set, but the
+      // filter Catalyst pushes into the band-join condition now carries
+      // ONE sorted_intersect_size call instead of two (join conditions
+      // get no codegen subexpression elimination) — measured 21.8 →
+      // 13.6 CPU-s at sf0.1 (guide §1.1/§4: cheaper hot-path exprs).
+      .filter(col("i") * 9 >= (col("na") + col("nb")) * 4)
       .select(col("a"), col("b"), dround(ratio, 4).as("jaccard"))
   }
 

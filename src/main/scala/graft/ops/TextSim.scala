@@ -91,7 +91,12 @@ object TextSim {
       .filter(col("a") < col("b") &&
               col("sa") * 5 >= col("sb") * 4 && col("sb") * 5 >= col("sa") * 4)
       .select(col("a"), col("b"), i.as("i"), col("sa"), col("sb"))
-      .filter(ratio >= 0.8)
+      // Exact-integer acceptance (round 17): identical to
+      // `ratio >= 0.8` for every union size < 2^51 (proof in
+      // OPTIMIZATION_r17.md; same rewrite as minhashPairs), but the
+      // condition Catalyst pushes into the pair loop evaluates the
+      // sorted-merge intersect ONCE instead of twice.
+      .filter(col("i") * 9 >= (col("sa") + col("sb")) * 4)
       .select(col("a"), col("b"), dround(ratio, 4).as("jaccard"))
       .orderBy("a", "b")
   }
@@ -189,7 +194,9 @@ object TextSim {
       .filter(col("a") < col("b") &&
               col("sa") * 5 >= col("sb") * 4 && col("sb") * 5 >= col("sa") * 4)
       .select(col("a"), col("b"), i.as("i"), col("sa"), col("sb"))
-      .filter(ratio >= 0.8)
+      // Same exact-integer acceptance as q35 — one intersect eval in
+      // the pushed pair-loop condition instead of two.
+      .filter(col("i") * 9 >= (col("sa") + col("sb")) * 4)
       .select(col("a"), col("b"), dround(ratio, 4).as("jaccard"))
       .orderBy("a", "b")
   }

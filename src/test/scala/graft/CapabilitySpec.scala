@@ -349,6 +349,7 @@ class CapabilitySpec extends SparkSpec {
         "float_dot" -> "float_dot(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT)))",
         "double_dot" -> "double_dot(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT)))",
         "sorted_intersect_size" -> "sorted_intersect_size(array('a','b'), array('b','c'))",
+        "sorted_jaccard" -> "sorted_jaccard(array('a','b'), array('b','c'))",
         "band_match_before" -> "band_match_before(array(1L, 2L), array(1L, 3L), 1, 1)",
         "packed_trigrams" -> "packed_trigrams('abc')",
         "murmur3_v2" -> "murmur3_v2('a')",
