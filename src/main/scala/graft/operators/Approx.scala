@@ -112,7 +112,13 @@ object Approx {
                               numHashTables: Int): (DataFrame, DataFrame) = {
     val tokens = docs.select(col("doc_id"),
       sort_array(array_distinct(filter(split(col("text"), " "), w => w =!= ""))).as("toks"))
-    val sigs = mlMinhashSignatures(tokens, numHashTables)
+    // Signature side from the RAW split (round 17): the min-aggregate is
+    // duplicate-invariant, so the canonicalized `tokens` (which the
+    // re-score joins still need) stays off the corpus-linear pass — see
+    // md5SetsAndBands for the full rationale.
+    val sigs = mlMinhashSignaturesFromWords(
+        docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= ""), numHashTables)
       // Spread the signatures across cores before the band self-join: the
       // band build side broadcasts, so the join + exact re-score fuse into
       // one stage that runs AT THIS partitioning — a single-file corpus
@@ -127,15 +133,26 @@ object Approx {
   /** Native replay of `MinHashLSH(seed=42).fit(HashingTF(2^18, binary)
     * .transform(tokens)).transform(...)`: (doc_id, sig) with sig(t) the
     * table-t minhash as a long. Empty token sets are excluded — the ML
-    * pipeline rejects all-zero vectors the same way. */
+    * pipeline rejects all-zero vectors the same way; here the explode
+    * does it structurally (an empty or NULL `toks` emits zero rows, so
+    * the doc never reaches the aggregate). An explicit
+    * `filter(size(toks) > 0)` would be pushed below the tokenize
+    * projection and re-evaluate the whole HOF chain per doc (round 17). */
   private[graft] def mlMinhashSignatures(tokens: DataFrame,
-                                         numHashTables: Int): DataFrame = {
+                                         numHashTables: Int): DataFrame =
+    mlMinhashSignaturesFromWords(
+      tokens.select(col("doc_id"), explode(col("toks")).as("w")), numHashTables)
+
+  /** The signature aggregate over already-exploded (doc_id, w) rows —
+    * the seam that lets the corpus-linear pass skip per-doc array
+    * canonicalization (duplicate tokens cannot move a min). */
+  private[graft] def mlMinhashSignaturesFromWords(words: DataFrame,
+                                                  numHashTables: Int): DataFrame = {
     val coefs = mlMinhashCoefficients(42L, numHashTables)
     val minExprs = coefs.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("ix") + lit(b)) % lit(MlMinhashPrime)).as(s"mh$i") }
-    graft.expressions.GraftFunctions.register(tokens.sparkSession)
-    tokens.filter(size(col("toks")) > 0)
-      .select(col("doc_id"), explode(col("toks")).as("w"))
+    graft.expressions.GraftFunctions.register(words.sparkSession)
+    words
       .select(col("doc_id"),
         (pmod(call_function("murmur3_v2", col("w")), lit(1 << 18)) + 1)
           .cast("long").as("ix"))
@@ -268,13 +285,32 @@ object Approx {
     val (as, bs) = (graft.ops.Extended.MinHashA, graft.ops.Extended.MinHashB)
     val minExprs = (0 until 16).map(i =>
       min((lit(as(i)) * col("x") + lit(bs(i))) % lit(p)).as(s"mh$i"))
+    // Cheap text prefilter instead of `filter(size(set) > 0)` on the
+    // computed column (round 17): Catalyst pushes the size filter below
+    // the projection by substituting the alias, so the whole
+    // split+distinct+sort chain (a HOF — interpreted, outside codegen)
+    // ran once in the Filter and again in the Project, per document.
+    // `trim(text) <> ''` keeps exactly the same rows: the split-on-' '
+    // token set is non-empty iff text has a non-space character, and a
+    // NULL text nulls both predicates. One tokenize pass per doc.
     val sets = docs
+      .filter(trim(col("text")) =!= "")
       .select(col("doc_id"),
         sort_array(array_distinct(filter(split(col("text"), " "), w => w =!= ""))).as("set"))
-      .filter(size(col("set")) > 0)
       .select(col("doc_id"), col("set"), size(col("set")).cast("long").as("n"))
-    val sigs = sets
-      .select(col("doc_id"), explode(col("set")).as("w"))
+    // Signature side explodes the RAW split (round 17): `min` over the
+    // hashed tokens is invariant to duplicates, so the per-doc
+    // sort_array(array_distinct(filter(...))) canonicalization — an
+    // interpreted HOF chain that the optimizer's InferFiltersFromGenerate
+    // additionally re-evaluates in a filter below the explode — buys the
+    // aggregate nothing. The corpus-linear pass is now split → explode →
+    // one row filter → md5, all inside whole-stage codegen; signatures
+    // are bit-identical (same token VALUE set reaches every min).
+    // The canonical sorted-distinct `sets` remain the re-score side's
+    // (pair-bounded) representation above.
+    val sigs = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
       .select(col("doc_id"),
         expr("CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT)").as("x"))
       .groupBy("doc_id")
@@ -818,7 +854,10 @@ object Approx {
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
         .cast("long").as(s"bal$i"))
     val sh = docs
-      .select(col("doc_id"), explode(filter(split(col("text"), "\\s+"), w => w =!= "")).as("w"))
+      // Raw split + row filter (round 17): identical token multiset, no
+      // interpreted HOF in the corpus-linear pass — see q58's note.
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
       .select(col("doc_id"), xxhash64(col("w")).as("h"))
       .groupBy("doc_id")
       .agg(balSums.head, balSums.tail: _*)
@@ -922,23 +961,28 @@ object Approx {
     * broadcast (same skew reasoning as q35). */
   def ngramJaccardNearDup(docs: DataFrame, n: Int = 3,
                           minJaccard: Double = 0.5, maxProbeId: Long = 100): DataFrame = {
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
     val toks = filter(split(col("text"), "\\s+"), w => w =!= "")
     // Same full-shingle guard as ngramContamination: < n tokens → no
     // shingles, and the size(sh) > 0 filter drops the doc entirely.
+    // Shingle sets are canonicalized sorted+distinct ONCE per document
+    // (round 17) so the per-pair score below is the single-pass
+    // [[graft.expressions.SortedJaccard]] merge — `array_intersect`
+    // built a hash set per CANDIDATE PAIR, and the pushed acceptance
+    // evaluated it twice (intersection term and union term). Values are
+    // identical: same sets, same i/(na+nb−i) double division.
     val shingles = when(size(toks) >= n,
-      array_distinct(transform(
+      sort_array(array_distinct(transform(
         sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))))
       .otherwise(array().cast("array<string>"))
     val sh = docs.select(col("doc_id"), shingles.as("sh")).filter(size(col("sh")) > 0)
     val probe = sh.filter(col("doc_id") < maxProbeId)
       .select(col("doc_id").as("a"), col("sh").as("sa"))
     val corpus = sh.select(col("doc_id").as("b"), col("sh").as("sb"))
-    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
-    val union = (size(col("sa")) + size(col("sb"))).cast("double") - inter
     broadcast(probe).crossJoin(corpus)
       .filter(col("a") < col("b"))
-      .withColumn("jaccard", round(inter / union, 4))
+      .withColumn("jaccard", round(call_function("sorted_jaccard", col("sa"), col("sb")), 4))
       .filter(col("jaccard") >= minJaccard)
       .select("a", "b", "jaccard")
   }

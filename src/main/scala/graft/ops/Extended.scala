@@ -199,8 +199,13 @@ object Extended {
       s"CASE WHEN ((shiftright(h, $b) & 1) = 1) THEN 1 ELSE -1 END").cast("long"))
       .as(s"bal$b"))
     val sigs = documents(s, d)
-      .select(col("doc_id"), explode(expr(
-        "filter(split(text, ' '), w -> w <> '')")).as("w"))
+      // Raw split + row filter instead of exploding a HOF-filtered array
+      // (round 17): the token MULTISET is unchanged (the balance sums
+      // count occurrences either way), but the interpreted HOF — which
+      // InferFiltersFromGenerate additionally re-evaluates in a filter
+      // below the explode — leaves the scan stage entirely.
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
       .select(col("doc_id"),
         expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)").as("h"))
       .groupBy("doc_id")
