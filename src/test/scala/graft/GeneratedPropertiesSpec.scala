@@ -298,4 +298,79 @@ class GeneratedPropertiesSpec extends SparkSpec {
       assert(got === expected, s"case $ci (${corpus.size} vectors)")
     }
   }
+
+  test("sorted_jaccard is bit-identical to the composed intersect/size/div form") {
+    // The round-17 single-merge expression must produce EXACTLY the
+    // double the two-call composition produced (same merge, same size
+    // terms, one IEEE division) — including the NaN (both-empty) and
+    // null-element edge cases. Both forms are evaluated THROUGH Spark
+    // on the same rows and compared bitwise.
+    graft.expressions.GraftFunctions.register(spark)
+    val tokGen = Gen.listOfN(2, Gen.listOfN(12, Gen.option(Gen.oneOf(
+      "a", "b", "ab", "ba", "x", "yy", "z0", "longtoken", "日本語"))))
+    val cases = samples(tokGen, 40).map { case Seq(xs, ys) =>
+      // sorted, distinct, nulls first — the producers' canonical form.
+      def canon(l: List[Option[String]]) =
+        l.distinct.sortBy(_.getOrElse("")).sortBy(_.isDefined).map(_.orNull)
+      (canon(xs), canon(ys))
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("x", ArrayType(StringType)), StructField("y", ArrayType(StringType))))
+    val df = spark.createDataFrame(
+      cases.map { case (xs, ys) => org.apache.spark.sql.Row(xs, ys) }.asJava, schema)
+    val rows = df
+      // The composed Divide throws DIVIDE_BY_ZERO under ANSI on a
+      // both-empty pair (union 0) — unreachable in the operators (empty
+      // sets are filtered / explode-dropped before any candidate
+      // exists); sorted_jaccard is total and returns NaN there
+      // (asserted separately below).
+      .filter(size(col("x")) + size(col("y")) > 0)
+      .select(
+        expr("sorted_jaccard(x, y)").as("sj"),
+        (expr("sorted_intersect_size(x, y)").cast("double") /
+          (size(col("x")) + size(col("y")) - expr("sorted_intersect_size(x, y)"))
+            .cast("double")).as("composed"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val sj = r.getDouble(0); val composed = r.getDouble(1)
+      assert(java.lang.Double.doubleToLongBits(sj) ===
+        java.lang.Double.doubleToLongBits(composed), s"case $i: $sj vs $composed")
+    }
+    val nan = spark.sql(
+      "SELECT sorted_jaccard(CAST(array() AS ARRAY<STRING>), CAST(array() AS ARRAY<STRING>))")
+      .head.getDouble(0)
+    assert(nan.isNaN, "both-empty must be NaN, not an error")
+  }
+
+  test("emit-once SimHash banding finds exactly the hamming<=3 pairs (vs brute force)") {
+    // The round-17 emit-once rewrite must keep simHashNearDup's result
+    // set identical to the pigeonhole guarantee: every a<b pair within
+    // Hamming 3 of each other's 64-bit signature, each exactly once.
+    // Brute-force ground truth: signatures via TextFunctions.simhash64
+    // (the documented equal formulation), full cross join.
+    val docGen = Gen.listOfN(40, Gen.listOfN(6, Gen.oneOf(
+      "alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")))
+    for ((texts, ci) <- samples(docGen, 3).zipWithIndex) {
+      import org.apache.spark.sql.types._
+      val docs = spark.createDataFrame(
+        texts.zipWithIndex.map { case (ws, i) =>
+          org.apache.spark.sql.Row(i.toLong, ws.mkString(" ")) }.asJava,
+        StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+      val got = graft.operators.Approx.simHashNearDup(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Number](2).longValue)).toSeq.sorted
+      val sh = docs.select(col("doc_id"),
+          graft.functions.TextFunctions.simhash64(col("text")).as("sh"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val expected = (for {
+        (a, sa) <- sh; (b, sb) <- sh if a < b
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+      } yield (a, b, h.toLong)).sorted
+      assert(got === expected, s"case $ci")
+      assert(got.map(p => (p._1, p._2)).distinct.size === got.size,
+        s"case $ci: duplicate pair emitted")
+    }
+  }
 }
