@@ -164,7 +164,29 @@ object OptProbe {
         .orderBy("a", "b")
     }
 
+    var lastEdges: Option[DataFrame] = None
+    // q60's `edges` phase in isolation: explode both directions of the
+    // pair set, repartition by y, localCheckpoint — measures the
+    // materialization overhead above the bare pair-pipeline count.
+    def q60edges(): DataFrame = {
+      val pairs = graft.ops.Extended.minhashPairs(spark, sfDir).select(col("a"), col("b"))
+      val parts = math.max(spark.sessionState.conf.numShufflePartitions,
+        spark.sparkContext.defaultParallelism)
+      lastEdges.foreach(e =>
+        try graft.operators.Materialized.free(e) catch { case _: Throwable => () })
+      val e = pairs
+        .select(explode(array(
+          struct(col("a").as("x"), col("b").as("y")),
+          struct(col("b").as("x"), col("a").as("y")))).as("e"))
+        .select(col("e.x").as("x"), col("e.y").as("y"))
+        .repartition(parts, col("y"))
+        .localCheckpoint(true)
+      lastEdges = Some(e)
+      e
+    }
+
     val experiments: Map[String, () => DataFrame] = Map(
+      "q60edges" -> (() => q60edges()),
       "q59cand" -> (() => q59cand()),
       "q59pruned" -> (() => q59pruned()),
       "q59full" -> (() => q59full()),
