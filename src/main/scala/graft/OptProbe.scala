@@ -185,7 +185,155 @@ object OptProbe {
       e
     }
 
+    // The round-17 q62 candidate REJECTED by measurement (kept for the
+    // reproducible A/B): per-doc bigram counts shared by model and
+    // score sides through one ReusedExchange — one tokenize pass
+    // instead of two, but a full occurrence-scale exchange + two extra
+    // hash aggregates. cnt ≈ 1 on this corpus, so nothing compresses:
+    // 0.671 → 0.983 CPU-s (+46%) vs the declared occurrence form.
+    def q62docbg(): DataFrame = {
+      import graft.ops.Determinism.dround
+      val toks = split(col("text"), " ")
+      val nAdj = greatest(size(toks) - 1, lit(0))
+      val docBG = graft.ops.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), explode(zip_with(
+            slice(toks, lit(1), nAdj), slice(toks, lit(2), nAdj),
+            (x, y) => struct(x.as("w1"), y.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+        .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
+      val c2 = docBG.groupBy("w1", "w2").agg(sum(col("cnt")).as("n2"))
+      val vocab = graft.ops.Tables.documents(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .agg(countDistinct(col("w")).as("vocab"))
+      val w1Tot = org.apache.spark.sql.expressions.Window.partitionBy("w1")
+      val lp = c2.withColumn("n1", sum(col("n2")).over(w1Tot))
+        .crossJoin(broadcast(vocab))
+        .select(col("w1"), col("w2"),
+                dround(log((col("n2") + 1).cast("double") /
+                           (col("n1") + col("vocab")).cast("double")), 6).as("logp"))
+      val logpDec = col("logp").cast(org.apache.spark.sql.types.DecimalType(27, 6))
+      docBG.join(lp, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(sum(col("cnt")).as("n_bigrams"),
+             sum(logpDec * col("cnt")).as("sd"))
+        .select(col("doc_id"), col("n_bigrams"),
+                dround(col("sd").cast("double") / col("n_bigrams"), 6).as("lm_score"))
+        .orderBy("doc_id")
+    }
+    // Round-16 q57 formulation (size-filter duplicating the split) kept
+    // verbatim for same-session CPU A/B against the guarded-explode form.
+    def q57old(): DataFrame = {
+      import graft.ops.Determinism.dround
+      val sh = graft.ops.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 7), i -> array_join(slice(toks, i, 8), ' '))"))
+          .as("sh"))
+      val bench = sh.filter(col("doc_id") < 20).select(col("sh").as("bsh")).distinct()
+      sh.filter(col("doc_id") >= 20)
+        .join(broadcast(bench), col("sh") === col("bsh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"), count(col("bsh")).as("n_hits"))
+        .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+                dround(col("n_hits").cast("double") / col("n_shingles").cast("double"), 4)
+                  .as("ratio"),
+                (col("n_hits") > 0).as("contaminated"))
+        .orderBy("doc_id")
+    }
+
+    // q46's corpus side in isolation: per-vector norms + 8 table
+    // signatures (64 plane dots) + the table explode — how much of
+    // q46's CPU is signature arithmetic vs the bucket join + re-score.
+    def q46corpus(): DataFrame = {
+      val emb = graft.ops.Tables.embeddings(spark, sfDir)
+      def dotc(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        call_function("double_dot", a, b)
+      def planesFor(t: Int): Array[Array[Double]] = {
+        val rnd = new scala.util.Random(42L + t)
+        Array.fill(8, 64)(rnd.nextGaussian())
+      }
+      def signature(v: org.apache.spark.sql.Column, planes: Array[Array[Double]]) = {
+        val bits = planes.zipWithIndex.map { case (p, i) =>
+          when(dotc(v, lit(p)) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+        }
+        bits.reduce(_ + _)
+      }
+      emb.repartition(math.min(spark.sparkContext.defaultParallelism, 8))
+        .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        .withColumn("nnorm", sqrt(dotc(col("ne"), col("ne"))))
+        .filter(col("nnorm") > 0)
+        .withColumn("nsigs", array((0 until 8).map(t =>
+          signature(col("ne"), planesFor(t))): _*))
+        .withColumn("tb", explode(array((0 until 8).map(t =>
+          struct(lit(t).as("t"), col("nsigs")(t).as("bucket"))): _*)))
+        .select(col("nid"), col("nnorm"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    }
+
+    // q60 edges-phase sub-steps: where do the ~20 CPU-s between the bare
+    // pair pipeline (q59full ~10.5) and the materialized directed edge
+    // set (q60edges ~30.4) go? Each isolates one mechanism.
+    var lastCp: Option[DataFrame] = None
+    def freeCp(): Unit = { lastCp.foreach(e =>
+      try graft.operators.Materialized.free(e) catch { case _: Throwable => () }); lastCp = None }
+    def cp(df: DataFrame): DataFrame = { freeCp(); val m = df.localCheckpoint(true); lastCp = Some(m); m }
+    // pipeline + localCheckpoint of the 5M undirected pairs (no explode,
+    // no exchange).
+    def q60cpPairs(): DataFrame =
+      cp(graft.ops.Extended.minhashPairs(spark, sfDir).select(col("a"), col("b")))
+    // pipeline + explode to 10M directed rows, counted (no exchange, no
+    // checkpoint).
+    def q60explCount(): DataFrame =
+      graft.ops.Extended.minhashPairs(spark, sfDir).select(col("a"), col("b"))
+        .select(explode(array(
+          struct(col("a").as("x"), col("b").as("y")),
+          struct(col("b").as("x"), col("a").as("y")))).as("e"))
+        .select(col("e.x").as("x"), col("e.y").as("y"))
+    // pipeline + explode + repartition(32, y), counted (no checkpoint).
+    def q60exchCount(): DataFrame =
+      q60explCount().repartition(32, col("y"))
+
+    // Same corpus side but carrying the full-width rows the real q46
+    // join consumes (ne + nsigs ride the explode) — isolates the cost
+    // of the wide interpreted Project/Generate chain from the join.
+    def q46corpusWide(): DataFrame = {
+      val emb = graft.ops.Tables.embeddings(spark, sfDir)
+      def dotc(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        call_function("double_dot", a, b)
+      def planesFor(t: Int): Array[Array[Double]] = {
+        val rnd = new scala.util.Random(42L + t)
+        Array.fill(8, 64)(rnd.nextGaussian())
+      }
+      def signature(v: org.apache.spark.sql.Column, planes: Array[Array[Double]]) = {
+        val bits = planes.zipWithIndex.map { case (p, i) =>
+          when(dotc(v, lit(p)) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+        }
+        bits.reduce(_ + _)
+      }
+      emb.repartition(math.min(spark.sparkContext.defaultParallelism, 8))
+        .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        .withColumn("nnorm", sqrt(dotc(col("ne"), col("ne"))))
+        .filter(col("nnorm") > 0)
+        .withColumn("nsigs", array((0 until 8).map(t =>
+          signature(col("ne"), planesFor(t))): _*))
+        .withColumn("tb", explode(array((0 until 8).map(t =>
+          struct(lit(t).as("t"), col("nsigs")(t).as("bucket"))): _*)))
+        .select(col("nid"), col("ne"), col("nnorm"), col("nsigs"),
+          col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+        .filter(col("bucket") >= 0 && size(col("nsigs")) > 0 && size(col("ne")) > 0 &&
+                col("nnorm") >= 0)
+    }
+
     val experiments: Map[String, () => DataFrame] = Map(
+      "q62docbg" -> (() => q62docbg()),
+      "q60cpPairs" -> (() => q60cpPairs()),
+      "q60explCount" -> (() => q60explCount()),
+      "q60exchCount" -> (() => q60exchCount()),
+      "q57old" -> (() => q57old()),
+      "q46corpus" -> (() => q46corpus()),
+      "q46corpusWide" -> (() => q46corpusWide()),
       "q60edges" -> (() => q60edges()),
       "q59cand" -> (() => q59cand()),
       "q59pruned" -> (() => q59pruned()),

@@ -98,6 +98,8 @@ object GraftFunctions {
     new ExpressionInfo(classOf[VocabTokenize].getName, "vocab_tokenize")
   val bpeTokensInfo =
     new ExpressionInfo(classOf[BpeTokens].getName, "bpe_tokens")
+  val planeSigsInfo =
+    new ExpressionInfo(classOf[PlaneSignatures].getName, "plane_signatures")
 
   /** The one canonical registration table: both the imperative
     * `register(spark)` path and the `spark.sql.extensions` plugin walk
@@ -128,7 +130,9 @@ object GraftFunctions {
     (FunctionIdentifier("vocab_tokenize"), vocabTokenizeInfo,
       exprs => VocabTokenize(exprs(0), exprs(1))),
     (FunctionIdentifier("bpe_tokens"), bpeTokensInfo,
-      exprs => BpeTokens(exprs(0), exprs(1))))
+      exprs => BpeTokens(exprs(0), exprs(1))),
+    (FunctionIdentifier("plane_signatures"), planeSigsInfo,
+      exprs => PlaneSignatures(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit =
     registrations.foreach { case (id, inf, builder) =>

@@ -750,12 +750,23 @@ object Approx {
     graft.expressions.GraftFunctions.register(emb.sparkSession)
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       call_function("double_dot", a, b)
-    def signature(v: org.apache.spark.sql.Column, planes: Array[Array[Double]]) = {
-      val bits = planes.zipWithIndex.map { case (p, i) =>
-        when(dot(v, lit(p)) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-      }
-      bits.reduce(_ + _)
-    }
+    // ALL table signatures in one native call (round 17). The previous
+    // per-plane Column tree — L·b CASE/shiftleft/double_dot nodes inside
+    // one array(...) projection expression — was a single generated
+    // method the expression splitter cannot divide; at (L=8, b=8,
+    // dim=64) it crossed HotSpot's DontCompileHugeMethods limit and the
+    // corpus-linear signature stage ran in the BYTECODE INTERPRETER:
+    // measured 3.48 CPU-s for 2000 vectors vs 0.07 at L=4 (under the
+    // cliff), reproducibly moved by the JVM flag. plane_signatures
+    // computes the identical bits (same per-element widening, same
+    // sequential double accumulation, same >= 0 compare — see the
+    // expression's contract note) in a constant-size codegen call:
+    // q46 end-to-end fell 3.67 → 0.32 CPU-s (−91%; wall 1.19 → 0.57 in
+    // the same window). The 50-row pin and 0.94-recall pin stand.
+    val allPlanes: Seq[Seq[Seq[Double]]] =
+      (0 until nTables).map(t => planesFor(t).map(_.toSeq).toSeq)
+    def signatures(v: org.apache.spark.sql.Column) =
+      call_function("plane_signatures", v, typedLit(allPlanes))
     // Norms are computed once per vector BEFORE the candidate join so the
     // re-score is a true cosine — with the raw dot product instead, a
     // large-norm far vector would outrank a unit-norm near-duplicate
@@ -783,8 +794,7 @@ object Approx {
       // same L·b dots as the per-struct form) and ride the exploded
       // rows, so the emit-once join predicate below can check EARLIER
       // tables without recomputing any plane dot.
-      .withColumn("nsigs", array((0 until nTables).map(t =>
-        signature(col("ne"), planesFor(t))): _*))
+      .withColumn("nsigs", signatures(col("ne")))
       .withColumn("tb", explode(array((0 until nTables).map(t =>
         struct(lit(t).as("t"), col("nsigs")(t).as("bucket"))): _*)))
       .select(col("nid"), col("ne"), col("nnorm"), col("nsigs"),
@@ -797,8 +807,7 @@ object Approx {
     val probed = probes.select(col("vec_id").as("pid"), col("embedding").as("pe"))
       .withColumn("pnorm", norm(col("pe")))
       .filter(col("pnorm") > 0)
-      .withColumn("sigs", array((0 until nTables).map(t =>
-        signature(col("pe"), planesFor(t))): _*))
+      .withColumn("sigs", signatures(col("pe")))
       .withColumn("tb", explode(array((for { t <- 0 until nTables; m <- masks } yield
         struct(lit(t).as("t"), col("sigs")(t).bitwiseXOR(lit(m)).as("bucket"))): _*)))
       .select(col("pid"), col("pe"), col("pnorm"), col("sigs"),

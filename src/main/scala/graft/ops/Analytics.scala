@@ -162,11 +162,21 @@ object Analytics {
     * scale), so the corpus side stays scan-local: shingle, hash-probe,
     * aggregate per doc. */
   def q57DecontamOverlap(s: SparkSession, d: String): DataFrame = {
+    // Round 17: the >= 8-token guard lives INSIDE the generator (docs
+    // under 8 tokens explode an empty array and vanish — exactly the
+    // rows the old `.filter(size(toks) >= 8)` dropped). As a user
+    // filter, predicate pushdown substituted the `toks` alias and every
+    // document paid `split(text)` twice: once in the pushed
+    // size-filter, once in the projection (q57 before-plan nodes 3/4 +
+    // 8/9). Now each side tokenizes once; the short-doc branch costs a
+    // size() check. `slice(toks, 1, 0)` is the empty ARRAY<STRING>
+    // (array() alone would need a cast from ARRAY<VOID>).
     val sh = documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 8)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 7), i -> array_join(slice(toks, i, 8), ' '))"))
+        "CASE WHEN size(toks) >= 8 THEN " +
+        "transform(sequence(1, size(toks) - 7), i -> array_join(slice(toks, i, 8), ' ')) " +
+        "ELSE slice(toks, 1, 0) END"))
         .as("sh"))
     val bench = sh.filter(col("doc_id") < 20).select(col("sh").as("bsh")).distinct()
     sh.filter(col("doc_id") >= 20)

@@ -354,6 +354,16 @@ object Extended {
   def q62LmBigramScore(s: SparkSession, d: String): DataFrame = {
     val toks = split(col("text"), " ")
     val nAdj = greatest(size(toks) - 1, lit(0))
+    // Round-17 A/B, rejected with measurement: pre-aggregating the
+    // occurrence list to per-doc bigram COUNTS (groupBy(doc_id, w1, w2)
+    // feeding both the model aggregate and the score join through one
+    // ReusedExchange) removes one of the two tokenize+explode passes —
+    // but costs a full occurrence-scale exchange plus two hash-aggregate
+    // passes, and on this corpus bigram repeats within a doc are rare
+    // (cnt ≈ 1), so the "compression" shrinks nothing. Measured
+    // (OptProbe CPU, sf0.1): 0.671 → 0.983 CPU-s (+46%). The
+    // double-consumed explode is the cheaper evil; oracle-verified both
+    // ways at all 3 SFs.
     val big = documents(s, d)
       .select(col("doc_id"), explode(zip_with(
           slice(toks, lit(1), nAdj), slice(toks, lit(2), nAdj),

@@ -344,6 +344,44 @@ class GeneratedPropertiesSpec extends SparkSpec {
     assert(nan.isNaN, "both-empty must be NaN, not an error")
   }
 
+  test("plane_signatures is bit-identical to the composed per-plane CASE/shiftleft form") {
+    // The round-17 constant-codegen-size expression must produce EXACTLY
+    // the signature longs of the per-plane Column tree it replaces
+    // (q46's 50-row and 0.94-recall pins ride on those bits): same
+    // per-element float→double widening, same sequential double
+    // accumulation over the min-length prefix, same >= 0 cut. Both
+    // forms are evaluated THROUGH Spark on the same rows and compared
+    // exactly. Plane values are finite by construction (driver-seeded
+    // gaussians), so the one semantic edge where the forms could differ
+    // (a NaN dot: Spark orders NaN above all values, Java >= says
+    // false) is unreachable — finite inputs cannot produce a NaN dot.
+    graft.expressions.GraftFunctions.register(spark)
+    val dim = 8
+    val planes: Seq[Seq[Seq[Double]]] = {
+      val rnd = new scala.util.Random(7L)
+      Seq.fill(3)(Seq.fill(5)(Seq.fill(dim)(rnd.nextGaussian() * math.pow(10, rnd.between(-3, 4)))))
+    }
+    val vecGen = Gen.listOfN(dim, Gen.oneOf(
+      Gen.choose(-100.0f, 100.0f), Gen.oneOf(0.0f, -0.0f, 1.5e-30f, -3.2e30f)))
+    val vecs = samples(vecGen, 60).map(_.toArray)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("v", ArrayType(FloatType))))
+    val df = spark.createDataFrame(
+      vecs.map(v => org.apache.spark.sql.Row(v.toSeq)).asJava, schema)
+    def composedSig(t: Int) = planes(t).zipWithIndex.map { case (p, i) =>
+      when(call_function("double_dot", col("v"), lit(p.toArray)) >= 0,
+        shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val rows = df.select(
+        call_function("plane_signatures", col("v"), typedLit(planes)).as("fast"),
+        array((0 until 3).map(composedSig): _*).as("composed"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"case $i")
+    }
+  }
+
   test("emit-once SimHash banding finds exactly the hamming<=3 pairs (vs brute force)") {
     // The round-17 emit-once rewrite must keep simHashNearDup's result
     // set identical to the pigeonhole guarantee: every a<b pair within
