@@ -326,7 +326,25 @@ object OptProbe {
                 col("nnorm") >= 0)
     }
 
+    // q84's composed literal-quantizer assignment in isolation (the
+    // 4-cell × 64-dim element_at chains + first-max CASE, forced past
+    // count()-pruning by a filter on the cell).
+    def q84assign(): DataFrame =
+      graft.ops.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), graft.ops.Extended.q84Cell.as("cell"))
+        .filter(col("cell") >= 0)
+    // The same assignment through the mip_assign native call — the
+    // bit-identity MipAssign's contract note + the q84/q88 equivalence
+    // spec already pin.
+    def q84mip(): DataFrame =
+      graft.ops.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), call_function("mip_assign", col("embedding"),
+          typedLit(graft.ops.Extended.Q84Centroids.map(_.map(_.toDouble)))).as("cell"))
+        .filter(col("cell") >= 0)
+
     val experiments: Map[String, () => DataFrame] = Map(
+      "q84assign" -> (() => q84assign()),
+      "q84mip" -> (() => q84mip()),
       "q62docbg" -> (() => q62docbg()),
       "q60cpPairs" -> (() => q60cpPairs()),
       "q60explCount" -> (() => q60explCount()),
