@@ -211,6 +211,21 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q46 computes LSH signatures through the native plane_signatures call") {
+    // Round-17 regression net: the composed array(sig_0..sig_7) Column
+    // tree plans as whole-stage codegen but its ONE unsplittable
+    // projection method crosses HotSpot's 8000-byte
+    // DontCompileHugeMethods limit, so the corpus-linear signature
+    // stage silently runs in the bytecode interpreter (measured: L=4
+    // 0.07 CPU-s vs L=8 3.48 — a 47x cliff explain output cannot
+    // show). Both join sides must keep the constant-codegen-size
+    // native call.
+    val p = plan("q46_ann_lsh")
+    assert(p.contains("plane_signatures"),
+      "q46 lost the native plane_signatures expression — the composed " +
+        "per-plane form exceeds the JIT method limit and runs interpreted")
+  }
+
   test("q61 compares only within blocks — the fuzzy join is an equi-join on the block key") {
     // Blocking is the point of the operator: the levenshtein comparison
     // must sit on top of a hash join keyed by p_brand (broadcast or
