@@ -57,50 +57,20 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     case _ => false
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val na = x.numElements()
-    val nb = y.numElements()
-    var ia = 0; var ib = 0; var cnt = 0L
-    while (ia < na && ib < nb) {
-      if (x.isNullAt(ia)) ia += 1
-      else if (y.isNullAt(ib)) ib += 1
-      else {
-        val cmp =
-          if (longElems) java.lang.Long.compare(x.getLong(ia), y.getLong(ib))
-          else x.getUTF8String(ia).compareTo(y.getUTF8String(ib))
-        if (cmp == 0) { cnt += 1; ia += 1; ib += 1 }
-        else if (cmp < 0) ia += 1
-        else ib += 1
-      }
-    }
-    cnt
-  }
+  // ONE merge implementation for eval and codegen; the generated code
+  // CALLS it out-of-line so the (often join-condition-hosting, heavily
+  // fused) enclosing method stays under HotSpot's 8000-byte JIT limit —
+  // see [[SortedMergeKernel]] for the measured q43 cliff this fixes.
+  @transient private lazy val kernel = new SortedMergeKernel(longElems)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (x, y) => {
-      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
-      val ia = ctx.freshName("ia"); val ib = ctx.freshName("ib")
-      val cnt = ctx.freshName("cnt"); val cmp = ctx.freshName("cmp")
-      val compare =
-        if (longElems) s"java.lang.Long.compare($x.getLong($ia), $y.getLong($ib))"
-        else s"$x.getUTF8String($ia).compareTo($y.getUTF8String($ib))"
-      s"""
-         |int $na = $x.numElements(); int $nb = $y.numElements();
-         |int $ia = 0; int $ib = 0; long $cnt = 0L;
-         |while ($ia < $na && $ib < $nb) {
-         |  if ($x.isNullAt($ia)) { $ia++; }
-         |  else if ($y.isNullAt($ib)) { $ib++; }
-         |  else {
-         |    int $cmp = $compare;
-         |    if ($cmp == 0) { $cnt++; $ia++; $ib++; }
-         |    else if ($cmp < 0) { $ia++; } else { $ib++; }
-         |  }
-         |}
-         |${ev.value} = $cnt;
-       """.stripMargin
-    })
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    kernel.intersect(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sortedMergeKernel", kernel,
+      classOf[SortedMergeKernel].getName)
+    nullSafeCodeGen(ctx, ev, (x, y) => s"${ev.value} = $ref.intersect($x, $y);")
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
