@@ -127,7 +127,9 @@ object OptProbe {
         .orderBy("a", "b")
     }
 
-    // q43 replica (current formulation) and the prefiltered variant:
+    // q43 replica (the mid-round two-intersect formulation — predates
+    // the sorted_jaccard + merge-kernel rewrites; kept verbatim so the
+    // round's A/B numbers reproduce) and the prefiltered variant:
     // a NECESSARY one-intersect integer bound (round4(i/u) >= 0.8 ⟹
     // r > 0.7999 ⟹ 17999·i > 7999·(na+nb)) ahead of the exact rounded
     // acceptance, so the two-intersect + BigDecimal-round condition only
