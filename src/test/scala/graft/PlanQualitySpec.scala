@@ -226,6 +226,65 @@ class PlanQualitySpec extends SparkSpec {
         "per-plane form exceeds the JIT method limit and runs interpreted")
   }
 
+  test("hot-path generated methods stay under HotSpot's 8000-byte JIT limit") {
+    // The round-17 class of silent regression, pinned structurally:
+    // whole-stage codegen whose generated method exceeds
+    // -XX:DontCompileHugeMethods' 8000-byte default is NEVER
+    // JIT-compiled — the stage runs in the bytecode interpreter with
+    // no signal in explain output or any green test (q46 ran its
+    // corpus-linear signature stage that way at ~10x cost; q43 its
+    // fused re-score). codegenStringSeq's ByteCodeStats exposes the
+    // max compiled method size per codegen subtree; every heavy
+    // pair-stage query must stay under the limit.
+    import org.apache.spark.sql.execution.debug._
+    val heavies = Seq("q43_minhash_neardup", "q59_minhash_md5",
+      "q35_jaccard_neardup", "q64_ngram_jaccard", "q46_ann_lsh",
+      "q58_simhash_md5", "q44_simhash_neardup", "q86_incremental_dedup")
+    heavies.foreach { name =>
+      val p = SparkEntry.queries(name)(spark, sf001).queryExecution.executedPlan
+      codegenStringSeq(p).foreach { case (subtree, _, stats) =>
+        assert(stats.maxMethodCodeSize <= 8000,
+          s"$name: a generated method is ${stats.maxMethodCodeSize} bytecode " +
+            "bytes (> 8000) — HotSpot will refuse to JIT it and the stage " +
+            s"will run in the bytecode interpreter. Subtree:\n$subtree")
+      }
+    }
+  }
+
+  test("the JIT-limit net detects the disease: the pre-fix composed signature form exceeds it") {
+    // Canary proving the previous test can actually see the failure
+    // class it guards against: the round-17 PRE-fix q46 signature
+    // projection (8 tables of composed CASE/shiftleft/double_dot in one
+    // array(...) expression) must measure OVER the 8000-byte limit. If
+    // a future Spark learns to subdivide single projection expressions,
+    // this canary fails first — delete it and celebrate; the net above
+    // keeps guarding the sizes that matter either way.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.debug._
+    graft.expressions.GraftFunctions.register(spark)
+    def dotc(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("double_dot", a, b)
+    def planesFor(t: Int): Array[Array[Double]] = {
+      val rnd = new scala.util.Random(42L + t)
+      Array.fill(8, 64)(rnd.nextGaussian())
+    }
+    def signature(v: org.apache.spark.sql.Column, planes: Array[Array[Double]]) = {
+      planes.zipWithIndex.map { case (p, i) =>
+        when(dotc(v, lit(p)) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val oldForm = graft.ops.Tables.embeddings(spark, sf001)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").as("ne"))
+      .withColumn("nsigs", array((0 until 8).map(t =>
+        signature(org.apache.spark.sql.functions.col("ne"), planesFor(t))): _*))
+    val maxOld = codegenStringSeq(oldForm.queryExecution.executedPlan)
+      .map(_._3.maxMethodCodeSize).max
+    assert(maxOld > 8000,
+      s"the composed 8-table signature projection now compiles to $maxOld <= 8000 " +
+        "bytecode bytes — Spark has learned to split it; this canary is obsolete")
+  }
+
   test("q61 compares only within blocks — the fuzzy join is an equi-join on the block key") {
     // Blocking is the point of the operator: the levenshtein comparison
     // must sit on top of a hash join keyed by p_brand (broadcast or
