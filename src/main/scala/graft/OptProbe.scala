@@ -328,6 +328,41 @@ object OptProbe {
                 col("nnorm") >= 0)
     }
 
+    // ---- r18 probes ----
+    // q83 as MATERIALIZING consumers execute it (Verify's collect, any
+    // write): under .count() Catalyst's EliminateSorts removes the
+    // declared orderBy, so the count-based probes above never see the
+    // global sort's cost — but a consumer that materializes the result
+    // pays the RangePartitioner boundary-sampling job (one full upstream
+    // evaluation) plus the sort pass (a second). Materializing via
+    // localCheckpoint makes that cost visible for the r18 A/B: run this
+    // probe before and after the Extended.q83SplitLeakage change.
+    def q83mat(): DataFrame =
+      cp(graft.ops.Extended.q83SplitLeakage(spark, sfDir))
+
+    // q66 fit decomposition: the seeded Spark-ML KMeans fit alone (the
+    // exact declared-q66 fit input: 8-partition pin, nlist = 4), to
+    // split q66's CPU into [ML fit] vs [pair stage + components] (the
+    // latter ≈ the q84 probe, same tail). The fit's centroids are
+    // value-pinned through the q66 checksum, so this probe only
+    // ACCOUNTS the cost — any change to the fit would change results.
+    def q66fit(): DataFrame = {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val featured = graft.ops.Tables.embeddings(spark, sfDir)
+        .repartition(8, col("vec_id"))
+        .select(col("vec_id"), col("embedding"),
+          array_to_vector(col("embedding")).as("features"))
+      val model = new KMeans().setK(4).setSeed(42L)
+        .setFeaturesCol("features").setPredictionCol("cell")
+        .fit(featured)
+      // Return a tiny DataFrame derived from the model so time() has an
+      // action; the fit itself ran eagerly above.
+      spark.createDataFrame(
+        model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.size) }.toSeq)
+        .toDF("cell", "dim")
+    }
+
     // q84's composed literal-quantizer assignment in isolation (the
     // 4-cell × 64-dim element_at chains + first-max CASE, forced past
     // count()-pruning by a filter on the cell).
@@ -345,6 +380,8 @@ object OptProbe {
         .filter(col("cell") >= 0)
 
     val experiments: Map[String, () => DataFrame] = Map(
+      "q83mat" -> (() => q83mat()),
+      "q66fit" -> (() => q66fit()),
       "q84assign" -> (() => q84assign()),
       "q84mip" -> (() => q84mip()),
       "q62docbg" -> (() => q62docbg()),
@@ -373,6 +410,12 @@ object OptProbe {
           time(n)(() => fn(spark, sfDir))
       }
     }
+    // Release the last experiment's outstanding checkpoint (ADVICE r17:
+    // without this the final cp() block stayed resident for the session,
+    // polluting any experiment run after it in the same invocation).
+    freeCp()
+    lastEdges.foreach(e =>
+      try graft.operators.Materialized.free(e) catch { case _: Throwable => () })
     spark.stop()
   }
 }

@@ -541,13 +541,23 @@ object Approx {
     // equivalent to the double-ratio compare for every union size
     // u < 2^51 (proof: OPTIMIZATION_r17.md; the q59/minhashPairs site
     // carries the same rewrite) and halves the sorted_intersect_size
-    // evaluations inside the pushed join condition.
-    val accept =
-      if (minJaccard == 0.8) col("i") * 9 >= (col("na") + col("nb")) * 4
-      else col("i").cast("double") /
-        (col("na") + col("nb") - col("i")).cast("double") >= lit(minJaccard)
-    val pairs = rescoredPairs(spark, cand, setsIdx.unionByName(setsInc), prune)
-      .filter(accept)
+    // evaluations inside the pushed join condition. The PARAMETRIC
+    // (t ≠ 0.8) branch gets the same one-merge cost through
+    // [[graft.expressions.SortedJaccard]] on the raw token arrays
+    // (round 18, VERDICT r17 #5): sorted_jaccard computes the IDENTICAL
+    // double as the composed i/(na+nb−i) — same null-skipping merge,
+    // same size terms, one IEEE division (the r17 generated-property
+    // test pins the bit-equivalence; IncrementalDedupSpec pins pair-set
+    // equality to the ratio form at several thresholds) — so the pushed
+    // condition evaluates ONE sorted merge per candidate instead of two.
+    val allSets = setsIdx.unionByName(setsInc)
+    val pairs =
+      if (minJaccard == 0.8)
+        rescoredPairs(spark, cand, allSets, prune)
+          .filter(col("i") * 9 >= (col("na") + col("nb")) * 4)
+      else
+        rescoredPairsRaw(spark, cand, allSets, prune)
+          .filter(call_function("sorted_jaccard", col("ta"), col("tb")) >= lit(minJaccard))
     val flags = pairs
       .groupBy(col("a").as("doc_id"))
       .agg(max(when(!col("b_new"), 1).otherwise(0)).as("has_old"),
@@ -1194,14 +1204,31 @@ object Approx {
     // ~1M directed edges per partition: keeps per-round/per-level work
     // in-memory at any scale while collapsing the sandbox remainder to
     // single-task stages (measured: 32-partition stages over thousands
-    // of edges were ~1.5 s of pure scheduler overhead).
+    // of edges were ~1.5 s of pure scheduler overhead). UNCAPPED above
+    // (round 18): the old min(edgeParts, ·) cap only ever bound when the
+    // measured graph NEEDED more partitions than the cluster has cores —
+    // exactly the 100 TB case where capping re-creates the oversized
+    // partitions the 1M target exists to prevent. At bench scale the cap
+    // never bound (5M directed edges → 5 ≤ 32), so this is purely a
+    // scale-correctness fix; a width above core count just means several
+    // waves of in-memory tasks, never an OOM-sized partition.
     def partsFor(undirected: Long): Int =
-      math.max(1L, math.min(edgeParts.toLong,
-        (2 * undirected + 999999) / 1000000)).toInt
+      math.max(1L, (2 * undirected + 999999) / 1000000).toInt
     var ok = false
     try {
       var curEdges = directed(pairs, edgeParts)
-      tick("edges")
+      // Level-0 contraction width from the MEASURED edge count (round
+      // 18, VERDICT r17 #3): curEdges is materialized, so this count is
+      // one cheap scan of resident blocks — not a second evaluation of
+      // the pair pipeline. The initial directed() exchange above cannot
+      // know the count before the pipeline's first (and only)
+      // evaluation, so it stays at cluster parallelism; everything
+      // AFTER this line — the level-0 re-key, its join, the distinct —
+      // runs at the 1M-directed-edges-per-partition target instead of a
+      // fixed 32 (sf0.1: 5 partitions; a 100 TB graph: E/1M, above
+      // core count when the data demands it).
+      val directed0 = curEdges.count()
+      tick(s"edges directed=$directed0 level0parts=${partsFor(directed0 / 2)}")
       var seeds = List.empty[DataFrame] // innermost (deepest level) first
       var curPairs: DataFrame = null
       var prevCount = Long.MaxValue
@@ -1228,7 +1255,7 @@ object Approx {
             curEdges("y") === seed("id"))
           .select(col("x"), col("label").as("cb"))
         val seedX = seed.toDF("idx", "ca")
-        val reparts = if (level == 0) edgeParts else partsFor(prevCount)
+        val reparts = if (level == 0) partsFor(directed0 / 2) else partsFor(prevCount)
         val cpairs = mat(halfC.repartition(reparts, col("x"))
           .join(seedX.hint("shuffle_hash"), col("x") === col("idx"))
           .select(col("ca").as("a"), col("cb").as("b"))

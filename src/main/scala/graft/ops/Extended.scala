@@ -957,12 +957,30 @@ object Extended {
   def q83SplitLeakage(s: SparkSession, d: String): DataFrame = {
     val splits = documents(s, d)
       .select(col("doc_id"), splitOf(splitBucket).as("split"))
-    minhashPairs(s, d)
+    val accepted = minhashPairs(s, d)
       .join(splits.select(col("doc_id").as("a"), col("split").as("split_a")), Seq("a"))
       .join(splits.select(col("doc_id").as("b"), col("split").as("split_b")), Seq("b"))
       .filter(col("split_a") =!= col("split_b"))
       .select(col("a"), col("b"), col("jaccard"), col("split_a"), col("split_b"))
-      .orderBy("a", "b")
+    // Materialize the accepted pair set with ONE action before the
+    // declared global sort (round 18; the q60 localCheckpoint idiom —
+    // intra-query materialization, not cross-run caching). A lazy
+    // orderBy is a RangePartitioner whose boundary-sampling job
+    // evaluates the ENTIRE upstream MinHash pipeline once and whose
+    // sort pass evaluates it AGAIN — invisible under .count()
+    // (EliminateSorts drops the sort) but 3× the pipeline for any
+    // consumer that materializes the declared result (Verify's collect,
+    // any write): measured at sf0.1, materializing through the lazy
+    // sort costs 37.6 CPU-s vs 12.4 for the pipeline itself (OptProbe
+    // q83mat). With the leaking-pair set (869k rows at sf0.1, the
+    // smallest relation in the query) checkpointed first, the sampling
+    // and sort passes read materialized blocks. The sort still
+    // executes identically — same rows, same order; only the number of
+    // upstream evaluations changes. Callers release the block via
+    // graft.operators.Materialized.free once done (the q60 contract;
+    // Bench detects the eager construction structurally and rebuilds
+    // per pass, so the materialization stays inside the timed region).
+    accepted.localCheckpoint(true).orderBy("a", "b")
   }
 
   /** q84's literal coarse-quantizer centroids — the [[Q71Planes]]

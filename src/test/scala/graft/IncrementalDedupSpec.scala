@@ -87,6 +87,63 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(actual === expected)
   }
 
+  test("parametric screen (t ≠ 0.8): sorted_jaccard acceptance ≡ composed-ratio form") {
+    // Round 18 (VERDICT r17 #5): the parametric acceptance branch now
+    // evaluates ONE sorted_jaccard merge per candidate instead of the
+    // composed i/(na+nb−i) double-ratio (two sorted_intersect_size
+    // evaluations inside the pushed join condition). This pins the
+    // VERDICT SET to the ratio form at several thresholds on real data:
+    // the reference replica below is the pre-r18 parametric pipeline —
+    // same band join, same slackened prune, composed-ratio acceptance
+    // through rescoredPairs — differing ONLY in the acceptance
+    // expression. (The bitwise sorted_jaccard ≡ composed-form identity
+    // is property-tested in GeneratedPropertiesSpec.)
+    graft.expressions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val isNew = pmod(col("doc_id"), lit(10)) >= 7
+    val index = graft.operators.Approx.buildMinHashIndex(spark, docs.filter(!isNew))
+    val inc = docs.filter(isNew)
+    def ratioFormScreen(t: Double): Array[(Long, String)] = {
+      val (setsInc, bandsInc) = graft.operators.Approx
+        .md5SetsAndBands(spark, inc.select("doc_id", "text"))
+      // Fresh index ⇒ no `inc` column: flaggedBands reduces to the
+      // all-old literal.
+      val all = index.bands.withColumn("y_new", lit(false))
+        .unionByName(bandsInc.withColumn("y_new", lit(true)))
+      val cand = bandsInc.as("x").join(all.as("y"),
+          col("x.g") === col("y.g") && col("x.v") === col("y.v") &&
+          col("x.doc_id") =!= col("y.doc_id") &&
+          (!col("y.y_new") || col("y.doc_id") < col("x.doc_id")) &&
+          !expr("band_match_before(x.sig, y.sig, 4, x.g)"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("y.y_new").as("b_new"))
+      val prune = least(col("na"), col("nb")).cast("double") >=
+        lit(t) * greatest(col("na"), col("nb")).cast("double") -
+          lit(1e-9) * greatest(col("na"), col("nb")).cast("double")
+      val pairs = graft.operators.Approx
+        .rescoredPairs(spark, cand, index.sets.unionByName(setsInc), prune)
+        .filter(col("i").cast("double") /
+          (col("na") + col("nb") - col("i")).cast("double") >= lit(t))
+      val flags = pairs.groupBy(col("a").as("doc_id"))
+        .agg(max(when(!col("b_new"), 1).otherwise(0)).as("has_old"),
+          max(when(col("b_new"), 1).otherwise(0)).as("has_new"))
+      inc.select(col("doc_id")).join(flags, Seq("doc_id"), "left")
+        .select(col("doc_id"), when(col("has_old") === 1, "dup_old")
+          .when(col("has_new") === 1, "dup_new").otherwise("keep").as("verdict"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    }
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val actual = graft.operators.Approx
+        .incrementalDedup(spark, index, inc, minJaccard = t)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      assert(actual === ratioFormScreen(t), s"threshold $t")
+      // The thresholds must not silently route through the integer
+      // fast path — this test exists for the parametric branch.
+      assert(t != 0.8)
+    }
+  }
+
   // ----- semantic family (incrementalSemanticDedup / declared q88) -----
 
   test("semantic crafted corpus: dup_old / dup_new / keep conventions") {
