@@ -100,6 +100,8 @@ object GraftFunctions {
     new ExpressionInfo(classOf[BpeTokens].getName, "bpe_tokens")
   val planeSigsInfo =
     new ExpressionInfo(classOf[PlaneSignatures].getName, "plane_signatures")
+  val signBitPackInfo =
+    new ExpressionInfo(classOf[SignBitPack].getName, "sign_bit_pack")
 
   /** The one canonical registration table: both the imperative
     * `register(spark)` path and the `spark.sql.extensions` plugin walk
@@ -132,7 +134,9 @@ object GraftFunctions {
     (FunctionIdentifier("bpe_tokens"), bpeTokensInfo,
       exprs => BpeTokens(exprs(0), exprs(1))),
     (FunctionIdentifier("plane_signatures"), planeSigsInfo,
-      exprs => PlaneSignatures(exprs(0), exprs(1))))
+      exprs => PlaneSignatures(exprs(0), exprs(1))),
+    (FunctionIdentifier("sign_bit_pack"), signBitPackInfo,
+      exprs => SignBitPack(exprs(0))))
 
   def register(spark: SparkSession): Unit =
     registrations.foreach { case (id, inf, builder) =>

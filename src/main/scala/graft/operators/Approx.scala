@@ -814,14 +814,28 @@ object Approx {
     // Signatures are materialized once per table into an array column;
     // the mask fan-out then only XORs — without this each of the
     // L·|masks| probe keys would re-derive its full b-plane signature.
+    // The fan-out explodes a LITERAL (table, mask) array and XORs per
+    // exploded row (round 18): the previous composed
+    // array(struct(lit(t), sigs(t) ^ m) …) — L·|masks| = 296 struct
+    // expressions at the defaults — generated ONE
+    // generate_doConsume method of 58868 bytecode bytes, over HotSpot's
+    // 8000-byte DontCompileHugeMethods limit: the probe fan-out ran in
+    // the BYTECODE INTERPRETER (invisible at the declared q46's 10-row
+    // probe set, but the probe side is the per-query workload side of
+    // this API). The literal table is a reference object, not code;
+    // element_at(sigs, t+1) ≡ sigs(t) for the in-range ts it contains,
+    // so the (t, bucket) keys are identical.
+    val tms: Seq[(Int, Long)] =
+      for { t <- 0 until nTables; m <- masks } yield (t, m)
     val probed = probes.select(col("vec_id").as("pid"), col("embedding").as("pe"))
       .withColumn("pnorm", norm(col("pe")))
       .filter(col("pnorm") > 0)
       .withColumn("sigs", signatures(col("pe")))
-      .withColumn("tb", explode(array((for { t <- 0 until nTables; m <- masks } yield
-        struct(lit(t).as("t"), col("sigs")(t).bitwiseXOR(lit(m)).as("bucket"))): _*)))
+      .withColumn("tm", explode(typedLit(tms)))
       .select(col("pid"), col("pe"), col("pnorm"), col("sigs"),
-        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+        col("tm._1").as("t"),
+        element_at(col("sigs"), col("tm._1") + 1)
+          .bitwiseXOR(col("tm._2")).as("bucket"))
     val dotCol = dot(col("pe"), col("ne"))
     val cosine = dotCol / (col("pnorm") * col("nnorm"))
     val w = Window.partitionBy("pid").orderBy(col("sim").desc, col("nid"))
@@ -872,6 +886,15 @@ object Approx {
     val balSums = (0 until 64).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
         .cast("long").as(s"bal$i"))
+    // Signature assembly through the native sign_bit_pack (round 18):
+    // the composed 64-term when/shiftleft chain, fused into the
+    // aggregate's output method, measured 9077 bytecode bytes — over
+    // HotSpot's 8000-byte JIT limit, so the per-document signature
+    // emission ran in the bytecode interpreter (the q46/q43 disease
+    // class, caught by the now-non-vacuous PlanQualitySpec net). Pure
+    // integer arithmetic, bit-identical by construction (same bal > 0
+    // tests, same disjoint bits); the checksum pin re-verifies.
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
     val sh = docs
       // Raw split + row filter (round 17): identical token multiset, no
       // interpreted HOF in the corpus-linear pass — see q58's note.
@@ -880,9 +903,8 @@ object Approx {
       .select(col("doc_id"), xxhash64(col("w")).as("h"))
       .groupBy("doc_id")
       .agg(balSums.head, balSums.tail: _*)
-      .select(col("doc_id"), (0 until 64).map(i =>
-        when(col(s"bal$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-        .reduce(_ + _).as("sh"))
+      .select(col("doc_id"), call_function("sign_bit_pack",
+        array((0 until 64).map(i => col(s"bal$i")): _*)).as("sh"))
     val banded = sh.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))

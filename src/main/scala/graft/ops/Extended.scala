@@ -195,6 +195,7 @@ object Extended {
     * same signatures, so any pair the banding missed would fail the
     * driver compare. */
   def q58SimhashMd5(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
     val balSums = (0 until 60).map(b => sum(expr(
       s"CASE WHEN ((shiftright(h, $b) & 1) = 1) THEN 1 ELSE -1 END").cast("long"))
       .as(s"bal$b"))
@@ -210,9 +211,14 @@ object Extended {
         expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)").as("h"))
       .groupBy("doc_id")
       .agg(balSums.head, balSums.tail: _*)
-      .select(col("doc_id"), (0 until 60).map(b =>
-        when(col(s"bal$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-        .reduce(_ + _).as("sig"))
+      // Native sign_bit_pack (round 18): the composed 60-term
+      // when/shiftleft assembly crossed HotSpot's 8000-byte JIT limit
+      // inside the aggregate's fused output method (q44's twin measured
+      // 9077 bytes) — the per-doc signature emission ran interpreted.
+      // Same Σ 2^b over bal_b > 0, bit-identical; the q58 oracle
+      // (which replays the assembly in SQL) re-proves it per value.
+      .select(col("doc_id"), call_function("sign_bit_pack",
+        array((0 until 60).map(b => col(s"bal$b")): _*)).as("sig"))
     val bands = sigs.select(col("doc_id"), col("sig"), explode(expr(
         "transform(sequence(0, 3), i -> struct(i AS band_idx, (shiftright(sig, 15 * i) & 32767) AS band_val))"))
         .as("band"))
@@ -718,10 +724,23 @@ object Extended {
     * [[graft.operators.Approx.annLshCosine]], recall-pinned against
     * exact search in CapabilitySpec. */
   def q71AnnPlanes(s: SparkSession, d: String): DataFrame = {
+    // Plane dots through the native double_dot (round 18): the composed
+    // 8 × 64-term element_at × lit chains — 512 multiply-add nodes in
+    // ONE bucket expression — generated a 35240-bytecode-byte method,
+    // over HotSpot's 8000-byte JIT limit: the corpus-linear bucket
+    // stage ran in the bytecode interpreter (caught by the
+    // PlanQualitySpec sweep). Value identity with the composed chain:
+    // double_dot multiplies (double)float_elem × double coef and
+    // accumulates sequentially left-to-right exactly as the
+    // left-associated reduce did; its accumulator starts at 0.0 where
+    // the reduce started at the first product — bitwise the same sum
+    // for every input except the SIGN of an all-zero total (0.0 vs
+    // -0.0), which the `> 0` sign test below cannot distinguish. The
+    // oracle — which still renders the explicit left-associated chain
+    // in SQL — re-proves every bucket per value.
+    graft.expressions.GraftFunctions.register(s)
     def planeDot(e: Column, cs: Seq[Int]): Column =
-      cs.zipWithIndex.map { case (c, j) =>
-        element_at(e, j + 1) * lit(c.toDouble)
-      }.reduce(_ + _)
+      call_function("double_dot", e, typedLit(cs.map(_.toDouble)))
     def bucket(e: Column): Column =
       Q71Planes.zipWithIndex.map { case (cs, i) =>
         when(planeDot(e, cs) > 0, lit(1 << i)).otherwise(lit(0))
@@ -1017,6 +1036,26 @@ object Extended {
     }
   }
 
+  /** The q84/q88/q89 cell assignment as the native `mip_assign` call
+    * (round 18). The composed [[q84Cell]] — 4 × 64 multiply-add nodes
+    * plus the first-max CASE in one expression — generated a
+    * 38036-bytecode-byte method, over HotSpot's 8000-byte JIT limit:
+    * the corpus-linear assignment stage of all three queries ran in the
+    * bytecode interpreter (caught by the PlanQualitySpec sweep; the r17
+    * probe that "measured composed faster" was reading the 2000-row
+    * dispatch floor). Bit-identity is [[graft.expressions.MipAssign]]'s
+    * pinned contract — per-element float→double widening times double
+    * centroid, sequential double accumulation, first index attaining
+    * the maximum (≡ q84Cell's `>=`-over-later-scores fold) — and the
+    * q84/q88/q89 oracles re-prove every assignment per value.
+    * [[q84Cell]] stays as the reference formulation the oracle SQL
+    * renders and the equivalence tests compare against. */
+  private[graft] def q84CellNative(s: SparkSession): Column = {
+    graft.expressions.GraftFunctions.register(s)
+    call_function("mip_assign", col("embedding"),
+      typedLit(Q84Centroids.map(_.map(_.toDouble))))
+  }
+
   /** q84: semantic deduplication with an EXPLICIT literal quantizer —
     * the value-checked twin of the rows-only q66 (whose seeded k-means
     * fit has no SQL form), closing the last rows-only FAMILY gap the
@@ -1058,7 +1097,7 @@ object Extended {
     val dot = (a: String, b: String) =>
       graft.expressions.GraftFunctions.floatDot(s, a, b)
     val cells = embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), q84Cell.as("cell"))
+      .select(col("vec_id"), col("embedding"), q84CellNative(s).as("cell"))
     // q45's float32 parity chain: float norms, float sim, round-to-4,
     // compared against a FLOAT literal (a bare 0.35 is a double and
     // float(0.35) widens a hair below it — the q45 boundary note).
@@ -1134,7 +1173,7 @@ object Extended {
       graft.expressions.GraftFunctions.floatDot(s, a, b)
     val isNew = pmod(col("vec_id"), lit(10)) >= 7
     val cells = embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), q84Cell.as("cell"), isNew.as("is_new"))
+      .select(col("vec_id"), col("embedding"), q84CellNative(s).as("cell"), isNew.as("is_new"))
     val sides = cells
       .withColumn("nrm", sqrt(dot("embedding", "embedding")).cast("float"))
       .filter(col("nrm") > 0)
@@ -1187,7 +1226,7 @@ object Extended {
     * corpus. Nothing corpus-sized moves. */
   def q89CellBalance(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cells = embeddings(s, d).select(col("vec_id"), q84Cell.as("cell"))
+    val cells = embeddings(s, d).select(col("vec_id"), q84CellNative(s).as("cell"))
     val langs = documents(s, d).select(col("doc_id").as("vec_id"), col("lang"))
     cells.join(langs, Seq("vec_id"))
       .groupBy(col("lang"), col("cell"))

@@ -358,7 +358,8 @@ class CapabilitySpec extends SparkSpec {
         "bpe_tokens" -> "bpe_tokens('abab x', array('a b'))",
         "ivf_tree_assign" -> "ivf_tree_assign(array(CAST(0.0 AS FLOAT)), array(array(CAST(0.0 AS DOUBLE))), array(0), 1)",
         "mip_assign" -> "mip_assign(array(CAST(1.0 AS FLOAT)), array(array(CAST(0.0 AS DOUBLE)), array(CAST(2.0 AS DOUBLE))))",
-        "plane_signatures" -> "plane_signatures(array(CAST(1.0 AS FLOAT)), array(array(array(CAST(1.0 AS DOUBLE)), array(CAST(-1.0 AS DOUBLE)))))")
+        "plane_signatures" -> "plane_signatures(array(CAST(1.0 AS FLOAT)), array(array(array(CAST(1.0 AS DOUBLE)), array(CAST(-1.0 AS DOUBLE)))))",
+        "sign_bit_pack" -> "sign_bit_pack(array(3L, -1L, 0L, 2L))")
       val registered =
         graft.expressions.GraftFunctions.registrations.map(_._1.funcName).toSet
       assert(probes.keySet === registered,
