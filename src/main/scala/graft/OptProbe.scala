@@ -363,6 +363,32 @@ object OptProbe {
         .toDF("cell", "dim")
     }
 
+    // q37 argmax alternative (round 18, VERDICT r17 #8): per-doc max
+    // score as a HASH aggregate, then an equality join back + min(w)
+    // tie-break — trades the SortAggregate's in-partition sort for an
+    // extra exchange + join + second aggregate. The struct/min form has
+    // no hash-aggregable encoding (struct and string buffers are not
+    // UnsafeRow-mutable; no fixed-width packing preserves the
+    // (score desc, w asc) composite order with a string tie-break).
+    def q37joinback(): DataFrame = {
+      import graft.ops.Determinism.dround
+      val docs = graft.ops.Tables.documents(spark, sfDir)
+      val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val wdf = org.apache.spark.sql.expressions.Window.partitionBy("w")
+      val scored = tf.withColumn("df", count(lit(1)).over(wdf))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("w"),
+          dround(col("tf") * log(col("n") / col("df")), 6).as("score"))
+      val best = scored.groupBy("doc_id").agg(max(col("score")).as("score"))
+      best.join(scored, Seq("doc_id", "score"))
+        .groupBy("doc_id", "score")
+        .agg(min(col("w")).as("top_term"))
+        .select(col("doc_id"), col("top_term"), col("score"))
+        .orderBy("doc_id")
+    }
+
     // q84's composed literal-quantizer assignment in isolation (the
     // 4-cell × 64-dim element_at chains + first-max CASE, forced past
     // count()-pruning by a filter on the cell).
@@ -381,6 +407,7 @@ object OptProbe {
 
     val experiments: Map[String, () => DataFrame] = Map(
       "q83mat" -> (() => q83mat()),
+      "q37joinback" -> (() => q37joinback()),
       "q66fit" -> (() => q66fit()),
       "q84assign" -> (() => q84assign()),
       "q84mip" -> (() => q84mip()),

@@ -31,9 +31,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * Arithmetic contract (q46's 50-row pin + 0.94-recall pin both ride
   * on it): per-plane dots are bit-identical to [[DoubleDotProduct]] —
   * float elements widen per element, products accumulate sequentially
-  * into a double over the min-length prefix — the `>= 0` is the same
-  * IEEE compare (NaN → false, -0.0 → true), bits OR disjointly, so
-  * every signature long is bit-equal to the composed form's.
+  * into a double over the min-length prefix — and the sign cut matches
+  * Spark's `dot >= 0` on EVERY double including the edges: -0.0 sets
+  * the bit, and a NaN dot sets the bit too (Spark's comparison orders
+  * NaN above all values, so its `>= 0` is true; the `!(acc < 0)` form
+  * below reproduces that, where a plain Java `acc >= 0` would say
+  * false — ADVICE r17). A NaN dot is unreachable from finite inputs
+  * (it needs ±Inf overflow cancellation), but the registered SQL
+  * function is callable with arbitrary doubles, so the two forms now
+  * agree everywhere by construction, not by reachability.
   */
 case class PlaneSignatures(vec: Expression, planes: Expression)
   extends BinaryExpression {
@@ -66,10 +72,24 @@ case class PlaneSignatures(vec: Expression, planes: Expression)
   }
 
   @transient private lazy val model: PlaneSigModel = {
-    val ts = planes.eval(null).asInstanceOf[ArrayData]
+    // Foldable NULLs of the correct type pass checkInputDataTypes (the
+    // plane literal's nested containsNull is whatever the caller's
+    // encoder derived — typedLit of Seq[Seq[Seq[Double]]] marks outer
+    // levels nullable); fail with a descriptive message instead of an
+    // opaque NPE deep in construction (ADVICE r17).
+    val raw = planes.eval(null)
+    require(raw != null, "plane_signatures: the planes literal is NULL")
+    val ts = raw.asInstanceOf[ArrayData]
     new PlaneSigModel((0 until ts.numElements()).map { t =>
       val ps = ts.getArray(t)
-      (0 until ps.numElements()).map(i => ps.getArray(i).toDoubleArray()).toArray
+      require(ps != null,
+        s"plane_signatures: planes table $t is NULL (nulls are not valid planes)")
+      (0 until ps.numElements()).map { i =>
+        val p = ps.getArray(i)
+        require(p != null,
+          s"plane_signatures: plane $i of table $t is NULL (nulls are not valid planes)")
+        p.toDoubleArray()
+      }.toArray
     }.toArray, vecFloat)
   }
 
@@ -111,7 +131,10 @@ final class PlaneSigModel(planes: Array[Array[Array[Double]]],
         } else {
           while (j < m) { acc += v.getDouble(j) * plane(j); j += 1 }
         }
-        if (acc >= 0) sig |= (1L << i)
+        // !(acc < 0) ≡ Spark's `>= 0` on all doubles: true for +0.0,
+        // -0.0 AND NaN (Spark orders NaN above everything); a plain
+        // `acc >= 0` would diverge on NaN (ADVICE r17).
+        if (!(acc < 0)) sig |= (1L << i)
         i += 1
       }
       out(t) = sig

@@ -349,12 +349,12 @@ class GeneratedPropertiesSpec extends SparkSpec {
     // the signature longs of the per-plane Column tree it replaces
     // (q46's 50-row and 0.94-recall pins ride on those bits): same
     // per-element float→double widening, same sequential double
-    // accumulation over the min-length prefix, same >= 0 cut. Both
-    // forms are evaluated THROUGH Spark on the same rows and compared
-    // exactly. Plane values are finite by construction (driver-seeded
-    // gaussians), so the one semantic edge where the forms could differ
-    // (a NaN dot: Spark orders NaN above all values, Java >= says
-    // false) is unreachable — finite inputs cannot produce a NaN dot.
+    // accumulation over the min-length prefix, same sign cut. Since
+    // round 18 the kernel uses `!(acc < 0)` so the cut matches Spark's
+    // `>= 0` on EVERY double — including a NaN dot (Spark orders NaN
+    // above all values → bit set), which the previous Java `acc >= 0`
+    // got wrong; the overflow case below pins that edge explicitly
+    // (ADVICE r17).
     graft.expressions.GraftFunctions.register(spark)
     val dim = 8
     val planes: Seq[Seq[Seq[Double]]] = {
@@ -380,6 +380,23 @@ class GeneratedPropertiesSpec extends SparkSpec {
     rows.zipWithIndex.foreach { case (r, i) =>
       assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"case $i")
     }
+    // The NaN-dot edge, reachable only through double overflow
+    // (+Inf + -Inf): both forms must SET the bit, matching Spark's
+    // NaN-above-all ordering. Before the r18 `!(acc < 0)` fix the
+    // kernel said false here while the composed form said true.
+    val nanPlanes: Seq[Seq[Seq[Double]]] = Seq(Seq(Seq(1e300, -1e300)))
+    val nanDf = spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(Seq(3.0e38f, 3.0e38f))).asJava,
+      StructType(Seq(StructField("v", ArrayType(FloatType)))))
+    val nanRow = nanDf.select(
+        call_function("plane_signatures", col("v"), typedLit(nanPlanes)).as("fast"),
+        when(call_function("double_dot", col("v"), lit(nanPlanes.head.head.toArray)) >= 0,
+          lit(1L)).otherwise(lit(0L)).as("composed"),
+        call_function("double_dot", col("v"), lit(nanPlanes.head.head.toArray)).as("dot"))
+      .head()
+    assert(nanRow.getDouble(2).isNaN, "the overflow construction must yield a NaN dot")
+    assert(nanRow.getSeq[Long](0) === Seq(1L), "kernel must set the bit on a NaN dot")
+    assert(nanRow.getLong(1) === 1L, "Spark's >= 0 sets the bit on a NaN dot")
   }
 
   test("emit-once SimHash banding finds exactly the hamming<=3 pairs (vs brute force)") {

@@ -211,6 +211,38 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q62's occurrence join is threshold-governed: no hint forces the corpus side to broadcast at scale") {
+    // VERDICT r17 #5 / round-18 #7: at bench scale the planner
+    // broadcasts q62's exploded corpus side on ESTIMATES — fine at this
+    // size, but the at-scale contract is that the occurrence join falls
+    // back to an honest shuffle join once the corpus side exceeds the
+    // broadcast bound. Nothing in the code may FORCE that broadcast.
+    // Simulate "estimates above every bound" by disabling auto
+    // broadcast: the only broadcast allowed to survive is the
+    // explicitly-hinted vocabulary scalar (one COUNT-DISTINCT row,
+    // bounded by construction — the q37 document-count-scalar shape),
+    // and the occurrence join must plan as a shuffle join.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = SparkEntry.queries("q62_lm_bigram_score")(spark, sf001)
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(!p.contains("BroadcastHashJoin"),
+        "with auto-broadcast off, no estimate-driven broadcast may remain — " +
+          "a surviving BroadcastHashJoin means a hint forces a corpus-sized build side")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "the occurrence join must fall back to a shuffle join at scale")
+      // The vocab scalar stays broadcast BY HINT — 1 row, size-bounded.
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        "the explicitly-hinted 1-row vocabulary scalar should still broadcast")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // And at the default threshold the bench-scale plan is unchanged:
+    // the small exploded side broadcasts on estimates (documented in
+    // OPTIMIZATION_r17/r18 — cheaper at this size, flips by itself).
+    assert(plan("q62_lm_bigram_score").contains("BroadcastHashJoin"),
+      "bench-scale q62 should keep its estimate-driven broadcast (unchanged bench)")
+  }
+
   test("q46 computes LSH signatures through the native plane_signatures call") {
     // Round-17 regression net: the composed array(sig_0..sig_7) Column
     // tree plans as whole-stage codegen but its ONE unsplittable
